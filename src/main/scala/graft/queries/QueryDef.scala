@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One judged operator: a Spark implementation plus (where SQL-expressible)
+  * the equivalent ANSI SQL the driver runs in DuckDB on the same parquet.
+  *
+  * Determinism contract (both sides, see SURVEY.md §5.2):
+  *   - stable ORDER BY with a unique tie-break key;
+  *   - identical output column names (driver sorts columns by name, then
+  *     hashes values);
+  *   - float aggregates made order-independent (decimal-sum) or rounded
+  *     far below the noise floor.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+object QueryDef {
+  def oracle(name: String, sql: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(sql))
+
+  /** Rows-only driver check — for ops whose semantics DuckDB can't mirror
+    * (approx sketches, LSH, streaming state). Pair with a ScalaTest spec. */
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}
+
+/** Cross-engine numeric determinism helpers.
+  *
+  * Floating sums are order-dependent; Spark and DuckDB will not reduce in
+  * the same order, so a raw SUM(double) hash-mismatches at any scale. The
+  * fix: evaluate the per-row expression in IEEE double (deterministic —
+  * same expression tree on both engines), cast each row to a fixed-scale
+  * DECIMAL, and let SUM run in exact decimal arithmetic, which is
+  * order-independent. Finally cast back to DOUBLE so both engines emit the
+  * identical 8-byte value. This survives any scale factor — it is not a
+  * tolerance, it is exactness.
+  */
+object Num {
+  /** Order-independent sum of a double expression: exact decimal interior,
+    * double exterior. Mirror in oracle SQL with
+    * `CAST(SUM(CAST(expr AS DECIMAL(30,6))) AS DOUBLE)`. */
+  def dsum(c: Column): Column =
+    sum(c.cast("decimal(30,6)")).cast("double")
+
+  /** Order-independent average: exact decimal sum cast to double, then one
+    * double division (deterministic — both engines do the identical IEEE
+    * op). Mirror with
+    * `CAST(SUM(CAST(e AS DECIMAL(30,6))) AS DOUBLE) / COUNT(e)`. */
+  def davg(c: Column): Column =
+    sum(c.cast("decimal(30,6)")).cast("double") / count(c)
+
+  /** For genuinely statistical outputs (stddev, corr, …) whose interior
+    * can't be made exact: round far below the accumulated error floor.
+    * Magnitudes must be O(1e6) or less for 4 dp to be safe. */
+  def r4(c: Column): Column = round(c, 4)
+}
