@@ -22,7 +22,16 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and floor to
+    * microseconds — DuckDB's `epoch_us` floors identically, so oracle
+    * parity holds; floor is monotone, so ordering and range predicates
+    * against µs-aligned bounds are unchanged. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Aggregation catalog: distinct, approximate-distinct (HLL++),
+  * cube/rollup/grouping sets, statistical aggregates, conditional
+  * aggregation, and ordered collect. Reference analog: pyPiper's only
+  * aggregation device is `batch_size=BATCH_SIZE_ALL` handing the whole
+  * stream to user code (SURVEY.md §2.A op #6) — which cannot scale; every
+  * operator here is a partial+final hash aggregate Catalyst parallelizes
+  * per-partition before one tiny shuffle.
+  */
+object Aggregates {
+  import Num._
+
+  /** COUNT(DISTINCT) — expands to a two-phase aggregate (distinct keys
+    * shuffled once, then counted). Multiple distincts in one query use
+    * Spark's `Expand` rewrite. */
+  val qAggDistinct: QueryDef = QueryDef.oracle(
+    "q_agg_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** HLL++ approximate distinct. No oracle: DuckDB's approx sketch is a
+    * different implementation so values differ by design; the ScalaTest
+    * spec asserts <5% relative error against the exact count. At 100 TB
+    * this is the only viable distinct-cardinality path (fixed-size sketch,
+    * no key shuffle). */
+  val qAggApproxDistinct: QueryDef = QueryDef.noOracle("q_agg_approx_distinct") {
+    (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+  }
+
+  /** CUBE over two keys: all 4 grouping combinations in one pass via
+    * Catalyst's Expand (no re-scan per grouping set). NULL markers mapped
+    * to 'ALL' (data cols are never null here). */
+  val qAggCube: QueryDef = QueryDef.oracle(
+    "q_agg_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+  }
+
+  /** ROLLUP over (year, status): hierarchical subtotals. */
+  val qAggRollup: QueryDef = QueryDef.oracle(
+    "q_agg_rollup",
+    """SELECT COALESCE(CAST(o_year AS VARCHAR), 'ALL') AS yr,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue, COUNT(*) AS n
+      |FROM (SELECT year(o_orderdate) AS o_year, o_orderstatus, o_totalprice FROM orders)
+      |GROUP BY ROLLUP (o_year, o_orderstatus) ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"), col("o_totalprice"))
+      .rollup("o_year", "o_orderstatus")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_year").cast("string"), lit("ALL")).as("yr"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("revenue"), col("n"))
+      .orderBy("yr", "status")
+  }
+
+  /** Explicit GROUPING SETS — the general form of cube/rollup. */
+  val qAggGroupingSets: QueryDef = QueryDef.oracle(
+    "q_agg_grouping_sets",
+    """SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+      |  COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nk,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      |ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).customer.createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+        |  COALESCE(CAST(c_nationkey AS STRING), 'ALL') AS nk,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Statistical aggregates: stddev/variance/correlation/exact median.
+    * Rounded to 4 dp — interiors are iteration-order dependent in both
+    * engines (SURVEY.md §7 hard part 2). */
+  val qAggStats: QueryDef = QueryDef.oracle(
+    "q_agg_stats",
+    """SELECT l_returnflag,
+      |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+      |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Conditional aggregation (filtered counts / case-when sums) — one
+    * scan, no joins, the idiomatic replacement for fan-out-then-merge
+    * pipelines. */
+  val qAggConditional: QueryDef = QueryDef.oracle(
+    "q_agg_conditional",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+      |  CAST(SUM(CAST(CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0 END
+      |       AS DECIMAL(30,6))) AS DOUBLE) AS high_rev,
+      |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END
+      |       AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS open_rev_per_order
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        dsum(when(col("o_totalprice") > 150000, col("o_totalprice")).otherwise(0)).as("high_rev"),
+        (sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0)
+          .cast("decimal(30,6)")).cast("double") / count(lit(1))).as("open_rev_per_order"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Ordered collect: deterministic array aggregation (sorted set). */
+  val qAggCollect: QueryDef = QueryDef.oracle(
+    "q_agg_collect",
+    """SELECT lang, list_sort(list(DISTINCT source)) AS sources, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .groupBy("lang")
+      .agg(
+        sort_array(collect_set(col("source"))).as("sources"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qAggDistinct, qAggApproxDistinct, qAggCube, qAggRollup, qAggGroupingSets,
+    qAggStats, qAggConditional, qAggCollect)
+}

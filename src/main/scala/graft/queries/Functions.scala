@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Scalar-function families (string / date / math / array / JSON), one
+  * representative query per family over its natural table. Reference
+  * analog: in pyPiper all of this is arbitrary Python inside `Node.run`
+  * (SURVEY.md §2.B "String functions…user code"); here every expression is
+  * a built-in Catalyst function that stays inside whole-stage codegen —
+  * no UDF walls, pushdown and pruning intact.
+  *
+  * Cross-engine float note: libm results (sqrt/ln/pow) can differ in the
+  * last ulp between JVM and C; each per-row value is cast to
+  * DECIMAL(30,6) BEFORE the sum, which both quantizes away ulp noise and
+  * makes the aggregation order-independent.
+  */
+object Functions {
+  import Num._
+
+  /** String family: split/substring/upper/regexp_extract/levenshtein/
+    * length/concat_ws. */
+  val qFnString: QueryDef = QueryDef.oracle(
+    "q_fn_string",
+    """SELECT first_word, COUNT(*) AS n,
+      |  MIN(upper(p_type)) AS min_type_u,
+      |  MAX(substring(p_name, 1, 4)) AS max_pref,
+      |  SUM(CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT)) AS sum_brand_num,
+      |  SUM(levenshtein(first_word, 'widget')) AS sum_lev,
+      |  SUM(length(p_name)) AS sum_len,
+      |  MIN(concat_ws('|', p_brand, p_type)) AS min_brand_type
+      |FROM (SELECT *, list_extract(string_split(p_name, ' '), 1) AS first_word FROM part)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).part
+      .withColumn("first_word", split(col("p_name"), " ").getItem(0))
+      .groupBy("first_word")
+      .agg(
+        count(lit(1)).as("n"),
+        min(upper(col("p_type"))).as("min_type_u"),
+        max(substring(col("p_name"), 1, 4)).as("max_pref"),
+        sum(regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("bigint")).as("sum_brand_num"),
+        sum(levenshtein(col("first_word"), lit("widget"))).as("sum_lev"),
+        sum(length(col("p_name"))).as("sum_len"),
+        min(concat_ws("|", col("p_brand"), col("p_type"))).as("min_brand_type"))
+      .orderBy("first_word")
+  }
+
+  /** Date/time family: year/month/quarter/date_trunc/datediff/interval
+    * arithmetic/day-of-week. DuckDB dayofweek is 0=Sun..6, Spark is
+    * 1=Sun..7 — aligned by +1 on the DuckDB side. */
+  val qFnDate: QueryDef = QueryDef.oracle(
+    "q_fn_date",
+    """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      |  COUNT(*) AS n,
+      |  MIN(date_trunc('month', o_orderdate)) AS min_month,
+      |  SUM(datediff('day', o_orderdate, DATE '2002-01-01')) AS sum_days_to_2002,
+      |  SUM(month(o_orderdate + INTERVAL 45 DAY)) AS sum_shift_month,
+      |  SUM(dayofweek(o_orderdate) + 1) AS sum_dow
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(date_trunc("month", col("o_orderdate"))).cast("date").as("min_month"),
+        sum(datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("bigint"))
+          .as("sum_days_to_2002"),
+        sum(month(col("o_orderdate") + expr("INTERVAL 45 DAYS")).cast("bigint"))
+          .as("sum_shift_month"),
+        sum(dayofweek(col("o_orderdate")).cast("bigint")).as("sum_dow"))
+      .orderBy("yr", "qtr")
+  }
+
+  /** Math family: sqrt/ln/pow/abs/ceil/floor, decimal-quantized sums. */
+  val qFnMath: QueryDef = QueryDef.oracle(
+    "q_fn_math",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(sqrt(l_quantity) AS DECIMAL(30,6))) AS DOUBLE) AS sum_sqrt_qty,
+      |  CAST(SUM(CAST(ln(l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE) AS sum_ln_price,
+      |  CAST(SUM(CAST(pow(1 + l_discount, 2) AS DECIMAL(30,6))) AS DOUBLE) AS sum_pow_disc,
+      |  CAST(SUM(CAST(abs(l_quantity - 25) AS DECIMAL(30,6))) AS DOUBLE) AS sum_abs_dev,
+      |  SUM(CAST(ceil(l_discount * 10) AS BIGINT)) AS sum_ceil,
+      |  SUM(CAST(floor(l_tax * 10) AS BIGINT)) AS sum_floor
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(sqrt(col("l_quantity"))).as("sum_sqrt_qty"),
+        dsum(log(col("l_extendedprice"))).as("sum_ln_price"),
+        dsum(pow(lit(1) + col("l_discount"), 2)).as("sum_pow_disc"),
+        dsum(abs(col("l_quantity") - 25)).as("sum_abs_dev"),
+        sum(ceil(col("l_discount") * 10).cast("bigint")).as("sum_ceil"),
+        sum(floor(col("l_tax") * 10).cast("bigint")).as("sum_floor"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Array family over embeddings: size/slice/element access/L2 norm via
+    * higher-order functions. The norm is an exact-decimal fold of per-
+    * element double products — order-independent, engine-independent.
+    * All of it stays codegen-side; at 100 TB this is a pure map stage. */
+  val qFnArray: QueryDef = QueryDef.oracle(
+    "q_fn_array",
+    """SELECT label, COUNT(*) AS n,
+      |  MIN(len(embedding)) AS min_dim, MAX(len(embedding)) AS max_dim,
+      |  ROUND(CAST(SUM(CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+      |      AS DECIMAL(30,6))) FROM unnest(embedding) AS t(e))
+      |    AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_sq_norm,
+      |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sum_first,
+      |  CAST(SUM(CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(30,6)))
+      |      FROM unnest(embedding[1:8]) AS t(e))
+      |    AS DECIMAL(30,6))) AS DOUBLE) AS sum_head8
+      |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val sq = aggregate(
+      transform(col("embedding"),
+        x => (x.cast("double") * x.cast("double")).cast("decimal(30,6)")),
+      lit(0).cast("decimal(30,6)"),
+      (acc, x) => (acc + x).cast("decimal(30,6)")).cast("decimal(30,6)")
+    val head8 = aggregate(
+      transform(slice(col("embedding"), 1, 8), x => x.cast("double").cast("decimal(30,6)")),
+      lit(0).cast("decimal(30,6)"),
+      (acc, x) => (acc + x).cast("decimal(30,6)")).cast("decimal(30,6)")
+    Tables(spark, dir).embeddings
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        min(size(col("embedding"))).as("min_dim"),
+        max(size(col("embedding"))).as("max_dim"),
+        round(sum(sq).cast("double"), 4).as("sum_sq_norm"),
+        sum(col("embedding").getItem(0).cast("double").cast("decimal(30,6)"))
+          .cast("double").as("sum_first"),
+        sum(head8).cast("double").as("sum_head8"))
+      .orderBy("label")
+  }
+
+  /** JSON family over events.props: path extraction via both
+    * get_json_object and from_json(schema), proving they agree. */
+  val qFnJson: QueryDef = QueryDef.oracle(
+    "q_fn_json",
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k_struct
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .withColumn("k_struct", from_json(col("props"), lit("k BIGINT")).getField("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k_struct")).as("sum_k_struct"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson)
+}

@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operator catalog: broadcast/shuffle equi, semi, anti, outer,
+  * theta, range (band), and as-of. Reference analog: pyPiper has no
+  * framework-level joins (SURVEY.md §2.B) — users write them inside
+  * `Node.run`; here each is a first-class, Catalyst-optimizable plan.
+  *
+  * Scale notes (100 TB): dims (region/nation, band tables) are broadcast
+  * explicitly so the big fact side never shuffles for them; fact-fact
+  * joins shuffle on the join key once and AQE handles skew; the as-of
+  * join is a single shuffle + sort (union + window), never a per-row
+  * lookup.
+  */
+object Joins {
+  import Num._
+
+  /** Star-schema join with explicit broadcast of the small dims.
+    * orders⋈customer shuffles on custkey; nation/region ride along as
+    * broadcast hash joins (no shuffle, no skew exposure). */
+  val qJoinBroadcast: QueryDef = QueryDef.oracle(
+    "q_join_broadcast",
+    """SELECT r_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name")
+  }
+
+  /** Fact-fact shuffle join (largest two tables). Both sides shuffle on
+    * orderkey; partial aggregation keeps the final shuffle tiny. */
+  val qJoinLarge: QueryDef = QueryDef.oracle(
+    "q_join_large",
+    """SELECT o_orderpriority, year(o_orderdate) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority", "o_year")
+  }
+
+  /** Left-semi join: customers having at least one large order. Semi
+    * avoids materializing the (1:N) multiplicity — at scale this is the
+    * difference between a shuffle of keys and a shuffle of payloads. */
+  val qJoinSemi: QueryDef = QueryDef.oracle(
+    "q_join_semi",
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer
+      .join(
+        t.orders.filter(col("o_totalprice") > 200000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti join: customers with no orders at all, counted per nation
+    * (nation broadcast). */
+  val qJoinAnti: QueryDef = QueryDef.oracle(
+    "q_join_anti",
+    """SELECT n_name, COUNT(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  /** Left-outer join preserving order-less customers, folded into a
+    * histogram (n_orders → n_customers) so the output stays O(1). */
+  val qJoinLeftOuter: QueryDef = QueryDef.oracle(
+    "q_join_left_outer",
+    """SELECT n_orders, COUNT(*) AS n_customers FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1
+      |) GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+  }
+
+  /** Full-outer join of two aggregates (customer count vs supplier count
+    * per nation key) with COALESCE on both sides. */
+  val qJoinFullOuter: QueryDef = QueryDef.oracle(
+    "q_join_full_outer",
+    """SELECT COALESCE(ck, sk) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      |ON ck = sk ORDER BY nationkey""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val c = t.customer.groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val s = t.supplier.groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Theta join: equi key (nation) + inequality residual. Catalyst plans
+    * the equi part as a hash/sort-merge join and applies the band
+    * predicate as a post-join filter — no nested loop. */
+  val qJoinTheta: QueryDef = QueryDef.oracle(
+    "q_join_theta",
+    """SELECT n_name, COUNT(*) AS n_pairs
+      |FROM supplier s
+      |JOIN customer c ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.supplier
+      .join(t.customer,
+        col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("n_name")
+  }
+
+  /** Range (band) join against a tiny irregular-interval dim, broadcast so
+    * the nested-loop side is the 6-row band table, never the fact. At
+    * 100 TB the same shape holds: broadcast the bands, stream the fact. */
+  val qJoinRange: QueryDef = QueryDef.oracle(
+    "q_join_range",
+    """SELECT band, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM part
+      |JOIN (VALUES (0, 1000, 'b0_lt1000'), (1000, 1250, 'b1'), (1250, 1500, 'b2'),
+      |             (1500, 1750, 'b3'), (1750, 2000, 'b4'), (2000, 1000000, 'b5_ge2000'))
+      |  AS bands(lo, hi, band)
+      |ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    import spark.implicits._
+    val bands = Seq(
+      (0, 1000, "b0_lt1000"), (1000, 1250, "b1"), (1250, 1500, "b2"),
+      (1500, 1750, "b3"), (1750, 2000, "b4"), (2000, 1000000, "b5_ge2000"),
+    ).toDF("lo", "hi", "band")
+    t.part
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** As-of join (events → most recent order per user at event time),
+    * Spark-first: tag both sides, union, one shuffle+sort per user key,
+    * then `last(_, ignoreNulls)` over an unbounded-preceding row frame.
+    * This is the scalable sort-merge formulation — no per-row lookups, no
+    * broadcast of a fact table, exactly one exchange on the join key.
+    * DuckDB oracle uses its native ASOF JOIN. Right side is pre-reduced
+    * to one row per (key, time) so tie behavior is engine-independent. */
+  val qJoinAsof: QueryDef = QueryDef.oracle(
+    "q_join_asof",
+    """WITH ord AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS price
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT user_id, COUNT(*) AS n_events, COUNT(price) AS n_matched,
+      |  CAST(SUM(CAST(COALESCE(price, 0) AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM (
+      |  SELECT e.user_id, p.price
+      |  FROM events e ASOF LEFT JOIN ord p
+      |    ON e.user_id = p.o_custkey AND e.ts >= p.o_orderdate
+      |)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val ord = t.orders
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+      .agg(max(col("o_totalprice")).as("price"))
+      .select(col("k"), col("t"), lit(0).as("src"), col("price"))
+    val ev = t.events
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("src"),
+        lit(null).cast("double").as("price"))
+    // Orders sort before events at identical t (src 0 < 1) → the "<= ts"
+    // inclusive as-of boundary.
+    val w = Window.partitionBy("k").orderBy(col("t").asc, col("src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("matched", last(col("price"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .groupBy(col("k").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("matched")).as("n_matched"),
+        dsum(coalesce(col("matched"), lit(0))).as("sum_price"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinLeftOuter,
+    qJoinFullOuter, qJoinTheta, qJoinRange, qJoinAsof)
+}

@@ -4,7 +4,8 @@ package graft.queries
   * for readability of driver artifacts; names must be unique. */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.all
+    Relational.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
+      SetOps.all ++ Functions.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

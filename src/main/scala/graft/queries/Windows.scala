@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window-function catalog: ranking, per-group top-k, lag/lead, running
+  * row frames, time-range frames, ntile. Reference analog: pyPiper nodes
+  * keep mutable `self.*` state across `run()` calls to do this serially
+  * (SURVEY.md §2.B); a Spark window is the distributed form — one shuffle
+  * on the partition key, a per-partition sort, then a single streaming
+  * pass. Every query here partitions on a real key so no partition
+  * collapses to a single task at scale.
+  */
+object Windows {
+  import Num._
+
+  /** row_number/rank/dense_rank; top-3 orders per priority. row_number
+    * gets a unique tie-break (orderkey); rank/dense_rank deliberately
+    * order by price alone so tie semantics are exercised. */
+  val qWinRank: QueryDef = QueryDef.oracle(
+    "q_win_rank",
+    """SELECT o_orderpriority, rn, rnk, drnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+      |    DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+      |  FROM orders
+      |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+  ) { (spark, dir) =>
+    val byPrice = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    val stable = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, dir).orders
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(stable).as("rn"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "rnk", "drnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Per-group top-k (top-3 customers per nation by balance) — the
+    * row_number ≤ k pattern. At scale this beats a global sort: each
+    * nation's partition sorts independently and emits k rows. */
+  val qWinTopkPerGroup: QueryDef = QueryDef.oracle(
+    "q_win_topk_per_group",
+    """SELECT n_name, rn, c_custkey, c_acctbal FROM (
+      |  SELECT n_name, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |) WHERE rn <= 3 ORDER BY n_name, rn""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select("n_name", "rn", "c_custkey", "c_acctbal")
+      .orderBy("n_name", "rn")
+  }
+
+  /** lag/lead over event time per user, folded to per-user deltas. */
+  val qWinLagLead: QueryDef = QueryDef.oracle(
+    "q_win_lag_lead",
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(COALESCE(value - prev_value, 0) AS DECIMAL(30,6))) AS DOUBLE) AS sum_delta,
+      |  COUNT(next_value) AS n_with_next
+      |FROM (
+      |  SELECT user_id, value,
+      |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |    LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+      |  FROM events
+      |) GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(coalesce(col("value") - col("prev_value"), lit(0))).as("sum_delta"),
+        count(col("next_value")).as("n_with_next"))
+      .orderBy("user_id")
+  }
+
+  /** Running sum (rows unbounded-preceding → current) per nation over
+    * customers, reduced to min/max of the running series. */
+  val qWinRunning: QueryDef = QueryDef.oracle(
+    "q_win_running",
+    """SELECT c_nationkey, COUNT(*) AS n,
+      |  ROUND(MAX(running_bal), 4) AS max_running, ROUND(MIN(running_bal), 4) AS min_running
+      |FROM (
+      |  SELECT c_nationkey,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6)))
+      |      OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal
+      |  FROM customer
+      |) GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).customer
+      .select(col("c_nationkey"),
+        sum(col("c_acctbal").cast("decimal(30,6)")).over(w).cast("double").as("running_bal"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        r4(max(col("running_bal"))).as("max_running"),
+        r4(min(col("running_bal"))).as("min_running"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Time-range frame: events per user in the trailing hour. Frame is
+    * defined over integer epoch-microseconds on BOTH engines so the
+    * boundary arithmetic is exact and identical. */
+  val qWinRangeFrame: QueryDef = QueryDef.oracle(
+    "q_win_range_frame",
+    """SELECT event_type, COUNT(*) AS n, MAX(cnt_1h) AS max_cnt_1h,
+      |  CAST(SUM(CAST(cnt_1h AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_cnt_1h
+      |FROM (
+      |  SELECT event_type,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS cnt_1h
+      |  FROM events
+      |) GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    Tables(spark, dir).events
+      .select(col("event_type"), count(lit(1)).over(w).as("cnt_1h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("cnt_1h")).as("max_cnt_1h"),
+        (sum(col("cnt_1h").cast("decimal(30,6)")).cast("double") / count(lit(1)))
+          .as("avg_cnt_1h"))
+      .orderBy("event_type")
+  }
+
+  /** NTILE quartiles over account balance. */
+  val qWinNtile: QueryDef = QueryDef.oracle(
+    "q_win_ntile",
+    """SELECT quartile, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+      |FROM (
+      |  SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      |  FROM customer
+      |) GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    // Single global NTILE: fine for quantile bucketing of a dim table;
+    // for a 100 TB fact use approx percentiles instead (one pass, no
+    // global sort).
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables(spark, dir).customer
+      .select(col("c_acctbal"), ntile(4).over(w).as("quartile"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("quartile")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qWinRank, qWinTopkPerGroup, qWinLagLead, qWinRunning, qWinRangeFrame, qWinNtile)
+}
