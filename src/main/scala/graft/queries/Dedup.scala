@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, normalized-exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash (north star, SURVEY.md §2.B).
+  *
+  * Scale design (100 TB): exact/normalized dedup is one hash shuffle on the
+  * dedup key (map-side partial distinct first). The pairwise similarity ops
+  * never do an unblocked self-join: Jaccard blocks on language here (and
+  * notes the banding upgrade), MinHash-LSH blocks on band signatures so
+  * candidate generation is an equi-join Catalyst executes as a hash join,
+  * SimHash blocks on a 16-bit signature prefix. Verification cost is then
+  * proportional to candidate pairs, not n². */
+object Dedup {
+
+  private def toks(c: Column): Column = filter(split(c, " "), w => w =!= "")
+
+  /** Word-3-gram shingle set (distinct). Guarded for <3-token docs
+    * (Spark's `sequence(1, k)` DESCENDS for k<1 instead of returning
+    * empty). */
+  private def shingles(c: Column): Column = {
+    val ws = toks(c)
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup on raw text: canonical row = min doc_id per text. On the
+    * synthetic corpus every text is unique, so this degenerates gracefully
+    * (0 removed) — the normalized variant below is the one that fires. */
+  val qDedupExact: QueryDef = QueryDef.oracle(
+    "q_dedup_exact",
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_uniq,
+      |  COUNT(*) - COUNT(DISTINCT text) AS n_removed,
+      |  SUM(keep) AS sum_kept_ids
+      |FROM (
+      |  SELECT source, text, MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+      |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+      |         THEN doc_id ELSE 0 END AS keep
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("text")
+    Tables(spark, dir).documents
+      .select(col("source"), col("text"), col("doc_id"),
+        min(col("doc_id")).over(w).as("keep_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_uniq"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_removed"),
+        sum(when(col("doc_id") === col("keep_id"), col("doc_id")).otherwise(0L))
+          .as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
+  /** Normalized exact dedup: key = the sorted token multiset, catching
+    * word-order-shuffled copies. The canonical survivor is min(doc_id) per
+    * key — a deterministic choice (plain dropDuplicates keeps an arbitrary
+    * row, which would be oracle-hostile AND irreproducible at scale). */
+  val qDedupNormalized: QueryDef = QueryDef.oracle(
+    "q_dedup_normalized",
+    """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT k) AS n_canonical,
+      |  COUNT(*) - COUNT(DISTINCT k) AS n_removed
+      |FROM (
+      |  SELECT lang, array_to_string(
+      |    list_sort(list_filter(string_split(text, ' '), x -> x <> '')), ' ') AS k
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .select(col("lang"),
+        array_join(sort_array(toks(col("text"))), " ").as("k"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("k")).as("n_canonical"),
+        (count(lit(1)) - countDistinct(col("k"))).as("n_removed"))
+      .orderBy("lang")
+  }
+
+  /** n-gram Jaccard near-dup pairs: 3-gram shingle sets, self-join blocked
+    * on language, integer-exact threshold 2*|I| >= |U| (Jaccard ≥ 0.5).
+    * The synthetic corpus plants a handful of ~0.98-Jaccard pairs; this
+    * finds exactly those. Blocking note for 100 TB: replace the language
+    * block with the MinHash band join below — same verification, candidate
+    * set shrinks from n²/|langs| to near-linear. */
+  val qDedupNgramJaccard: QueryDef = QueryDef.oracle(
+    "q_dedup_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |  FROM (SELECT doc_id, lang,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_intersect(a.s, b.s)) AS n_inter,
+      |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
+      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE 2 * len(list_intersect(a.s, b.s))
+      |      >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+      |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), shingles(col("text")).as("s"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("s").as("sa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("s").as("sb"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("n_inter"),
+        (size(col("sa")) + size(col("sb"))
+          - size(array_intersect(col("sa"), col("sb")))).as("n_union"))
+      .filter(col("n_inter") * 2 >= col("n_union"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH fuzzy dedup — the full shingle → minhash → band →
+    * bucket-join pipeline, hand-rolled in DataFrame ops so every stage is
+    * a Catalyst plan:
+    *   1. 16 minhashes per doc: min over shingles of xxhash64(seed_k ∥ s);
+    *   2. 8 bands × 2 rows: band key = hash of its minhash slice;
+    *   3. candidates = equi-join on (band, key) — a hash join, no n² scan;
+    *   4. verify candidates with exact Jaccard, keep ≥ 0.5.
+    * Output: confirmed near-dup pairs. No oracle (xxhash64 is Spark-
+    * specific); DedupSpec asserts LSH recall == 1.0 vs the exact
+    * q_dedup_ngram_jaccard pairs, and precision via the verify step. */
+  val qDedupMinhashLsh: QueryDef = QueryDef.noOracle("q_dedup_minhash_lsh") {
+    (spark, dir) =>
+      val nHashes = 16
+      val bands = 8 // × 2 rows each
+      val docs = Tables(spark, dir).documents
+        .select(col("doc_id"), shingles(col("text")).as("s"))
+        .filter(size(col("s")) > 0)
+      val sig = docs.select(col("doc_id"), col("s"),
+        array((0 until nHashes).map { k =>
+          array_min(transform(col("s"), x => xxhash64(lit(k), x)))
+        }: _*).as("mh"))
+      val banded = sig.select(col("doc_id"), col("s"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(element_at(col("mh"), 2 * b + 1),
+              element_at(col("mh"), 2 * b + 2)).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("s"), col("bk.band"), col("bk.key"))
+      val l = banded.select(col("band"), col("key"),
+        col("doc_id").as("doc_a"), col("s").as("sa"))
+      val r = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+        col("doc_id").as("doc_b"), col("s").as("sb"))
+      l.join(r, col("band") === col("band_b") && col("key") === col("key_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa"), col("sb"))).as("n_inter"),
+          (size(col("sa")) + size(col("sb"))
+            - size(array_intersect(col("sa"), col("sb")))).as("n_union"))
+        .filter(col("n_inter") * 2 >= col("n_union"))
+        .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit signature from token hashes (per bit, sign
+    * of Σ ±token-count), candidates generated by the standard multi-block
+    * scheme — the signature is split into 4 × 16-bit blocks and pairs
+    * agreeing on ANY block become candidates (pigeonhole: guaranteed to
+    * catch every pair at Hamming ≤ 3). Built by exploding tokens into 64
+    * conditional sums — one shuffle on doc_id, then 4 equi-joins-by-
+    * explode on (block, value): hash joins, no n² scan. Kept at Hamming
+    * ≤ 4. No oracle (xxhash64); DedupSpec pins planted-dup recall. */
+  val qDedupSimhash: QueryDef = QueryDef.noOracle("q_dedup_simhash") {
+    (spark, dir) =>
+      val tok = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      val bitSums = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$i")
+      }
+      val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 64).map(i => when(col(s"b$i") > 0, 1).otherwise(0)): _*)
+            .as("bits"))
+      val blocked = sig.select(col("doc_id"), col("bits"),
+        explode(array((0 until 4).map { blk =>
+          struct(lit(blk).as("blk"),
+            aggregate(slice(col("bits"), 16 * blk + 1, 16), lit(0L),
+              (a, x) => a * 2 + x).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bits"), col("bk.blk"), col("bk.key"))
+      val a = blocked.select(col("blk"), col("key"),
+        col("doc_id").as("doc_a"), col("bits").as("ba"))
+      val b = blocked.select(col("blk").as("blk_b"), col("key").as("key_b"),
+        col("doc_id").as("doc_b"), col("bits").as("bb"))
+      a.join(b, col("blk") === col("blk_b") && col("key") === col("key_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ba"), col("bb")).distinct()
+        .select(col("doc_a"), col("doc_b"),
+          aggregate(zip_with(col("ba"), col("bb"),
+            (x, y) => abs(x - y).cast("long")), lit(0L), (acc, x) => acc + x)
+            .as("hamming"))
+        .filter(col("hamming") <= 4)
+        .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qDedupExact, qDedupNormalized, qDedupNgramJaccard, qDedupMinhashLsh,
+    qDedupSimhash)
+}

@@ -5,7 +5,8 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     Relational.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
-      SetOps.all ++ Functions.all
+      SetOps.all ++ Functions.all ++ TextAnalysis.all ++ Dedup.all ++
+      Similarity.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

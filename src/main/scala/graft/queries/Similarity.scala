@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over `embeddings` (north star): exact
+  * cosine near-dup pairs and top-k search as the brute-force baseline,
+  * plus two sub-linear scale paths — random-hyperplane LSH bucketing and
+  * IVF (inverted-file) coarse quantization.
+  *
+  * Cross-engine determinism of cosine (used by the DuckDB oracles): each
+  * elementwise product is computed in IEEE double (float32 inputs are
+  * exact in double, so both engines produce bit-identical products), cast
+  * to DECIMAL(30,12) (a double can never land exactly on a 1e-12 rounding
+  * boundary, so rounding-mode differences are unreachable), summed in
+  * exact decimal (order-independent), then one double sqrt+division
+  * (IEEE-exact in both engines). The resulting cosine is bit-identical
+  * across Spark and DuckDB — thresholds and ORDER BY agree exactly.
+  */
+object Similarity {
+
+  /** Exact-decimal dot product of two float-array columns → double. */
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double"))
+        .cast("decimal(30,12)")),
+      lit(0).cast("decimal(30,12)"),
+      (acc, x) => (acc + x).cast("decimal(30,12)")).cast("double")
+
+  private def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+    ddot(a, b) / sqrt(na * nb)
+
+  /** vec_id + embedding + squared-norm, the shared scan for all queries
+    * here. At 100 TB norms would be precomputed into the table — the
+    * expression fuses into the scan either way (one map stage). */
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"),
+        ddot(col("embedding"), col("embedding")).as("nrm"))
+
+  private val oracleNormCte =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+      |            AS DECIMAL(30,12))) FROM unnest(embedding) t(e)) AS DOUBLE) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (brute force, cos ≥ 0.4). This is
+    * the exactness baseline the approximate variants are judged against;
+    * at 100 TB the same verify-expression runs over LSH/IVF candidates
+    * instead of the full cross join. */
+  val qSimCosinePairs: QueryDef = QueryDef.oracle(
+    "q_sim_cosine_pairs",
+    oracleNormCte +
+      """
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(cos, 6) AS cos FROM (
+        |  SELECT a.vec_id, b.vec_id,
+        |    CAST((SELECT SUM(CAST(CAST(t.x AS DOUBLE) * CAST(t.y AS DOUBLE)
+        |            AS DECIMAL(30,12)))
+        |          FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) t)
+        |      AS DOUBLE) / sqrt(a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id) p(ida, idb, cos)
+        |JOIN n a ON a.vec_id = ida JOIN n b ON b.vec_id = idb
+        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+  ) { (spark, dir) =>
+    val n = normed(spark, dir)
+    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-k: 8 query vectors (vec_id < 8) against the
+    * whole corpus, top-5 each. The query side is broadcast, so the corpus
+    * is scanned exactly once with no shuffle of the big side; the window
+    * runs per-query. */
+  val qSimTopk: QueryDef = QueryDef.oracle(
+    "q_sim_topk",
+    oracleNormCte +
+      """
+        |SELECT q_id, rn, n_id, ROUND(cos, 6) AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+        |  FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |      CAST((SELECT SUM(CAST(CAST(t.x AS DOUBLE) * CAST(t.y AS DOUBLE)
+        |              AS DECIMAL(30,12)))
+        |            FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y) t)
+        |        AS DOUBLE) / sqrt(q.nrm * c.nrm) AS cos
+        |    FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id))
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+  ) { (spark, dir) =>
+    val n = normed(spark, dir)
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nrm").as("nq"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("eq"), col("nq"), col("embedding"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Random-hyperplane LSH bucketing: 6 sign bits from dot products with
+    * deterministic pseudo-random hyperplanes (LCG-generated coefficients —
+    * exact rational arithmetic, reproducible on any engine/cluster), then
+    * multi-probe top-k: each query searches its own bucket plus the 6
+    * Hamming-1 buckets (probes exploded query-side → a plain equi-join on
+    * bucket, i.e. ~11% of the corpus per query instead of 100%). The spec
+    * measures recall against q_sim_topk. Rows-only driver check (bucket
+    * membership isn't ANSI-SQL-friendly). */
+  val qSimLshAnn: QueryDef = QueryDef.noOracle("q_sim_lsh_ann") { (spark, dir) =>
+    val nBits = 6
+    // hyperplane j, dim i: LCG((j*64+i)) mapped to [-0.5, 0.5)
+    def planes(e: Column): Column =
+      aggregate(
+        sequence(lit(0), lit(nBits - 1)),
+        lit(0L),
+        (acc, j) => acc * 2 + when(
+          aggregate(
+            zip_with(e, sequence(lit(0), lit(63)),
+              (x, i) => x.cast("double") *
+                ((((j * 64 + i) * 1103515245L + 12345L) % 2147483648L)
+                  .cast("double") / 2147483648.0 - 0.5)),
+            lit(0.0), (a, x) => a + x) > 0, 1L).otherwise(0L))
+    val n = normed(spark, dir)
+      .withColumn("bucket", planes(col("embedding")))
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nrm").as("nq"),
+        explode(array(col("bucket") +:
+          (0 until nBits).map(b =>
+            col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("qb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    n.join(broadcast(q),
+        col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("eq"), col("nq"), col("embedding"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** IVF (inverted-file) ANN: deterministic seed centroids (every 53rd
+    * vector), one Lloyd refinement step — assignment is a broadcast
+    * nested-loop join against ≤16 centroids, the update a posexplode +
+    * per-(cluster, dim) mean — then queries probe their 2 nearest
+    * centroids' clusters only. All stages are DataFrame plans; nothing is
+    * collected to the driver, so the same code shape trains on 100 TB. */
+  val qSimIvfAnn: QueryDef = QueryDef.noOracle("q_sim_ivf_ann") { (spark, dir) =>
+    val n = normed(spark, dir)
+    val seed = n.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+
+    def nearest(vecs: DataFrame, cents: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("cid").asc)
+      vecs.join(broadcast(cents), lit(true))
+        .select(vecs.columns.map(col) :+ col("cid") :+
+          cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos"): _*)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "cos").withColumnRenamed("cid", out)
+    }
+
+    // one Lloyd step: mean embedding per cluster, renormalized lazily
+    val assigned = nearest(n, seed, "cluster")
+    val refined = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("ce"))
+      .select(col("cluster").as("cid"), col("ce"),
+        ddot(col("ce"), col("ce")).as("cn"))
+
+    val indexed = nearest(n, refined, "cluster")
+    val qProbe = {
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
+      n.filter(col("vec_id") < 8)
+        .join(broadcast(refined), lit(true))
+        .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+          col("nrm").as("nq"), col("cid"),
+          cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("cid").asc)))
+        .filter(col("rn") <= 2) // nprobe = 2
+        .select(col("q_id"), col("eq"), col("nq"), col("cid").as("probe"))
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    indexed.join(broadcast(qProbe),
+        col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("eq"), col("nq"), col("embedding"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn)
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the LLM-training-pipeline
+  * primitives (north star, SURVEY.md §2.B last rows): token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  * Reference analog: pyPiper users write all of this as Python inside
+  * `Node.run`; here each is pure Catalyst expressions (split / higher-order
+  * functions / regexp) that stay inside whole-stage codegen — a 100 TB run
+  * is a single map stage with no shuffle until the final tiny aggregate.
+  *
+  * Determinism: every metric is integer arithmetic or an exact bigint fold,
+  * so Spark and DuckDB agree bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed (trailing-space artifacts). */
+  private def toks(c: Column): Column =
+    filter(split(c, " "), w => w =!= "")
+
+  /** Top-20 tokens by frequency: tokenize → explode → count. The classic
+    * word-count; at scale the explode shuffles (token, 1) pairs but
+    * map-side partial aggregation collapses them to ~vocabulary size per
+    * partition before the exchange. */
+  val qTextTokens: QueryDef = QueryDef.oracle(
+    "q_text_tokens",
+    """SELECT w AS word, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+  }
+
+  /** Per-document quality scoring (length band, type-token ratio, stopword
+    * ratio) + two token-count variants (whitespace and regex "BPE-ish"
+    * word pieces), folded per language. All flags are integer comparisons
+    * — scale-free and engine-exact. */
+  val qTextQuality: QueryDef = QueryDef.oracle(
+    "q_text_quality",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(n_tok) AS sum_tok, SUM(n_re_tok) AS sum_re_tok,
+      |  SUM(CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 1 ELSE 0 END) AS n_len_ok,
+      |  SUM(CASE WHEN 10 * n_uniq >= 2 * n_tok THEN 1 ELSE 0 END) AS n_ttr_ok,
+      |  SUM(CASE WHEN 20 * n_stop <= 3 * n_tok THEN 1 ELSE 0 END) AS n_stop_ok,
+      |  SUM(CASE WHEN n_chars BETWEEN 100 AND 1000
+      |        AND 10 * n_uniq >= 2 * n_tok
+      |        AND 20 * n_stop <= 3 * n_tok THEN 1 ELSE 0 END) AS n_high_q
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    len(ws) AS n_tok,
+      |    len(list_distinct(ws)) AS n_uniq,
+      |    len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and'))) AS n_stop,
+      |    len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tok
+      |  FROM (SELECT lang, n_chars, text,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents))
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val stop = Seq("the", "a", "of", "and")
+    Tables(spark, dir).documents
+      .select(col("lang"), col("n_chars"),
+        size(toks(col("text"))).as("n_tok"),
+        size(array_distinct(toks(col("text")))).as("n_uniq"),
+        size(filter(toks(col("text")), w => w.isInCollection(stop))).as("n_stop"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re_tok"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        sum(col("n_re_tok")).as("sum_re_tok"),
+        sum(when(col("n_chars").between(100, 1000), 1).otherwise(0)).as("n_len_ok"),
+        sum(when(col("n_uniq") * 10 >= col("n_tok") * 2, 1).otherwise(0)).as("n_ttr_ok"),
+        sum(when(col("n_stop") * 20 <= col("n_tok") * 3, 1).otherwise(0)).as("n_stop_ok"),
+        sum(when(col("n_chars").between(100, 1000)
+          && col("n_uniq") * 10 >= col("n_tok") * 2
+          && col("n_stop") * 20 <= col("n_tok") * 3, 1).otherwise(0)).as("n_high_q"))
+      .orderBy("lang")
+  }
+
+  /** Language identification by marker-token scoring (the n-gram-heuristic
+    * family): score each doc against per-language marker lists, predict the
+    * argmax (ties broken by a fixed language order), emit the
+    * actual × predicted confusion matrix. Pure per-row arithmetic — at
+    * 100 TB a map stage plus a ≤25-row aggregate. */
+  val qTextLangid: QueryDef = QueryDef.oracle(
+    "q_text_langid",
+    """SELECT lang, pred, COUNT(*) AS n FROM (
+      |  SELECT lang,
+      |    CASE
+      |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |      WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |      WHEN s_fr >= s_zh THEN 'fr'
+      |      ELSE 'zh' END AS pred
+      |  FROM (
+      |    SELECT lang,
+      |      len(list_filter(ws, w -> w IN ('the', 'a', 'scan', 'table'))) AS s_en,
+      |      len(list_filter(ws, w -> w IN ('data', 'row', 'query'))) AS s_es,
+      |      len(list_filter(ws, w -> w IN ('join', 'merge', 'batch'))) AS s_de,
+      |      len(list_filter(ws, w -> w IN ('window', 'filter', 'sort'))) AS s_fr,
+      |      len(list_filter(ws, w -> w IN ('spark', 'stream', 'hash'))) AS s_zh
+      |    FROM (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |          FROM documents)))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    def score(words: Seq[String]): Column =
+      size(filter(toks(col("text")), w => w.isInCollection(words)))
+    Tables(spark, dir).documents
+      .select(col("lang"),
+        score(Seq("the", "a", "scan", "table")).as("s_en"),
+        score(Seq("data", "row", "query")).as("s_es"),
+        score(Seq("join", "merge", "batch")).as("s_de"),
+        score(Seq("window", "filter", "sort")).as("s_fr"),
+        score(Seq("spark", "stream", "hash")).as("s_zh"))
+      .select(col("lang"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+          && col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr")
+            && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh").as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Document fingerprinting: an order-dependent rolling polynomial hash
+    * over the token stream (h = (h*131 + tokval) mod 1e9+7), folded with a
+    * higher-order `aggregate` — i.e. a true sequential fold expressed as a
+    * Catalyst expression, per row, fully parallel across rows. Identical
+    * bigint arithmetic on both engines. */
+  val qTextFingerprint: QueryDef = QueryDef.oracle(
+    "q_text_fingerprint",
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fp,
+      |  MIN(fp) AS min_fp, MAX(fp) AS max_fp, SUM(fp) AS sum_fp
+      |FROM (
+      |  SELECT source, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+      |        w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
+      |    (a, x) -> (a * 131 + x) % 1000000007) AS fp
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val fp = aggregate(
+      transform(toks(col("text")),
+        w => (ascii(w) * 31 + length(w)).cast("long")),
+      lit(0L),
+      (a, x) => (a * 131 + x) % 1000000007L)
+    Tables(spark, dir).documents
+      .select(col("source"), fp.as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_fp"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"),
+        sum(col("fp")).as("sum_fp"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint)
+}

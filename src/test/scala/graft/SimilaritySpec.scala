@@ -1,0 +1,47 @@
+package graft
+
+import graft.queries.Similarity
+import org.apache.spark.sql.Row
+
+/** Shape and recall pins for similarity search. Brute force is the
+  * oracle-checked baseline; the ANN variants trade recall for a smaller
+  * candidate set, and these floors document the trade at the test scale
+  * (uniformish synthetic vectors — the hardest case for LSH/IVF). */
+class SimilaritySpec extends SparkSpec {
+
+  private def topkPairs(rows: Array[Row]): Set[(Long, Long)] =
+    rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  lazy val brute: Array[Row] = Similarity.qSimTopk.run(spark, sf).collect()
+  lazy val brutePairs: Set[(Long, Long)] = topkPairs(brute)
+
+  test("brute-force top-k returns exactly k ranked rows per query") {
+    assert(brute.length == 8 * 5)
+    val byQ = brute.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH multi-probe ANN recall floor") {
+    val lsh = topkPairs(Similarity.qSimLshAnn.run(spark, sf).collect())
+    val recall = (lsh & brutePairs).size.toDouble / brutePairs.size
+    assert(recall >= 0.2, s"LSH recall $recall")
+  }
+
+  test("IVF nprobe=2 ANN recall floor") {
+    val ivf = Similarity.qSimIvfAnn.run(spark, sf).collect()
+    assert(ivf.length == 8 * 5)
+    val recall = (topkPairs(ivf) & brutePairs).size.toDouble / brutePairs.size
+    assert(recall >= 0.25, s"IVF recall $recall")
+  }
+
+  test("cosine is symmetric and bounded on near-dup pairs") {
+    val rows = Similarity.qSimCosinePairs.run(spark, sf).collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}
