@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Structured-Streaming operator catalog over `events` (SURVEY.md §7
+  * Phase 4): tumbling / sliding / session event-time windows with
+  * watermarks, streaming dedup, and arbitrary per-key state — the
+  * faithful analog of pyPiper's mutable per-node state (`self.*` across
+  * `run()` calls), which is the one genuinely stateful thing the
+  * reference can do.
+  *
+  * Oracle parity: append-mode emission is governed by the watermark
+  * (window end ≤ max event time − delay once AvailableNow's final no-data
+  * batch advances it), so each oracle SQL applies the identical eviction
+  * predicate — the watermark rule is *part of the tested semantics*, not
+  * noise to avoid.
+  */
+object Streaming {
+
+  private val WM = "60 seconds" // watermark delay
+
+  /** Tumbling 1-day event-time windows per event_type, append mode. */
+  val qStreamTumbling: QueryDef = QueryDef.oracle(
+    "q_stream_tumbling",
+    """SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP) AS w_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING epoch_us(CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP)) + 86400000000
+      |       <= (SELECT MAX(epoch_us(ts)) - 60000000 FROM events)
+      |ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    val out = EventsStream.read(spark, dir)
+      .withWatermark("ts", WM)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    EventsStream.runToTable(spark, out, "append")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** Sliding windows (1 day, sliding 6 h): each event lands in 4 windows.
+    * Oracle mirrors via an explicit 0..3 bucket-shift unnest. */
+  val qStreamSliding: QueryDef = QueryDef.oracle(
+    "q_stream_sliding",
+    """SELECT w_start, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS TIMESTAMP)
+      |           - k * INTERVAL 6 HOUR AS w_start, value
+      |  FROM events, unnest([0, 1, 2, 3]) AS t(k))
+      |GROUP BY 1
+      |HAVING epoch_us(w_start) + 86400000000
+      |       <= (SELECT MAX(epoch_us(ts)) - 60000000 FROM events)
+      |ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val out = EventsStream.read(spark, dir)
+      .withWatermark("ts", WM)
+      .groupBy(window(col("ts"), "1 day", "6 hours"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+    EventsStream.runToTable(spark, out, "append").orderBy("w_start")
+  }
+
+  /** Session windows (6 h inactivity gap) per user, then a batch rollup to
+    * per-user session stats. Oracle = gaps-and-islands sessionization with
+    * the same watermark eviction (session end = last event + gap). */
+  val qStreamSession: QueryDef = QueryDef.oracle(
+    "q_stream_session",
+    """WITH sessions AS (
+      |  SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_last, COUNT(*) AS n
+      |  FROM (
+      |    SELECT user_id, ts, sid FROM (
+      |      SELECT user_id, ts, event_id,
+      |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM (
+      |        SELECT user_id, ts, event_id,
+      |          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                    > INTERVAL 6 HOUR
+      |               THEN 1 ELSE 0 END AS is_new
+      |        FROM events)))
+      |  GROUP BY user_id, sid)
+      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+      |  MAX(n) AS max_session_events
+      |FROM sessions
+      |WHERE epoch_us(s_last) + 21600000000
+      |      <= (SELECT MAX(epoch_us(ts)) - 60000000 FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val sessions = EventsStream.read(spark, dir)
+      .withWatermark("ts", WM)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val out = EventsStream.runToTable(spark, sessions, "append")
+    out.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming exact dedup: first-seen wins per key (event_id % 1000),
+    * projected to the key alone so the emitted set is deterministic. The
+    * state-bound production variant is dropDuplicatesWithinWatermark;
+    * at single-batch test scale both emit the distinct key set. */
+  val qStreamDedup: QueryDef = QueryDef.oracle(
+    "q_stream_dedup",
+    """SELECT DISTINCT event_id % 1000 AS k FROM events ORDER BY k""".stripMargin,
+  ) { (spark, dir) =>
+    val out = EventsStream.read(spark, dir)
+      .select((col("event_id") % 1000).as("k"))
+      .dropDuplicates("k")
+    EventsStream.runToTable(spark, out, "append").orderBy("k")
+  }
+
+  /** Arbitrary stateful processing via flatMapGroupsWithState — the
+    * pyPiper `self.*`-across-`run()` analog: per-user mutable state
+    * (count, exact micro-scaled sum, max event time) updated per record,
+    * snapshot emitted per batch. Value sums use exact fixed-point (each
+    * double rounded to 1e-6 then summed in Long) so arrival order can
+    * never change the result — the property pyPiper loses the moment
+    * n_threads > 1. */
+  val qStreamStateful: QueryDef = QueryDef.oracle(
+    "q_stream_stateful",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      |  MAX(epoch_us(ts)) AS max_ts_us
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val out = EventsStream.read(spark, dir)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { (user, rows, state) =>
+        val s0 = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+        val s = rows.foldLeft(s0) { (acc, r) =>
+          UserState(acc.n + 1, acc.sumMicros + Streaming.micros(r._2),
+            math.max(acc.maxTsUs, r._3))
+        }
+        state.update(s)
+        Iterator(UserSnapshot(user, s.n, s.sumMicros / 1e6, s.maxTsUs))
+      }
+      .toDF()
+      .select(col("user_id"), col("n_events"), col("sum_value"), col("max_ts_us"))
+    EventsStream.runToTable(spark, out, "update").orderBy("user_id")
+  }
+
+  /** Exact 1e-6 fixed-point of a double (round-half-up, like the decimal
+    * cast both engines apply) — order-independent accumulation. */
+  def micros(v: Double): Long =
+    new java.math.BigDecimal(v).movePointRight(6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  val all: Seq[QueryDef] = Seq(
+    qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
+    qStreamStateful)
+}
+
+/** Per-user mutable state carried across micro-batches. */
+final case class UserState(n: Long, sumMicros: Long, maxTsUs: Long)
+
+final case class UserSnapshot(user_id: Long, n_events: Long,
+    sum_value: Double, max_ts_us: Long)

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.{Streaming, UserState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Multi-batch streaming semantics that the AvailableNow-based judged
+  * queries can't exercise: watermark advancement between micro-batches,
+  * late-data dropping, and state carried across batches (the pyPiper
+  * node-state analog). MemoryStream gives deterministic batch boundaries. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(60000L * min)
+
+  test("watermark drops late rows across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(5), 1L), (ts(7), 2L)) // window [0,10)
+      q.processAllAvailable()
+      in.addData((ts(35), 3L)) // watermark -> 25, closes [0,10)
+      q.processAllAvailable()
+      in.addData((ts(8), 9L)) // LATE: before watermark, must be dropped
+      q.processAllAvailable()
+      in.addData((ts(60), 4L)) // watermark -> 50, closes [30,40)
+      q.processAllAvailable()
+      val rows = spark.table("wm_test").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1))).toMap
+      assert(rows(0L) == 2L, "window [0,10) counts only the on-time rows")
+      assert(rows(30L) == 1L, "late row joined no window")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val out = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) { (k, rows, st) =>
+        val s0 = st.getOption.getOrElse(UserState(0, 0, 0))
+        val s = rows.foldLeft(s0)((a, r) =>
+          UserState(a.n + 1, a.sumMicros + Streaming.micros(r._2), 0))
+        st.update(s)
+        Iterator((k, s.n, s.sumMicros / 1e6))
+      }.toDF("k", "n", "sum")
+    val q = out.writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 1.5), (1L, 2.25), (2L, 10.0))
+      q.processAllAvailable()
+      in.addData((1L, 0.25))
+      q.processAllAvailable()
+      // last snapshot per key wins
+      val last = spark.table("state_test").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) =>
+          k -> rs.maxBy(_.getLong(1))
+        }
+      assert(last(1L).getLong(1) == 3 && last(1L).getDouble(2) == 4.0)
+      assert(last(2L).getLong(1) == 1 && last(2L).getDouble(2) == 10.0)
+    } finally q.stop()
+  }
+
+  test("session windows merge across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "u")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("u"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("u"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L), (ts(5), 1L)) // one session...
+      q.processAllAvailable()
+      in.addData((ts(12), 1L)) // ...extended by batch 2 (gap < 10min)
+      q.processAllAvailable()
+      in.addData((ts(60), 1L)) // closes the merged session
+      q.processAllAvailable()
+      val sessions = spark.table("sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(sessions.contains((1L, 3L)),
+        s"merged 3-event session expected, got ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("fixed-point accumulator is exact and order-independent") {
+    val vs = Seq(0.1, 0.2, 0.3, 1e-6, 123456.789123)
+    val a = vs.map(Streaming.micros).sum
+    val b = vs.reverse.map(Streaming.micros).sum
+    assert(a == b && a == 123457189123L + 200001L)
+  }
+}
