@@ -6,7 +6,8 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
       SetOps.all ++ Functions.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ PipelineQueries.all ++ Streaming.all
+      Similarity.all ++ PipelineQueries.all ++ Streaming.all ++
+      MediaQueries.all ++ UdfQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

@@ -39,6 +39,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall")
   }
 
+  test("codegen graft_cosine top-k agrees with the exact-decimal baseline") {
+    val fast = graft.queries.UdfQueries.qSimTopkFast.run(spark, sf).collect()
+    assert(fast.length == brute.length)
+    val fastByQ = fast.groupBy(_.getLong(0))
+    val bruteByQ = brute.groupBy(_.getLong(0))
+    for ((q, rs) <- bruteByQ) {
+      val b = rs.map(_.getLong(2)).toSet
+      val f = fastByQ(q).map(_.getLong(2)).toSet
+      // identical up to double-vs-decimal ties at the k boundary
+      assert((b & f).size >= 4, s"query $q: fast=$f brute=$b")
+      val cosDiff = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+        .zip(fastByQ(q).sortBy(_.getInt(1)).map(_.getDouble(3)))
+        .map { case (x, y) => math.abs(x - y) }.max
+      assert(cosDiff < 1e-6)
+    }
+  }
+
+  test("graft_cosine works from pure SQL via the registered function") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c, " +
+        "graft_cosine(array(1.0f, 0.0f), array(0.0f, 1.0f)) AS o").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(1) == 0.0)
+  }
+
   test("cosine is symmetric and bounded on near-dup pairs") {
     val rows = Similarity.qSimCosinePairs.run(spark, sf).collect()
     assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
