@@ -18,15 +18,23 @@ object Dedup {
 
   private def toks(c: Column): Column = filter(split(c, " "), w => w =!= "")
 
-  /** Word-3-gram shingle set (distinct). Guarded for <3-token docs
-    * (Spark's `sequence(1, k)` DESCENDS for k<1 instead of returning
-    * empty). */
+  /** Word-3-gram shingle set (distinct), built by zipping three shifted
+    * slices — strictly linear per document. (The index-based
+    * `transform(sequence(…), i => element_at(ws, i)…)` formulation
+    * re-evaluates the tokenization per element inside the lambda — no
+    * common-subexpression elimination across HOF boundaries — turning
+    * shingling O(L²); on 100-token docs that was ~5× the whole query.)
+    * Guarded for <3-token docs: `when` branches evaluate lazily, so the
+    * negative-length slices never run. */
   private def shingles(c: Column): Column = {
     val ws = toks(c)
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))))
+    val n = size(ws)
+    when(n >= 3,
+      array_distinct(zip_with(
+        zip_with(slice(ws, lit(1), n - 2), slice(ws, lit(2), n - 2),
+          (x, y) => concat_ws(" ", x, y)),
+        slice(ws, lit(3), n - 2),
+        (xy, z) => concat_ws(" ", xy, z))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -106,16 +114,26 @@ object Dedup {
       |      >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
       |ORDER BY doc_a, doc_b""".stripMargin,
   ) { (spark, dir) =>
+    // exact set-similarity join in its scalable form: explode shingles,
+    // self-join on (lang, shingle), count co-occurrences — |I| per pair
+    // falls out of a hash aggregate, and only pairs sharing ≥1 shingle
+    // ever materialize (linear in co-occurrence mass, not quadratic in
+    // documents; the naive pairwise array_intersect was ~30× slower).
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("lang"), shingles(col("text")).as("s"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("s").as("sa"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("s").as("sb"))
-    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa"), col("sb"))).as("n_inter"),
-        (size(col("sa")) + size(col("sb"))
-          - size(array_intersect(col("sa"), col("sb")))).as("n_union"))
+      .withColumn("sz", size(col("s")))
+    val tok = docs.select(col("doc_id"), col("lang"), col("sz"),
+      explode(col("s")).as("sh"))
+    val a = tok.select(col("doc_id").as("doc_a"), col("lang"), col("sh"),
+      col("sz").as("sza"))
+    val b = tok.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("sh").as("sh_b"), col("sz").as("szb"))
+    a.join(b, col("sh") === col("sh_b") && col("lang") === col("lang_b")
+        && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sza", "szb")
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter").cast("int").as("n_inter"),
+        (col("sza") + col("szb") - col("n_inter")).cast("int").as("n_union"))
       .filter(col("n_inter") * 2 >= col("n_union"))
       .orderBy("doc_a", "doc_b")
   }
@@ -137,24 +155,32 @@ object Dedup {
       val docs = Tables(spark, dir).documents
         .select(col("doc_id"), shingles(col("text")).as("s"))
         .filter(size(col("s")) > 0)
-      val sig = docs.select(col("doc_id"), col("s"),
-        array((0 until nHashes).map { k =>
-          array_min(transform(col("s"), x => xxhash64(lit(k), x)))
-        }: _*).as("mh"))
-      val banded = sig.select(col("doc_id"), col("s"),
+      // hash each shingle string ONCE, then derive the k minhashes from
+      // the cheap long re-hash — 16× fewer string hashes
+      val sig = docs
+        .withColumn("hs", transform(col("s"), x => xxhash64(x)))
+        .select(col("doc_id"),
+          array((0 until nHashes).map { k =>
+            array_min(transform(col("hs"), h => xxhash64(lit(k), h)))
+          }: _*).as("mh"))
+      val banded = sig.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(element_at(col("mh"), 2 * b + 1),
               element_at(col("mh"), 2 * b + 2)).as("key"))
         }: _*)).as("bk"))
-        .select(col("doc_id"), col("s"), col("bk.band"), col("bk.key"))
-      val l = banded.select(col("band"), col("key"),
-        col("doc_id").as("doc_a"), col("s").as("sa"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
       val r = banded.select(col("band").as("band_b"), col("key").as("key_b"),
-        col("doc_id").as("doc_b"), col("s").as("sb"))
-      l.join(r, col("band") === col("band_b") && col("key") === col("key_b")
-          && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
+        col("doc_id").as("doc_b"))
+      // dedup candidate id-pairs BEFORE attaching shingle arrays — the
+      // distinct then shuffles 16-byte pairs, not multi-KB payloads
+      val cand = l.join(r, col("band") === col("band_b")
+          && col("key") === col("key_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("sa"), col("sb"))).as("n_inter"),
           (size(col("sa")) + size(col("sb"))

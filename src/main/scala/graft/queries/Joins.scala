@@ -148,8 +148,11 @@ object Joins {
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     val t = Tables(spark, dir)
-    t.supplier
-      .join(t.customer,
+    // supplier is the small side — broadcast it so the customer scan
+    // streams through a broadcast hash join on nationkey with the band
+    // predicate as the join residual (no shuffle of either fact)
+    t.customer
+      .join(broadcast(t.supplier),
         col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("n_pairs"))

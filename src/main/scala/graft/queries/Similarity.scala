@@ -65,12 +65,27 @@ object Similarity {
         |JOIN n a ON a.vec_id = ida JOIN n b ON b.vec_id = idb
         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
   ) { (spark, dir) =>
+    // two-phase exact search: phase 1 prefilters the n² pair space with
+    // the codegen'd double cosine (graft_cosine, ~100× cheaper than the
+    // decimal fold) at a margin far above its <1e-12 deviation from the
+    // exact value and keeps only id pairs; phase 2 re-attaches vectors by
+    // equi-join and recomputes the decimal-exact cosine on the few
+    // survivors. The two-join shape is deliberate: with a single join,
+    // Catalyst pushes the exact-cosine filter back into the nested-loop
+    // condition and the expensive fold runs on every pair again.
     val n = normed(spark, dir)
-    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val raw = n.select(col("vec_id"), col("embedding"))
+    val cand = raw.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(raw.select(col("vec_id").as("id_b"), col("embedding").as("eb")),
+        col("id_a") < col("id_b") &&
+          graft.functions.GraftFunctions
+            .cosineSim(col("ea"), col("eb")) >= 0.4 - 1e-6)
+      .select("id_a", "id_b")
+    cand
+      .join(n.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
       .filter(col("cos") >= 0.4)
@@ -160,23 +175,24 @@ object Similarity {
     * centroids' clusters only. All stages are DataFrame plans; nothing is
     * collected to the driver, so the same code shape trains on 100 TB. */
   val qSimIvfAnn: QueryDef = QueryDef.noOracle("q_sim_ivf_ann") { (spark, dir) =>
-    val n = normed(spark, dir)
-    val seed = n.filter(col("vec_id") % 53 === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
+    import graft.functions.GraftFunctions.cosineSim
+    val n = graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
 
     def nearest(vecs: DataFrame, cents: DataFrame, out: String): DataFrame = {
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cos").desc, col("cid").asc)
       vecs.join(broadcast(cents), lit(true))
         .select(vecs.columns.map(col) :+ col("cid") :+
-          cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos"): _*)
+          cosineSim(col("embedding"), col("ce")).as("cos"): _*)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .drop("rn", "cos").withColumnRenamed("cid", out)
     }
 
-    // one Lloyd step: mean embedding per cluster, renormalized lazily
+    val seed = n.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // one Lloyd step: mean embedding per cluster
     val assigned = nearest(n, seed, "cluster")
     val refined = assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -184,27 +200,22 @@ object Similarity {
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m").cast("float")).as("ce"))
-      .select(col("cluster").as("cid"), col("ce"),
-        ddot(col("ce"), col("ce")).as("cn"))
+      .select(col("cluster").as("cid"), col("ce"))
 
     val indexed = nearest(n, refined, "cluster")
-    val qProbe = {
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
-      n.filter(col("vec_id") < 8)
-        .join(broadcast(refined), lit(true))
-        .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
-          col("nrm").as("nq"), col("cid"),
-          cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("cid").asc)))
-        .filter(col("rn") <= 2) // nprobe = 2
-        .select(col("q_id"), col("eq"), col("nq"), col("cid").as("probe"))
-    }
+    val qProbe = n.filter(col("vec_id") < 8)
+      .join(broadcast(refined), lit(true))
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("cid"),
+        cosineSim(col("embedding"), col("ce")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rn") <= 2) // nprobe = 2
+      .select(col("q_id"), col("eq"), col("cid").as("probe"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     indexed.join(broadcast(qProbe),
         col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("eq"), col("nq"), col("embedding"), col("nrm")).as("cos"))
+        cosineSim(col("eq"), col("embedding")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))
