@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Remaining catalog corners: predicate vocabulary, TF-IDF, and the typed
+  * Dataset[T] surface. */
+object Misc {
+  import Num._
+
+  /** Predicate vocabulary in one filter: IN-list, BETWEEN, null-safe
+    * equality, disjunction. All pushable — the scan should show every
+    * conjunct in PushedFilters. */
+  val qFilterPredicates: QueryDef = QueryDef.oracle(
+    "q_filter_predicates",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_totalprice BETWEEN 50000 AND 300000
+      |  AND (o_orderstatus IS NOT DISTINCT FROM 'O' OR o_orderstatus = 'F')
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        && col("o_totalprice").between(50000, 300000)
+        && (col("o_orderstatus") <=> "O" || col("o_orderstatus") === "F"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** TF-IDF with exact rational arithmetic: score = tf·N·10⁶ ÷ df in
+    * bigint (a monotone transform of tf/df — same ranking as tf·(N/df),
+    * with no libm ln() whose last-ulp differences could flip cross-engine
+    * ties). Top-3 terms per language by (score, term). Two shuffles:
+    * df aggregation, then per-language top-k window. */
+  val qTextTfidf: QueryDef = QueryDef.oracle(
+    "q_text_tfidf",
+    """WITH tok AS (
+      |  SELECT lang, doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT lang, rn, w AS term, tf, df, score FROM (
+      |  SELECT lang, w, tf, df,
+      |    tf * 1000000 * (SELECT n_docs FROM n) // df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY tf * 1000000 * (SELECT n_docs FROM n) // df DESC, w) AS rn
+      |  FROM tf JOIN df USING (w))
+      |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val nDocs = docs.count() // tiny metadata-ish count; broadcast as literal
+    val tok = docs.select(col("lang"), col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+    val tf = tok.groupBy("lang", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("w").asc)
+    tf.join(broadcast(df), "w")
+      // `div` = exact bigint division (double `/` + floor can round up
+      // across an integer boundary and disagree with the oracle's `//`)
+      .withColumn("score", expr(s"tf * 1000000L * ${nDocs}L div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("rn"), col("w").as("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Typed Dataset[T] surface: case-class Encoder, typed filter/map, then
+    * back to relational aggregation. The typed lambdas are an opaque wall
+    * for Catalyst (no pushdown through them) — kept deliberately tiny and
+    * late, which is the rule for using this API at scale. */
+  val qTypedDataset: QueryDef = QueryDef.oracle(
+    "q_typed_dataset",
+    """SELECT seg, COUNT(*) AS n, SUM(bal_cents) AS sum_cents FROM (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_acctbal > 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .as[Customer]
+      .filter(_.c_acctbal > 0)
+      .map(c => (c.c_mktsegment,
+        math.floor(c.c_acctbal * 100 + 0.5).toLong))
+      .toDF("seg", "bal_cents")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("sum_cents"))
+      .orderBy("seg")
+  }
+
+  val all: Seq[QueryDef] = Seq(qFilterPredicates, qTextTfidf, qTypedDataset)
+}
+
+final case class Customer(c_custkey: Long, c_mktsegment: String, c_acctbal: Double)
