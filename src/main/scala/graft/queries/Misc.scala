@@ -96,7 +96,31 @@ object Misc {
       .orderBy("seg")
   }
 
-  val all: Seq[QueryDef] = Seq(qFilterPredicates, qTextTfidf, qTypedDataset)
+  /** MapType surface: JSON parsed to map<string,bigint>, interrogated via
+    * map_keys/map_values/size — the dynamic-schema complement of
+    * q_fn_json's fixed-struct parse. */
+  val qFnMap: QueryDef = QueryDef.oracle(
+    "q_fn_map",
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(json_keys(props)[1]) AS min_key,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_v,
+      |  MAX(len(json_keys(props))) AS max_sz
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val m = from_json(col("props"), lit("map<string,bigint>"))
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        element_at(map_keys(m), 1).as("k1"),
+        element_at(map_values(m), 1).as("v1"),
+        size(m).as("sz"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("k1")).as("min_key"),
+        sum(col("v1")).as("sum_v"), max(col("sz")).as("max_sz"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qFilterPredicates, qTextTfidf, qTypedDataset, qFnMap)
 }
 
 final case class Customer(c_custkey: Long, c_mktsegment: String, c_acctbal: Double)
