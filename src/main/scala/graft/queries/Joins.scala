@@ -115,6 +115,24 @@ object Joins {
       .orderBy("n_orders")
   }
 
+  /** Right-outer join (the mirrored form of the left-outer above): every
+    * customer preserved from the right side of orders⋈customer. */
+  val qJoinRightOuter: QueryDef = QueryDef.oracle(
+    "q_join_right_outer",
+    """SELECT n_orders, COUNT(*) AS n_customers FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |  FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1
+      |) GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.customer, col("c_custkey") === col("o_custkey"), "right")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+  }
+
   /** Full-outer join of two aggregates (customer count vs supplier count
     * per nation key) with COALESCE on both sides. */
   val qJoinFullOuter: QueryDef = QueryDef.oracle(
@@ -234,5 +252,5 @@ object Joins {
 
   val all: Seq[QueryDef] = Seq(
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinLeftOuter,
-    qJoinFullOuter, qJoinTheta, qJoinRange, qJoinAsof)
+    qJoinRightOuter, qJoinFullOuter, qJoinTheta, qJoinRange, qJoinAsof)
 }

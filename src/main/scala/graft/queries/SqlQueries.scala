@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL surface (`spark.sql` over registered views) and
+  * pivot/subquery operators, proving a user of the reference could run
+  * plain ANSI SQL against the same engine. */
+object SqlQueries {
+  import Num._
+
+  private def views(spark: org.apache.spark.sql.SparkSession, dir: String,
+      names: String*): Unit = {
+    val t = Tables(spark, dir)
+    names.foreach {
+      case n @ "orders" => t.orders.createOrReplaceTempView(n)
+      case n @ "lineitem" => t.lineitem.createOrReplaceTempView(n)
+      case n @ "customer" => t.customer.createOrReplaceTempView(n)
+      case n => throw new IllegalArgumentException(n)
+    }
+  }
+
+  /** Pivot: return-flag quantities spread into columns per line status.
+    * Values enumerated explicitly — at scale an implicit pivot means an
+    * extra distinct-scan just to discover them. */
+  val qAggPivot: QueryDef = QueryDef.oracle(
+    "q_agg_pivot",
+    """SELECT l_linestatus,
+      |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END
+      |    AS DECIMAL(30,6))) AS DOUBLE) AS qty_a,
+      |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END
+      |    AS DECIMAL(30,6))) AS DOUBLE) AS qty_n,
+      |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END
+      |    AS DECIMAL(30,6))) AS DOUBLE) AS qty_r
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .na.fill(0.0)
+      .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
+        col("R").as("qty_r"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Scalar subquery: orders above the global decimal-exact mean price.
+    * Catalyst plans the subquery once and broadcasts the scalar. */
+  val qScalarSubquery: QueryDef = QueryDef.oracle(
+    "q_scalar_subquery",
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+      |  FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    views(spark, dir, "orders")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS — decorrelated by Catalyst into
+    * semi/anti joins (same plans as q_join_semi/q_join_anti). */
+  val qExistsSubquery: QueryDef = QueryDef.oracle(
+    "q_exists_subquery",
+    """SELECT c_mktsegment,
+      |  COUNT(CASE WHEN has_urgent THEN 1 END) AS n_with_urgent,
+      |  COUNT(*) AS n
+      |FROM (
+      |  SELECT c_mktsegment,
+      |    EXISTS (SELECT 1 FROM orders
+      |            WHERE o_custkey = c_custkey
+      |              AND o_orderpriority = '1-URGENT') AS has_urgent
+      |  FROM customer)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    views(spark, dir, "orders", "customer")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |  COUNT(CASE WHEN has_urgent THEN 1 END) AS n_with_urgent,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT c_mktsegment,
+        |    EXISTS (SELECT 1 FROM orders
+        |            WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT') AS has_urgent
+        |  FROM customer)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(qAggPivot, qScalarSubquery, qExistsSubquery)
+}

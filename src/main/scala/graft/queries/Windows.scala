@@ -70,11 +70,13 @@ object Windows {
     "q_win_lag_lead",
     """SELECT user_id, COUNT(*) AS n,
       |  CAST(SUM(CAST(COALESCE(value - prev_value, 0) AS DECIMAL(30,6))) AS DOUBLE) AS sum_delta,
-      |  COUNT(next_value) AS n_with_next
+      |  COUNT(next_value) AS n_with_next,
+      |  ROUND(MAX(first_v), 6) AS first_val
       |FROM (
       |  SELECT user_id, value,
       |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-      |    LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+      |    LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+      |    FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_v
       |  FROM events
       |) GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
@@ -82,12 +84,14 @@ object Windows {
     Tables(spark, dir).events
       .select(col("user_id"), col("value"),
         lag(col("value"), 1).over(w).as("prev_value"),
-        lead(col("value"), 1).over(w).as("next_value"))
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(w).as("first_v"))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n"),
         dsum(coalesce(col("value") - col("prev_value"), lit(0))).as("sum_delta"),
-        count(col("next_value")).as("n_with_next"))
+        count(col("next_value")).as("n_with_next"),
+        round(max(col("first_v")), 6).as("first_val"))
       .orderBy("user_id")
   }
 
