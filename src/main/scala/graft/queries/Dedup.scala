@@ -119,11 +119,15 @@ object Dedup {
     // falls out of a hash aggregate, and only pairs sharing ≥1 shingle
     // ever materialize (linear in co-occurrence mass, not quadratic in
     // documents; the naive pairwise array_intersect was ~30× slower).
+    // Shingles join by their xxhash64 (8-byte shuffle keys, not ~25-byte
+    // strings) and the exploded token table is cached so the shingling
+    // expression runs once, not once per join side.
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), shingles(col("text")).as("s"))
-      .withColumn("sz", size(col("s")))
+      .select(col("doc_id"), col("lang"),
+        transform(shingles(col("text")), x => xxhash64(x)).as("hs"))
+      .withColumn("sz", size(col("hs")))
     val tok = docs.select(col("doc_id"), col("lang"), col("sz"),
-      explode(col("s")).as("sh"))
+      explode(col("hs")).as("sh")).cache()
     val a = tok.select(col("doc_id").as("doc_a"), col("lang"), col("sh"),
       col("sz").as("sza"))
     val b = tok.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
@@ -152,9 +156,12 @@ object Dedup {
     (spark, dir) =>
       val nHashes = 16
       val bands = 8 // × 2 rows each
+      // cached: the shingle arrays feed the signature build AND both
+      // sides of the candidate-verification rejoin
       val docs = Tables(spark, dir).documents
         .select(col("doc_id"), shingles(col("text")).as("s"))
         .filter(size(col("s")) > 0)
+        .cache()
       // hash each shingle string ONCE, then derive the k minhashes from
       // the cheap long re-hash — 16× fewer string hashes
       val sig = docs

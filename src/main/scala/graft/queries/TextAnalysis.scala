@@ -64,13 +64,19 @@ object TextAnalysis {
       |        FROM documents))
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
+    // per-doc metrics via explode + conditional aggregation: higher-order
+    // functions are CodegenFallback (no common-subexpression elimination),
+    // so the size/distinct/filter formulation re-tokenized every doc 3×;
+    // the exploded hash-aggregate tokenizes once and stays codegen'd
     val stop = Seq("the", "a", "of", "and")
     Tables(spark, dir).documents
-      .select(col("lang"), col("n_chars"),
-        size(toks(col("text"))).as("n_tok"),
-        size(array_distinct(toks(col("text")))).as("n_uniq"),
-        size(filter(toks(col("text")), w => w.isInCollection(stop))).as("n_stop"),
-        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re_tok"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re_tok"),
+        explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "lang", "n_chars", "n_re_tok")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("w")).as("n_uniq"),
+        count(when(col("w").isInCollection(stop), 1)).as("n_stop"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -111,10 +117,13 @@ object TextAnalysis {
       |          FROM documents)))
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   ) { (spark, dir) =>
+    // explode + 5 conditional counts: tokenize once (see q_text_quality)
     def score(words: Seq[String]): Column =
-      size(filter(toks(col("text")), w => w.isInCollection(words)))
+      count(when(col("w").isInCollection(words), 1))
     Tables(spark, dir).documents
-      .select(col("lang"),
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "lang")
+      .agg(
         score(Seq("the", "a", "scan", "table")).as("s_en"),
         score(Seq("data", "row", "query")).as("s_es"),
         score(Seq("join", "merge", "batch")).as("s_de"),
