@@ -97,6 +97,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"))
+    val q = out.writeStream.format("memory").queryName("ddww_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L)) // dup 1 dropped
+      q.processAllAvailable()
+      in.addData((ts(5), 1L)) // still within watermark window -> dropped
+      q.processAllAvailable()
+      in.addData((ts(60), 3L)) // advances watermark far past key 1's state
+      q.processAllAvailable()
+      in.addData((ts(61), 1L)) // state expired -> key 1 re-emitted
+      q.processAllAvailable()
+      val ks = spark.table("ddww_test").collect().map(_.getLong(0)).toSeq
+      assert(ks.count(_ == 1L) == 2, s"expected re-emit after expiry: $ks")
+      assert(ks.count(_ == 2L) == 1 && ks.count(_ == 3L) == 1)
+    } finally q.stop()
+  }
+
   test("fixed-point accumulator is exact and order-independent") {
     val vs = Seq(0.1, 0.2, 0.3, 1e-6, 123456.789123)
     val a = vs.map(Streaming.micros).sum
