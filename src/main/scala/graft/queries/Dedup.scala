@@ -200,8 +200,13 @@ object Dedup {
     * of Σ ±token-count), candidates generated by the standard multi-block
     * scheme — the signature is split into 4 × 16-bit blocks and pairs
     * agreeing on ANY block become candidates (pigeonhole: guaranteed to
-    * catch every pair at Hamming ≤ 3). Built by exploding tokens into 64
-    * conditional sums — one shuffle on doc_id, then 4 equi-joins-by-
+    * catch every pair at Hamming ≤ 3). The per-bit counts are aggregated
+    * lane-packed: 16 long buffers, each holding four 16-bit counters
+    * (safe below 2^16 tokens/doc — carries can't cross lanes), instead of
+    * 64 separate sum buffers; the signature is then a single packed long,
+    * so blocking keys are shift+mask, the candidate self-join carries two
+    * longs instead of two 64-element arrays, and Hamming distance is one
+    * `bit_count(xor)`. One shuffle on doc_id, then 4 equi-joins-by-
     * explode on (block, value): hash joins, no n² scan. Kept at Hamming
     * ≤ 4. No oracle (xxhash64); DedupSpec pins planted-dup recall. */
   val qDedupSimhash: QueryDef = QueryDef.noOracle("q_dedup_simhash") {
@@ -209,31 +214,37 @@ object Dedup {
       val tok = Tables(spark, dir).documents
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
         .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      val bitSums = (0 until 64).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"b$i")
+      val lanes = (0 until 16).map { j =>
+        sum((0 until 4).map { l =>
+          shiftrightunsigned(col("h"), j + 16 * l).bitwiseAND(1)
+            .cast("long") * lit(1L << (16 * l))
+        }.reduce(_ + _)).as(s"lane$j")
       }
-      val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 64).map(i => when(col(s"b$i") > 0, 1).otherwise(0)): _*)
-            .as("bits"))
-      val blocked = sig.select(col("doc_id"), col("bits"),
+      def cntBit(i: Int): Column = // tokens with bit i set, from lane j=i%16
+        shiftrightunsigned(col(s"lane${i % 16}"), 16 * (i / 16))
+          .bitwiseAND(0xFFFFL)
+      val aggs = count(lit(1)).as("n") +: lanes
+      val sigExpr = (0 until 64).map { i => // bit i set iff Σ± > 0 ⇔ 2·cnt > n
+        when(cntBit(i) * 2 > col("n"), lit(1L << i)).otherwise(0L)
+      }.reduce(_ bitwiseOR _)
+      val sig = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), sigExpr.as("sig"))
+      val blocked = sig.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map { blk =>
           struct(lit(blk).as("blk"),
-            aggregate(slice(col("bits"), 16 * blk + 1, 16), lit(0L),
-              (a, x) => a * 2 + x).as("key"))
+            shiftrightunsigned(col("sig"), 16 * blk).bitwiseAND(0xFFFFL)
+              .as("key"))
         }: _*)).as("bk"))
-        .select(col("doc_id"), col("bits"), col("bk.blk"), col("bk.key"))
+        .select(col("doc_id"), col("sig"), col("bk.blk"), col("bk.key"))
       val a = blocked.select(col("blk"), col("key"),
-        col("doc_id").as("doc_a"), col("bits").as("ba"))
+        col("doc_id").as("doc_a"), col("sig").as("sa"))
       val b = blocked.select(col("blk").as("blk_b"), col("key").as("key_b"),
-        col("doc_id").as("doc_b"), col("bits").as("bb"))
+        col("doc_id").as("doc_b"), col("sig").as("sb"))
       a.join(b, col("blk") === col("blk_b") && col("key") === col("key_b")
           && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("ba"), col("bb")).distinct()
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
         .select(col("doc_a"), col("doc_b"),
-          aggregate(zip_with(col("ba"), col("bb"),
-            (x, y) => abs(x - y).cast("long")), lit(0L), (acc, x) => acc + x)
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long")
             .as("hamming"))
         .filter(col("hamming") <= 4)
         .orderBy("doc_a", "doc_b")
