@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.Registry
+
+/** Physical-plan quality gates — the 100 TB contract, asserted rather than
+  * eyeballed. A query that silently regresses to a cartesian product, loses
+  * scan pushdown, or drops partial aggregation would still pass the oracle
+  * at sf0.01 but melt at scale; these tests pin the plan shape.
+  *
+  * Streaming catalog entries are excluded: their `run` executes the stream
+  * eagerly and returns the sink table, so there is no batch plan to inspect
+  * (their state/shuffle shape is covered by StreamingSpec). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val q = Registry.all.find(_.name == name).get
+    q.run(spark, sf).queryExecution.sparkPlan.toString
+  }
+
+  // ops whose semantics genuinely need a non-equi join (theta/range,
+  // subqueries) or are deliberately all-pairs against a broadcast-sized
+  // side (brute-force similarity baselines, IVF centroid assignment):
+  // broadcast nested loop is the intended plan there
+  private val nonEquiByDesign = Set(
+    "q_join_theta", "q_join_range", "q_scalar_subquery", "q_exists_subquery",
+    "q_sim_cosine_pairs", "q_sim_topk", "q_sim_topk_fast", "q_sim_ivf_ann")
+
+  for (q <- Registry.all if !q.name.startsWith("q_stream_")) {
+    test(s"${q.name}: no cartesian product; nested-loop only by design") {
+      val p = q.run(spark, sf).queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+      if (!nonEquiByDesign(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"unexpected nested-loop join in:\n$p")
+    }
+  }
+
+  test("q1 pricing summary: filter pushed to parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [LessThanOrEqual(l_shipdate"),
+      s"no pushed shipdate filter in scan:\n$p")
+  }
+
+  test("q1 pricing summary: column-pruned scan (no full-width read)") {
+    val p = plan("q1_pricing_summary")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_returnflag") && !read.contains("l_comment"),
+      s"scan not pruned: $read")
+  }
+
+  test("q1 pricing summary: partial+final hash aggregation, codegen on") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    val df = Registry.all.find(_.name == "q1_pricing_summary").get
+      .run(spark, sf)
+    df.collect() // execute THIS plan (count() would plan separately), so AQE finalizes it
+    val executed = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Op" in the simple plan string
+    assert(executed.contains("*(1)"), s"codegen absent:\n$executed")
+  }
+
+  test("dimension join broadcasts the small side") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("as-of join stays a window over one shuffle, not a join") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("Join"), s"as-of should be union+window, got:\n$p")
+    assert(p.contains("Window"), s"expected window operator:\n$p")
+  }
+}
