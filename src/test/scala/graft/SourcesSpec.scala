@@ -37,6 +37,24 @@ class SourcesSpec extends SparkSpec {
     assert(squares.sorted.sameElements((0 until 10).map(i => (i * i).toLong)))
   }
 
+  test("rate source streams monotonically increasing synthetic rows") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(col("value"))
+      .writeStream.format("memory").queryName("rate_test")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("rate_test").isEmpty && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val vs = spark.table("rate_test").collect().map(_.getLong(0))
+      assert(vs.nonEmpty, "rate source produced no rows within 30s")
+      assert(vs.distinct.length == vs.length && vs.min == 0)
+    } finally q.stop()
+  }
+
   test("parquet sink round-trip (the Verify dump path)") {
     val p = s"$tmp/li_out"
     val agg = Tables(spark, sf).lineitem.groupBy("l_returnflag")
