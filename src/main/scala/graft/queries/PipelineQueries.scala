@@ -56,5 +56,51 @@ object PipelineQueries {
       .orderBy("branch", "k")
   }
 
-  val all: Seq[QueryDef] = Seq(qPipeChain, qPipeFanout)
+  /** Flagship composition: a complete training-data curation pipeline —
+    * per-doc token stats → quality gate (length + type/token ratio) →
+    * keep-first exact dedup → per-source corpus stats — written as one
+    * facade graph. Lands in a single Catalyst plan: one scan of
+    * documents, one shuffle on doc_id (token stats), one on text (dedup
+    * window), one on source (final rollup); every stage's filter pushes
+    * as far down as its inputs allow. At 100 TB this is exactly the
+    * curation pass an LLM corpus runs, with no driver-side step. */
+  val qPipeTrainingData: QueryDef = QueryDef.oracle(
+    "q_pipe_training_data",
+    """WITH tok AS (
+      |  SELECT doc_id, source, text, n_chars,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+      |    len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_uniq
+      |  FROM documents),
+      |q AS (SELECT * FROM tok
+      |      WHERE n_chars BETWEEN 100 AND 1000 AND 10 * n_uniq >= 2 * n_tok),
+      |d AS (SELECT * FROM q
+      |      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+      |SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS sum_tok,
+      |  MAX(n_tok) AS max_tok
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val graph =
+      Node.transform("tok_stats")(_
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+          explode(toks).as("w"))
+        .groupBy("doc_id", "source", "text", "n_chars")
+        .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_uniq"))) |
+      Node.where("quality_gate", col("n_chars").between(100, 1000)
+        && col("n_uniq") * 10 >= col("n_tok") * 2) |
+      Node.transform("dedup_keep_first")(_
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("text").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")) |
+      Node.batchAll("by_source")(_
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+          max(col("n_tok")).as("max_tok"))
+        .orderBy("source"))
+    Pipeline(Tables(spark, dir).documents, graph)
+      .outputs("tok_stats.quality_gate.dedup_keep_first.by_source")
+  }
+
+  val all: Seq[QueryDef] = Seq(qPipeChain, qPipeFanout, qPipeTrainingData)
 }
