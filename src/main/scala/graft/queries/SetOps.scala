@@ -98,6 +98,24 @@ object SetOps {
       .orderBy("o_orderpriority")
   }
 
+  /** UNION (distinct): all nation keys appearing on either side, each
+    * once — the dedup shuffle moves just the key column. */
+  val qSetUnion: QueryDef = QueryDef.oracle(
+    "q_set_union",
+    """SELECT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |) ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .unionByName(t.supplier.select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll, qSetIntersectAll)
+    qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll, qSetIntersectAll,
+    qSetUnion)
 }

@@ -167,6 +167,44 @@ object Windows {
       .orderBy("quartile")
   }
 
+  /** Distribution functions: percent_rank / cume_dist / nth_value over
+    * account balance within each market segment — one shuffle on the
+    * segment key, one ordered pass per partition. Results are rolled up
+    * per segment so the output stays aggregate-sized. */
+  val qWinDistribution: QueryDef = QueryDef.oracle(
+    "q_win_distribution",
+    """SELECT seg, COUNT(*) AS n,
+      |  ROUND(MAX(pr), 6) AS max_pr, ROUND(MIN(cd), 6) AS min_cd,
+      |  CAST(SUM(CAST(third_bal AS DECIMAL(30,6))) AS DOUBLE) AS sum_third
+      |FROM (
+      |  SELECT c_mktsegment AS seg,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd,
+      |    nth_value(c_acctbal, 3) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_bal
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).customer
+      .select(col("c_mktsegment").as("seg"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("c_acctbal"), 3).over(wRows).as("third_bal"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("pr")), 6).as("max_pr"),
+        round(min(col("cd")), 6).as("min_cd"),
+        dsum(col("third_bal")).as("sum_third"))
+      .orderBy("seg")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qWinRank, qWinTopkPerGroup, qWinLagLead, qWinRunning, qWinRangeFrame, qWinNtile)
+    qWinRank, qWinTopkPerGroup, qWinLagLead, qWinRunning, qWinRangeFrame,
+    qWinNtile, qWinDistribution)
 }
