@@ -7,7 +7,8 @@ object Registry {
     Relational.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
       SetOps.all ++ Functions.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ PipelineQueries.all ++ Streaming.all ++
-      MediaQueries.all ++ UdfQueries.all ++ Misc.all ++ SqlQueries.all
+      MediaQueries.all ++ UdfQueries.all ++ Misc.all ++ SqlQueries.all ++
+      Sampling.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

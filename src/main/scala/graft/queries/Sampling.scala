@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Sampling operators — first-class for a training-data pipeline
+  * (corpus downsampling, eval-split carving, per-stratum balancing).
+  *
+  * The judged query uses DETERMINISTIC hash sampling: a Knuth
+  * multiplicative scramble of the row key mod 100. Unlike `df.sample`,
+  * whose output depends on partitioning (seeded XORShift per partition),
+  * key-hash sampling is a pure function of the data — the same rows are
+  * selected on 1 partition or 10 000, on Spark or DuckDB, today or in a
+  * re-run. That reproducibility is exactly what an LLM data pipeline
+  * needs from a split: membership must not change when the cluster
+  * re-partitions. `df.sample`/`sampleBy` (fraction-accurate, not
+  * reproducible across repartitioning) are covered in SamplingSpec. */
+object Sampling {
+  import Num._
+
+  /** ~7 % deterministic sample of lineitem by scrambled order key, then
+    * the q1-style rollup — scan-side filter (no shuffle added by the
+    * sampling itself), identical membership at any partition count. */
+  val qSampleHash: QueryDef = QueryDef.oracle(
+    "q_sample_hash",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE (l_orderkey * 2654435761) % 100 < 7
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .filter((col("l_orderkey") * 2654435761L) % 100 < 7)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Reproducible train/val/test split: the same scramble bucketed into
+    * 80/10/10 — every row lands in exactly one split, and membership is
+    * stable under re-partitioning and re-runs (the property that keeps a
+    * held-out set held out for the lifetime of a 100 TB corpus). */
+  val qSampleSplit: QueryDef = QueryDef.oracle(
+    "q_sample_split",
+    """SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars FROM (
+      |  SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+      |              WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      |              ELSE 'test' END AS split, n_chars
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val bucket = (col("doc_id") * 2654435761L) % 100
+    Tables(spark, dir).documents
+      .select(when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"), col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split")
+  }
+
+  val all: Seq[QueryDef] = Seq(qSampleHash, qSampleSplit)
+}
