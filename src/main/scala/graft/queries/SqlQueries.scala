@@ -94,5 +94,33 @@ object SqlQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(qAggPivot, qScalarSubquery, qExistsSubquery)
+  /** CTE + LATERAL VIEW explode, pure SQL end-to-end: per-order line
+    * counts via a CTE, then each order's priority string exploded into
+    * words (DuckDB mirrors with unnest). Proves the SQL surface carries
+    * the same generator/1→N semantics the DataFrame catalog has. */
+  val qSqlCteLateral: QueryDef = QueryDef.oracle(
+    "q_sql_cte_lateral",
+    """WITH per_order AS (
+      |  SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_lines
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT w AS word, COUNT(*) AS n_orders, SUM(n_lines) AS sum_lines
+      |FROM (SELECT n_lines, unnest(string_split(o_orderpriority, '-')) AS w
+      |      FROM per_order)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    views(spark, dir, "orders", "lineitem")
+    spark.sql(
+      """WITH per_order AS (
+        |  SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_lines
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT w AS word, COUNT(*) AS n_orders, SUM(n_lines) AS sum_lines
+        |FROM per_order
+        |LATERAL VIEW explode(split(o_orderpriority, '-')) t AS w
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qAggPivot, qScalarSubquery, qExistsSubquery, qSqlCteLateral)
 }
