@@ -29,8 +29,12 @@ object Similarity {
       lit(0).cast("decimal(30,12)"),
       (acc, x) => (acc + x).cast("decimal(30,12)")).cast("double")
 
-  private def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
-    ddot(a, b) / sqrt(na * nb)
+  /** Zero-norm guard matters at scale: a NULL-ish/zero embedding makes
+    * dot/sqrt(0) = NaN, and Spark orders NaN ABOVE every double — one bad
+    * row would top every ranking. Define cos(0⃗, ·) = 0 (same convention
+    * as the codegen'd graft_cosine). Exposed for SimilaritySpec. */
+  private[graft] def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+    when(na * nb > 0, ddot(a, b) / sqrt(na * nb)).otherwise(lit(0.0))
 
   /** vec_id + embedding + squared-norm, the shared scan for all queries
     * here. At 100 TB norms would be precomputed into the table — the

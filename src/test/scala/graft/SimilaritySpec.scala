@@ -26,6 +26,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("zero-norm vectors score 0, never NaN (NaN would top every ranking)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0f, 0f, 0f), 0.0),
+      (2L, Array(1f, 2f, 2f), 9.0),
+    ).toDF("id", "e", "nrm")
+    val probe = Seq((Array(3f, 0f, 4f), 25.0)).toDF("ep", "nrmp")
+    val out = df.crossJoin(probe)
+      .select(col("id"),
+        Similarity.cosine(col("e"), col("nrm"), col("ep"), col("nrmp")).as("c"),
+        graft.functions.GraftFunctions.cosineSim(col("e"), col("ep")).as("cg"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((0.0, 0.0)), s"zero vector must score 0: ${out(1L)}")
+    assert(!out(2L)._1.isNaN && out(2L)._1 > 0)
+    // and the ranking therefore puts the real vector first
+    assert(out(2L)._1 > out(1L)._1)
+  }
+
   test("LSH multi-probe ANN recall floor") {
     val lsh = topkPairs(Similarity.qSimLshAnn.run(spark, sf).collect())
     val recall = (lsh & brutePairs).size.toDouble / brutePairs.size
