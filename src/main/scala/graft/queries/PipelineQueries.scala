@@ -84,9 +84,9 @@ object PipelineQueries {
     val graph =
       Node.transform("tok_stats")(_
         .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
-          explode(toks).as("w"))
+          explode_outer(toks).as("w")) // token-less docs keep a row (oracle parity)
         .groupBy("doc_id", "source", "text", "n_chars")
-        .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_uniq"))) |
+        .agg(count(col("w")).as("n_tok"), countDistinct(col("w")).as("n_uniq"))) |
       Node.where("quality_gate", col("n_chars").between(100, 1000)
         && col("n_uniq") * 10 >= col("n_tok") * 2) |
       Node.transform("dedup_keep_first")(_

@@ -69,12 +69,15 @@ object TextAnalysis {
     // so the size/distinct/filter formulation re-tokenized every doc 3×;
     // the exploded hash-aggregate tokenizes once and stays codegen'd
     val stop = Seq("the", "a", "of", "and")
+    // explode_outer, not explode: a token-less document must still count
+    // as a document (one all-null token row), as the oracle's len(ws)=0
+    // semantics do — plain explode would silently drop it from n_docs
     Tables(spark, dir).documents
       .select(col("doc_id"), col("lang"), col("n_chars"),
         size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re_tok"),
-        explode(toks(col("text"))).as("w"))
+        explode_outer(toks(col("text"))).as("w"))
       .groupBy("doc_id", "lang", "n_chars", "n_re_tok")
-      .agg(count(lit(1)).as("n_tok"),
+      .agg(count(col("w")).as("n_tok"),
         countDistinct(col("w")).as("n_uniq"),
         count(when(col("w").isInCollection(stop), 1)).as("n_stop"))
       .groupBy("lang")
@@ -120,8 +123,10 @@ object TextAnalysis {
     // explode + 5 conditional counts: tokenize once (see q_text_quality)
     def score(words: Seq[String]): Column =
       count(when(col("w").isInCollection(words), 1))
+    // explode_outer: token-less docs keep a row (all scores 0 → 'en' by
+    // the tie chain, matching the oracle) instead of vanishing
     Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), explode_outer(toks(col("text"))).as("w"))
       .groupBy("doc_id", "lang")
       .agg(
         score(Seq("the", "a", "scan", "table")).as("s_en"),
