@@ -162,9 +162,50 @@ object Streaming {
     new java.math.BigDecimal(v).movePointRight(6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
 
+  /** Stream-stream interval join: each purchase attributed to every
+    * click by the same user within the preceding 30 minutes — two
+    * watermarked readStream sides, inner interval join (append emission;
+    * the time bound is what lets Spark evict join state at scale),
+    * rolled up to per-user-bucket attribution stats. Oracle mirrors with
+    * a plain self-join on µs-truncated timestamps (inner-join emission
+    * is watermark-independent, so no eviction predicate is needed). */
+  val qStreamJoin: QueryDef = QueryDef.oracle(
+    "q_stream_join",
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |    make_timestamp(epoch_us(ts)) AS ts
+      |  FROM events)
+      |SELECT c.user_id % 16 AS bucket, COUNT(*) AS n_attr,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_purchase
+      |FROM e c JOIN e p
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      |  AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val clicks = EventsStream.read(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", WM)
+    val purchases = EventsStream.read(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", WM)
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+    EventsStream.runToTable(spark, joined, "append")
+      .groupBy((col("c_user") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_attr"),
+        sum(col("value").cast("decimal(30,6)")).cast("double")
+          .as("sum_purchase"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamStateful)
+    qStreamStateful, qStreamJoin)
 }
 
 /** Per-user mutable state carried across micro-batches. */
