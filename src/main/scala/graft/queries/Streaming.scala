@@ -203,9 +203,39 @@ object Streaming {
       .orderBy("bucket")
   }
 
+  /** Stream-static enrichment join: the event stream joined to the
+    * static customer dimension (broadcast — the dim rides to every task,
+    * the unbounded side never shuffles, no join state at all), then a
+    * watermarked tumbling window per market segment. The 100 TB shape
+    * for "enrich a firehose with reference data". */
+  val qStreamEnrich: QueryDef = QueryDef.oracle(
+    "q_stream_enrich",
+    """SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP) AS w_start,
+      |  c_mktsegment AS seg, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |HAVING epoch_us(CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP)) + 86400000000
+      |       <= (SELECT MAX(epoch_us(ts)) - 60000000 FROM events)
+      |ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    val dim = graft.Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val out = EventsStream.read(spark, dir)
+      .withWatermark("ts", WM)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 day"), col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("seg"), col("n"),
+        col("sum_value"))
+    EventsStream.runToTable(spark, out, "append")
+      .orderBy("w_start", "seg")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamStateful, qStreamJoin)
+    qStreamStateful, qStreamJoin, qStreamEnrich)
 }
 
 /** Per-user mutable state carried across micro-batches. */
