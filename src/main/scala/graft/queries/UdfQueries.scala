@@ -74,5 +74,32 @@ object UdfQueries {
         .orderBy("q_id", "rn")
   }
 
-  val all: Seq[QueryDef] = Seq(qUdfScalar, qUdafCentroid, qSimTopkFast)
+  /** Per-group top-k via the bounded-heap Aggregator (functions/TopKAgg):
+    * identical answer to the `row_number() <= k` window pattern — the
+    * DuckDB oracle IS that window query — but as a partial+final
+    * aggregate, so the shuffle moves at most k candidates per group per
+    * map partition instead of every row, and nothing ever sorts more
+    * than the k-bounded buffers. The scale path for top-k over a fact
+    * table with few groups. */
+  val qUdafTopk: QueryDef = QueryDef.oracle(
+    "q_udaf_topk",
+    """SELECT l_returnflag, rn, price, id FROM (
+      |  SELECT l_returnflag, l_extendedprice AS price,
+      |    l_orderkey * 10 + l_linenumber AS id,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(graft.functions.TopKAgg.topK(3, col("l_extendedprice"),
+        col("l_orderkey") * 10 + col("l_linenumber")).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")))
+      .select(col("l_returnflag"), (col("pos") + 1).as("rn"),
+        col("col.score").as("price"), col("col.id").as("id"))
+      .orderBy("l_returnflag", "rn")
+  }
+
+  val all: Seq[QueryDef] = Seq(qUdfScalar, qUdafCentroid, qSimTopkFast, qUdafTopk)
 }

@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("top-k aggregator runs partial+final (k-bounded map-side combine)") {
+    val p = plan("q_udaf_topk")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final object aggregate:\n$p")
+  }
+
   test("as-of join stays a window over one shuffle, not a join") {
     val p = plan("q_join_asof")
     assert(!p.contains("Join"), s"as-of should be union+window, got:\n$p")
