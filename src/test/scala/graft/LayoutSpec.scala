@@ -42,6 +42,30 @@ class LayoutSpec extends SparkSpec {
       docs.select(sum(col("n_chars"))).collect().head.getLong(0))
   }
 
+  test("repartitionByRange + sortWithinPartitions yields globally-sorted shards") {
+    val p = s"$tmp/orders_ranged"
+    Tables(spark, sf).orders
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(p)
+    // each output file is internally sorted AND files cover disjoint key
+    // ranges — the layout that gives downstream scans merge-ready input
+    // without any global sort (at 100 TB, the only affordable "sorted")
+    val files = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val keys = spark.read.parquet(f.getPath)
+        .select("o_orderkey").collect().map(_.getLong(0))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+        s"file ${f.getName} not internally sorted")
+      (keys.min, keys.max)
+    }
+    val sorted = ranges.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case ((_, hi), (lo2, _)) => hi <= lo2 },
+      s"file key ranges overlap: ${sorted.toSeq}")
+  }
+
   test("maxRecordsPerFile bounds output file size") {
     val p = s"$tmp/li_sized"
     Tables(spark, sf).lineitem
