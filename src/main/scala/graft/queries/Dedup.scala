@@ -250,7 +250,68 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTER resolution: the verified pair list (same
+    * construction as q_dedup_ngram_jaccard) turned into connected
+    * components by iterative min-label propagation — each doc's label
+    * converges to the smallest doc_id reachable through near-dup edges,
+    * i.e. the canonical survivor of its cluster. Six synchronous rounds
+    * cover diameter ≤ 6 (near-dup clusters are tiny; production loops to
+    * fixpoint with the same body). Everything is joins + min-aggregates —
+    * no driver-side union-find, no graph library — so it shuffles on
+    * doc_id and scales like any other aggregation. Oracle = DuckDB
+    * recursive CTE computing min reachable id over the same edges. */
+  val qDedupClusters: QueryDef = QueryDef.oracle(
+    "q_dedup_clusters",
+    """WITH RECURSIVE ws AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |  FROM ws),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE 2 * len(list_intersect(a.s, b.s))
+      |        >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc, MIN(dst) AS cluster FROM reach GROUP BY 1)
+      |SELECT cluster_size, COUNT(*) AS n_clusters, SUM(cluster) AS sum_canonical
+      |FROM (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    // localCheckpoint truncates lineage each round — every round reads
+    // `labels` twice, so without truncation the plan tree doubles per
+    // iteration (2^rounds; measured 60×+ blowup by round 6). On a real
+    // cluster use reliable checkpoint() — same body, durable storage.
+    val pairs = qDedupNgramJaccard.run(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+    for (_ <- 1 to 6) {
+      val prop = edges
+        .join(labels, edges("doc_b") === labels("doc"))
+        .select(edges("doc_a").as("doc"), col("lbl"))
+      labels = labels.unionByName(prop)
+        .groupBy("doc").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))
+      .orderBy("cluster_size")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNormalized, qDedupNgramJaccard, qDedupMinhashLsh,
-    qDedupSimhash)
+    qDedupSimhash, qDedupClusters)
 }
