@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed session warm-up: spins up executor threads and the codegen
+    // pipeline so the first measured query pays its own cost, not the
+    // JVM's bootstrap (standard bench hygiene; touches no test data)
+    spark.range(1000000).selectExpr("sum(id * 2)", "count(distinct id % 100)")
+      .collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
