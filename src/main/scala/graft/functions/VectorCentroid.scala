@@ -24,10 +24,17 @@ final class VectorCentroid extends Aggregator[Array[Float], CentroidBuf, Array[D
 
   override def zero: CentroidBuf = CentroidBuf(Array.emptyLongArray, 0L)
 
+  private def requireDim(expected: Int, got: Int): Unit =
+    if (expected != got) throw new IllegalArgumentException(
+      s"VectorCentroid: ragged embedding dimensions ($expected vs $got); " +
+        "centroid over mixed-dimension vectors is undefined — filter or " +
+        "pad upstream")
+
   override def reduce(b: CentroidBuf, a: Array[Float]): CentroidBuf = {
     val sums = if (b.sums.isEmpty) new Array[Long](a.length) else b.sums
+    requireDim(sums.length, a.length) // fail fast, never silently truncate
     var i = 0
-    while (i < a.length && i < sums.length) {
+    while (i < a.length) {
       sums(i) += micros(a(i).toDouble); i += 1
     }
     CentroidBuf(sums, b.n + 1)
@@ -37,6 +44,7 @@ final class VectorCentroid extends Aggregator[Array[Float], CentroidBuf, Array[D
     if (x.sums.isEmpty) y
     else if (y.sums.isEmpty) x
     else {
+      requireDim(x.sums.length, y.sums.length) // same rule as reduce
       val sums = new Array[Long](x.sums.length)
       var i = 0
       while (i < sums.length) { sums(i) = x.sums(i) + y.sums(i); i += 1 }

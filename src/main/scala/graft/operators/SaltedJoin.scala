@@ -16,17 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** Collision-safe salt column name: no sane input schema carries it, so
+    * adding it never shadows a data column. */
+  private val SaltCol = "__graft_salt__"
+
   /** @param saltSrc columns of `big` whose hash spreads rows of one key
     *                across salts (e.g. a line number); must be stable. */
   def inner(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, salts: Int, saltSrc: Seq[Column]): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
+    val saltedBig = big.withColumn(SaltCol,
       pmod(xxhash64(saltSrc: _*), lit(salts)).cast("int"))
-    val replicatedSmall = small.withColumn("__salt",
+    val replicatedSmall = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
+    // keys resolved THROUGH each salted frame: bare col(...) is ambiguous
+    // the moment both sides share the key name (the usual self-join case)
     saltedBig.join(replicatedSmall,
-        saltedBig("__salt") === replicatedSmall("__salt") &&
-          col(bigKey) === col(smallKey))
-      .drop("__salt")
+        saltedBig(SaltCol) === replicatedSmall(SaltCol) &&
+          saltedBig(bigKey) === replicatedSmall(smallKey))
+      .drop(SaltCol)
   }
 }

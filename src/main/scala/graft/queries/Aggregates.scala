@@ -160,16 +160,21 @@ object Aggregates {
       .orderBy("o_orderpriority")
   }
 
-  /** Ordered collect: deterministic array aggregation (sorted set). */
+  /** Ordered collect: deterministic array aggregation (sorted set). The
+    * collected array is joined to one string column for the dump — the
+    * driver's pandas-side compare can't sort raw array cells (round-1
+    * `err: unhashable type: numpy.ndarray`), and a delimiter-joined string
+    * carries identical information for the hash. */
   val qAggCollect: QueryDef = QueryDef.oracle(
     "q_agg_collect",
-    """SELECT lang, list_sort(list(DISTINCT source)) AS sources, COUNT(*) AS n_docs
+    """SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+      |  COUNT(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     Tables(spark, dir).documents
       .groupBy("lang")
       .agg(
-        sort_array(collect_set(col("source"))).as("sources"),
+        array_join(sort_array(collect_set(col("source"))), ",").as("sources"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
   }

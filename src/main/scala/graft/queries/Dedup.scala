@@ -45,7 +45,7 @@ object Dedup {
     "q_dedup_exact",
     """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_uniq,
       |  COUNT(*) - COUNT(DISTINCT text) AS n_removed,
-      |  SUM(keep) AS sum_kept_ids
+      |  CAST(SUM(keep) AS BIGINT) AS sum_kept_ids
       |FROM (
       |  SELECT source, text, MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
       |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
@@ -283,7 +283,7 @@ object Dedup {
       |  UNION
       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
       |comp AS (SELECT src AS doc, MIN(dst) AS cluster FROM reach GROUP BY 1)
-      |SELECT cluster_size, COUNT(*) AS n_clusters, SUM(cluster) AS sum_canonical
+      |SELECT cluster_size, COUNT(*) AS n_clusters, CAST(SUM(cluster) AS BIGINT) AS sum_canonical
       |FROM (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>

@@ -25,9 +25,9 @@ object Functions {
     """SELECT first_word, COUNT(*) AS n,
       |  MIN(upper(p_type)) AS min_type_u,
       |  MAX(substring(p_name, 1, 4)) AS max_pref,
-      |  SUM(CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT)) AS sum_brand_num,
-      |  SUM(levenshtein(first_word, 'widget')) AS sum_lev,
-      |  SUM(length(p_name)) AS sum_len,
+      |  CAST(SUM(CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_brand_num,
+      |  CAST(SUM(levenshtein(first_word, 'widget')) AS BIGINT) AS sum_lev,
+      |  CAST(SUM(length(p_name)) AS BIGINT) AS sum_len,
       |  MIN(concat_ws('|', p_brand, p_type)) AS min_brand_type
       |FROM (SELECT *, list_extract(string_split(p_name, ' '), 1) AS first_word FROM part)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -54,9 +54,9 @@ object Functions {
     """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
       |  COUNT(*) AS n,
       |  MIN(date_trunc('month', o_orderdate)) AS min_month,
-      |  SUM(datediff('day', o_orderdate, DATE '2002-01-01')) AS sum_days_to_2002,
-      |  SUM(month(o_orderdate + INTERVAL 45 DAY)) AS sum_shift_month,
-      |  SUM(dayofweek(o_orderdate) + 1) AS sum_dow
+      |  CAST(SUM(datediff('day', o_orderdate, DATE '2002-01-01')) AS BIGINT) AS sum_days_to_2002,
+      |  CAST(SUM(month(o_orderdate + INTERVAL 45 DAY)) AS BIGINT) AS sum_shift_month,
+      |  CAST(SUM(dayofweek(o_orderdate) + 1) AS BIGINT) AS sum_dow
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   ) { (spark, dir) =>
     Tables(spark, dir).orders
@@ -80,8 +80,8 @@ object Functions {
       |  CAST(SUM(CAST(ln(l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE) AS sum_ln_price,
       |  CAST(SUM(CAST(pow(1 + l_discount, 2) AS DECIMAL(30,6))) AS DOUBLE) AS sum_pow_disc,
       |  CAST(SUM(CAST(abs(l_quantity - 25) AS DECIMAL(30,6))) AS DOUBLE) AS sum_abs_dev,
-      |  SUM(CAST(ceil(l_discount * 10) AS BIGINT)) AS sum_ceil,
-      |  SUM(CAST(floor(l_tax * 10) AS BIGINT)) AS sum_floor
+      |  CAST(SUM(CAST(ceil(l_discount * 10) AS BIGINT)) AS BIGINT) AS sum_ceil,
+      |  CAST(SUM(CAST(floor(l_tax * 10) AS BIGINT)) AS BIGINT) AS sum_floor
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     Tables(spark, dir).lineitem
@@ -141,10 +141,10 @@ object Functions {
   val qFnJson: QueryDef = QueryDef.oracle(
     "q_fn_json",
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k_struct
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_struct
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     Tables(spark, dir).events

@@ -13,9 +13,9 @@ object MediaQueries {
   /** Storage-schema sanity over the binary payload + typed metadata. */
   val qMediaMetadata: QueryDef = QueryDef.oracle(
     "q_media_metadata",
-    """SELECT kind, COUNT(*) AS n, SUM(octet_length(payload)) AS sum_bytes,
+    """SELECT kind, COUNT(*) AS n, CAST(SUM(octet_length(payload)) AS BIGINT) AS sum_bytes,
       |  MIN(width) AS min_w, MAX(height) AS max_h,
-      |  SUM(sample_rate) AS sum_sr
+      |  CAST(SUM(sample_rate) AS BIGINT) AS sum_sr
       |FROM (
       |  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
       |    encode(text) AS payload,

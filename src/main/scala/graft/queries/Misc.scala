@@ -77,7 +77,7 @@ object Misc {
     * late, which is the rule for using this API at scale. */
   val qTypedDataset: QueryDef = QueryDef.oracle(
     "q_typed_dataset",
-    """SELECT seg, COUNT(*) AS n, SUM(bal_cents) AS sum_cents FROM (
+    """SELECT seg, COUNT(*) AS n, CAST(SUM(bal_cents) AS BIGINT) AS sum_cents FROM (
       |  SELECT c_mktsegment AS seg,
       |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
       |  FROM customer WHERE c_acctbal > 0)
@@ -103,7 +103,7 @@ object Misc {
     "q_fn_map",
     """SELECT event_type, COUNT(*) AS n,
       |  MIN(json_keys(props)[1]) AS min_key,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_v,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_v,
       |  MAX(len(json_keys(props))) AS max_sz
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>

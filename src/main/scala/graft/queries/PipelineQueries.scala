@@ -75,7 +75,7 @@ object PipelineQueries {
       |      WHERE n_chars BETWEEN 100 AND 1000 AND 10 * n_uniq >= 2 * n_tok),
       |d AS (SELECT * FROM q
       |      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
-      |SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS sum_tok,
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
       |  MAX(n_tok) AS max_tok
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>

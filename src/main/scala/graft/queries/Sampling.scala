@@ -42,7 +42,7 @@ object Sampling {
     * held-out set held out for the lifetime of a 100 TB corpus). */
   val qSampleSplit: QueryDef = QueryDef.oracle(
     "q_sample_split",
-    """SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars FROM (
+    """SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM (
       |  SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
       |              WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
       |              ELSE 'test' END AS split, n_chars

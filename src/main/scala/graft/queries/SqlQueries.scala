@@ -104,7 +104,7 @@ object SqlQueries {
       |  SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_lines
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  GROUP BY 1, 2)
-      |SELECT w AS word, COUNT(*) AS n_orders, SUM(n_lines) AS sum_lines
+      |SELECT w AS word, COUNT(*) AS n_orders, CAST(SUM(n_lines) AS BIGINT) AS sum_lines
       |FROM (SELECT n_lines, unnest(string_split(o_orderpriority, '-')) AS w
       |      FROM per_order)
       |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -85,11 +85,11 @@ object Streaming {
       |        SELECT user_id, ts, event_id,
       |          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |                    > INTERVAL 6 HOUR
+      |                    >= INTERVAL 6 HOUR
       |               THEN 1 ELSE 0 END AS is_new
       |        FROM events)))
       |  GROUP BY user_id, sid)
-      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+      |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
       |  MAX(n) AS max_session_events
       |FROM sessions
       |WHERE epoch_us(s_last) + 21600000000

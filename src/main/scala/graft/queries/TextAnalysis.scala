@@ -46,13 +46,13 @@ object TextAnalysis {
   val qTextQuality: QueryDef = QueryDef.oracle(
     "q_text_quality",
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(n_tok) AS sum_tok, SUM(n_re_tok) AS sum_re_tok,
-      |  SUM(CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 1 ELSE 0 END) AS n_len_ok,
-      |  SUM(CASE WHEN 10 * n_uniq >= 2 * n_tok THEN 1 ELSE 0 END) AS n_ttr_ok,
-      |  SUM(CASE WHEN 20 * n_stop <= 3 * n_tok THEN 1 ELSE 0 END) AS n_stop_ok,
-      |  SUM(CASE WHEN n_chars BETWEEN 100 AND 1000
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok, CAST(SUM(n_re_tok) AS BIGINT) AS sum_re_tok,
+      |  CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+      |  CAST(SUM(CASE WHEN 10 * n_uniq >= 2 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_ttr_ok,
+      |  CAST(SUM(CASE WHEN 20 * n_stop <= 3 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+      |  CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 1000
       |        AND 10 * n_uniq >= 2 * n_tok
-      |        AND 20 * n_stop <= 3 * n_tok THEN 1 ELSE 0 END) AS n_high_q
+      |        AND 20 * n_stop <= 3 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_high_q
       |FROM (
       |  SELECT lang, n_chars,
       |    len(ws) AS n_tok,
@@ -154,7 +154,7 @@ object TextAnalysis {
   val qTextFingerprint: QueryDef = QueryDef.oracle(
     "q_text_fingerprint",
     """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fp,
-      |  MIN(fp) AS min_fp, MAX(fp) AS max_fp, SUM(fp) AS sum_fp
+      |  MIN(fp) AS min_fp, MAX(fp) AS max_fp, CAST(SUM(fp) AS BIGINT) AS sum_fp
       |FROM (
       |  SELECT source, list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),

@@ -20,6 +20,15 @@ class SaltedJoinSpec extends SparkSpec {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("shared key column name (salted self-join) resolves unambiguously") {
+    import spark.implicits._
+    val big = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val small = Seq((1L, 10), (2L, 20)).toDF("k", "w")
+    val joined = SaltedJoin.inner(big, small, "k", "k", 4,
+      Seq(col("k"), col("v")))
+    assert(joined.count() == 3)
+  }
+
   test("salt spreads a single hot key across partitions") {
     import spark.implicits._
     val hot = Seq.fill(1000)((42L, "x")).toDF("k", "v")

@@ -39,13 +39,36 @@ def norm_cell(v):
     return str(v)
 
 
+def norm_type(t):
+    """Collapse logical types to the families the driver's pandas-side
+    compare actually distinguishes. Round-1 evidence: INTEGER vs BIGINT
+    hash-matched (both plain ints after conversion), while HUGEINT vs
+    BIGINT hash-failed (HUGEINT surfaces as Decimal objects)."""
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t == "HUGEINT" or t.startswith("DECIMAL"):
+        return "decimal"  # Decimal objects — driver hash diverges from int
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t
+
+
 def frame(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    # relation API, not DB-API: the driver's hash is TYPE-sensitive
+    # (round 1: DuckDB HUGEINT vs Spark BIGINT hashed differently with
+    # equal values) and rel.types exposes the real logical types, while
+    # cursor.description collapses every numeric to 'NUMBER'.
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [norm_type(str(t)) for t in rel.types]
+    rows = rel.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     mat = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return [cols[i] for i in order], mat
+    return [cols[i] for i in order], [types[i] for i in order], mat
 
 
 def main():
@@ -68,19 +91,27 @@ def main():
             n_fail += 1
             continue
         try:
-            o_cols, o_mat = frame(con, sql)
+            o_cols, o_types, o_mat = frame(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         try:
-            s_cols, s_mat = frame(con, f"SELECT * FROM read_parquet('{spark_glob}')")
+            s_cols, s_types, s_mat = frame(
+                con, f"SELECT * FROM read_parquet('{spark_glob}')")
         except Exception as e:
             print(f"FAIL {name}: spark parquet read error: {e}")
             n_fail += 1
             continue
         if o_cols != s_cols:
             print(f"FAIL {name}: columns differ\n  oracle: {o_cols}\n  spark:  {s_cols}")
+            n_fail += 1
+            continue
+        if o_types != s_types:
+            diffs = [f"{c}: oracle={ot} spark={st}"
+                     for c, ot, st in zip(o_cols, o_types, s_types) if ot != st]
+            print(f"FAIL {name}: column TYPES differ (driver hash is "
+                  f"type-sensitive)\n  " + "\n  ".join(diffs))
             n_fail += 1
             continue
         if sorted(o_mat) != sorted(s_mat):
