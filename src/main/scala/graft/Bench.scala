@@ -16,19 +16,33 @@ object Bench {
     // JVM's bootstrap (standard bench hygiene; touches no test data)
     spark.range(1000000).selectExpr("sum(id * 2)", "count(distinct id % 100)")
       .collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // within-query caches (shingle tables, fan-out upstreams) are only
+      // live during the action; clearing here keeps later queries from
+      // paying earlier queries' storage-memory pressure
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // two passes: pass 1 (cold) keeps round-over-round continuity with the
+    // r1/r2 single-pass totals; pass 2 (warm) is the steady-state number a
+    // long-lived cluster session actually sees — JIT placement stops
+    // masquerading as per-query regressions
+    val cold = pass()
+    val warm = pass()
     // 3-decimal formatting keeps the whole JSON line well under the
     // driver's 4 KiB log-tail capture (full-precision doubles overflowed
-    // it in round 1 → the line's head was cut off and parsing failed)
-    def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    // it in round 1 → the line's head was cut off and parsing failed).
+    // Locale.ROOT: "%.3f" in a comma-decimal default locale emits "1,234",
+    // which is invalid JSON.
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = warm.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
+    println(s"""{"metric":"total","value":${f(coldTotal)},"unit":"sec","warm_total":${f(warmTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

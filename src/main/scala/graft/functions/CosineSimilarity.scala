@@ -80,6 +80,11 @@ object GraftFunctions {
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Column-API entry point: `lshBucket($"embedding", 6)`. */
+  def lshBucket(a: Column, nBits: Int): Column =
+    GraftColumnBridge.column(HyperplaneBucket(
+      GraftColumnBridge.expression(a), nBits))
+
   val cosineIdent: FunctionIdentifier = FunctionIdentifier("graft_cosine")
 
   val cosineInfo: ExpressionInfo = new ExpressionInfo(
@@ -101,9 +106,13 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` hook — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`;
-  * makes `graft_cosine` available to pure-SQL users. */
+  * makes `graft_cosine` / `graft_lsh_bucket` available to pure-SQL
+  * users. */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GraftFunctions.cosineIdent, GraftFunctions.cosineInfo,
       GraftFunctions.cosineBuilder))
+    ext.injectFunction((HyperplaneBucket.ident, HyperplaneBucket.info,
+      HyperplaneBucket.builder))
+  }
 }

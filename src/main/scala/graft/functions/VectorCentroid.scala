@@ -41,8 +41,12 @@ final class VectorCentroid extends Aggregator[Array[Float], CentroidBuf, Array[D
   }
 
   override def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf = {
-    if (x.sums.isEmpty) y
-    else if (y.sums.isEmpty) x
+    // the zero buffer is identified by n == 0, not by empty sums: a buffer
+    // that accumulated zero-length input vectors has empty sums with n > 0
+    // and must still merge (and still hit requireDim against a non-empty
+    // side) rather than be silently dropped
+    if (x.n == 0) y
+    else if (y.n == 0) x
     else {
       requireDim(x.sums.length, y.sums.length) // same rule as reduce
       val sums = new Array[Long](x.sums.length)

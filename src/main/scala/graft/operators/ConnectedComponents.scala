@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via iterative min-label propagation,
+  * run to a FIXPOINT — every node's label converges to the smallest id
+  * reachable through the edge set (the canonical survivor of a near-dup
+  * cluster). Everything is joins + min-aggregates: no driver-side
+  * union-find, no graph library, so each round shuffles on node id and
+  * scales like any other aggregation.
+  *
+  * Convergence is detected with one exact-decimal aggregate per round:
+  * labels are monotonically non-increasing per node, so the global label
+  * sum strictly decreases until the fixpoint — sum-unchanged ⇔ no label
+  * changed. Decimal(38,0) keeps the sum exact at any node count (a Long
+  * sum could overflow at 100 TB id magnitudes). This replaces the
+  * fixed-round loop that silently mislabeled any cluster of diameter
+  * greater than the round count.
+  *
+  * `localCheckpoint` truncates lineage each round — every round reads
+  * `labels` twice, so without truncation the plan tree doubles per
+  * iteration (measured 60×+ blowup by round 6). On a real cluster use
+  * reliable `checkpoint()` — same body, durable storage.
+  */
+object ConnectedComponents {
+
+  /** @param pairs  two-column DataFrame of undirected edges, one row per
+    *               pair (either orientation; symmetrized internally).
+    * @return (node, lbl): every node appearing in `pairs`, labeled with
+    *         the min reachable node id. */
+  def minLabel(pairs: DataFrame): DataFrame = {
+    val Array(a, b) = pairs.columns
+    val p = pairs.select(col(a).as("s"), col(b).as("d"))
+    val edges = p.union(p.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var prevSum = checksum(labels)
+    var converged = false
+    while (!converged) {
+      val prop = edges
+        .join(labels, edges("d") === labels("node"))
+        .select(edges("s").as("node"), col("lbl"))
+      labels = labels.unionByName(prop)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val s = checksum(labels)
+      converged = s == prevSum
+      prevSum = s
+    }
+    labels
+  }
+
+  private def checksum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+}

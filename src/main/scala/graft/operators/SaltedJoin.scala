@@ -30,9 +30,13 @@ object SaltedJoin {
       explode(sequence(lit(0), lit(salts - 1))))
     // keys resolved THROUGH each salted frame: bare col(...) is ambiguous
     // the moment both sides share the key name (the usual self-join case)
-    saltedBig.join(replicatedSmall,
+    val joined = saltedBig.join(replicatedSmall,
         saltedBig(SaltCol) === replicatedSmall(SaltCol) &&
           saltedBig(bigKey) === replicatedSmall(smallKey))
       .drop(SaltCol)
+    // when both sides name the key identically (the usual self-join case)
+    // the result would carry two same-named key columns and any downstream
+    // string reference would be ambiguous — keep only the big side's
+    if (bigKey == smallKey) joined.drop(replicatedSmall(smallKey)) else joined
   }
 }

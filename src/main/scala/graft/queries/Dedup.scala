@@ -252,14 +252,15 @@ object Dedup {
 
   /** Near-dup CLUSTER resolution: the verified pair list (same
     * construction as q_dedup_ngram_jaccard) turned into connected
-    * components by iterative min-label propagation — each doc's label
+    * components by min-label propagation run to a FIXPOINT
+    * ([[graft.operators.ConnectedComponents]]) — each doc's label
     * converges to the smallest doc_id reachable through near-dup edges,
-    * i.e. the canonical survivor of its cluster. Six synchronous rounds
-    * cover diameter ≤ 6 (near-dup clusters are tiny; production loops to
-    * fixpoint with the same body). Everything is joins + min-aggregates —
-    * no driver-side union-find, no graph library — so it shuffles on
-    * doc_id and scales like any other aggregation. Oracle = DuckDB
-    * recursive CTE computing min reachable id over the same edges. */
+    * i.e. the canonical survivor of its cluster, at ANY cluster diameter
+    * (DedupSpec plants a diameter-8 chain). Everything is joins +
+    * min-aggregates — no driver-side union-find, no graph library — so it
+    * shuffles on doc_id and scales like any other aggregation. Oracle =
+    * DuckDB recursive CTE computing min reachable id over the same
+    * edges. */
   val qDedupClusters: QueryDef = QueryDef.oracle(
     "q_dedup_clusters",
     """WITH RECURSIVE ws AS (
@@ -287,24 +288,8 @@ object Dedup {
       |FROM (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    // localCheckpoint truncates lineage each round — every round reads
-    // `labels` twice, so without truncation the plan tree doubles per
-    // iteration (2^rounds; measured 60×+ blowup by round 6). On a real
-    // cluster use reliable checkpoint() — same body, durable storage.
     val pairs = qDedupNgramJaccard.run(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
-    var labels = edges.select(col("doc_a").as("doc")).distinct()
-      .withColumn("lbl", col("doc"))
-    for (_ <- 1 to 6) {
-      val prop = edges
-        .join(labels, edges("doc_b") === labels("doc"))
-        .select(edges("doc_a").as("doc"), col("lbl"))
-      labels = labels.unionByName(prop)
-        .groupBy("doc").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-    }
+    val labels = graft.operators.ConnectedComponents.minLabel(pairs)
     labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))

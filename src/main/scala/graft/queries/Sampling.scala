@@ -58,5 +58,31 @@ object Sampling {
       .orderBy("split")
   }
 
-  val all: Seq[QueryDef] = Seq(qSampleHash, qSampleSplit)
+  /** Deterministic STRATIFIED sample — per-stratum rates (the corpus-
+    * balancing move of an LLM data pipeline: keep more of scarce
+    * languages, downsample the dominant one). Same Knuth-scramble
+    * membership as q_sample_hash, so the selection is a pure function of
+    * (doc_id, lang): stable under re-partitioning, re-runs, and engine
+    * choice — the property `df.sampleBy` (per-partition RNG) lacks.
+    * SamplingSpec checks the realized rate of each stratum against
+    * sampleBy's at matching fractions. */
+  val qSampleStratified: QueryDef = QueryDef.oracle(
+    "q_sample_stratified",
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 100 <
+      |      CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 30 ELSE 10 END
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val bucket = (col("doc_id") * 2654435761L) % 100
+    val rate = when(col("lang") === "en", 60)
+      .when(col("lang") === "de", 30).otherwise(10)
+    Tables(spark, dir).documents
+      .filter(bucket < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(qSampleHash, qSampleSplit, qSampleStratified)
 }

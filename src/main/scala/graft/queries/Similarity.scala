@@ -136,25 +136,18 @@ object Similarity {
     * exact rational arithmetic, reproducible on any engine/cluster), then
     * multi-probe top-k: each query searches its own bucket plus the 6
     * Hamming-1 buckets (probes exploded query-side → a plain equi-join on
-    * bucket, i.e. ~11% of the corpus per query instead of 100%). The spec
-    * measures recall against q_sim_topk. Rows-only driver check (bucket
+    * bucket, i.e. ~11% of the corpus per query instead of 100%). The
+    * bucket computation is the native codegen expression
+    * [[graft.functions.HyperplaneBucket]] — one fused double loop per
+    * row (the interpreted HOF formulation it replaces evaluated 384
+    * lambdas per row and dominated the round-2 bench). The spec measures
+    * recall against q_sim_topk. Rows-only driver check (bucket
     * membership isn't ANSI-SQL-friendly). */
   val qSimLshAnn: QueryDef = QueryDef.noOracle("q_sim_lsh_ann") { (spark, dir) =>
     val nBits = 6
-    // hyperplane j, dim i: LCG((j*64+i)) mapped to [-0.5, 0.5)
-    def planes(e: Column): Column =
-      aggregate(
-        sequence(lit(0), lit(nBits - 1)),
-        lit(0L),
-        (acc, j) => acc * 2 + when(
-          aggregate(
-            zip_with(e, sequence(lit(0), lit(63)),
-              (x, i) => x.cast("double") *
-                ((((j * 64 + i) * 1103515245L + 12345L) % 2147483648L)
-                  .cast("double") / 2147483648.0 - 0.5)),
-            lit(0.0), (a, x) => a + x) > 0, 1L).otherwise(0L))
     val n = normed(spark, dir)
-      .withColumn("bucket", planes(col("embedding")))
+      .withColumn("bucket",
+        graft.functions.GraftFunctions.lshBucket(col("embedding"), nBits))
     val q = n.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
         col("nrm").as("nq"),

@@ -69,9 +69,12 @@ object Streaming {
     EventsStream.runToTable(spark, out, "append").orderBy("w_start")
   }
 
-  /** Session windows (6 h inactivity gap) per user, then a batch rollup to
-    * per-user session stats. Oracle = gaps-and-islands sessionization with
-    * the same watermark eviction (session end = last event + gap). */
+  /** Session windows (6 h inactivity gap) per user, rolled up to per-user
+    * session stats — the rollup rides the stream's sink path
+    * (`foreachBatch` partial aggregation; per-session rows never land in
+    * driver memory, see EventsStream.runAggregated). Oracle =
+    * gaps-and-islands sessionization with the same watermark eviction
+    * (session end = last event + gap). */
   val qStreamSession: QueryDef = QueryDef.oracle(
     "q_stream_session",
     """WITH sessions AS (
@@ -100,24 +103,38 @@ object Streaming {
       .withWatermark("ts", WM)
       .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-    val out = EventsStream.runToTable(spark, sessions, "append")
-    out.groupBy("user_id")
-      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
-        max(col("n")).as("max_session_events"))
+      .select(col("user_id"), col("n"))
+    // append mode emits each closed session exactly once, so per-batch
+    // partials (count/sum/max per user) combine exactly in the final fold
+    val partials = EventsStream.runAggregated(spark, sessions, "append") {
+      b => b.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+          max(col("n")).as("max_session_events"))
+    }
+    partials.groupBy("user_id")
+      .agg(sum(col("n_sessions")).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("max_session_events")).as("max_session_events"))
       .orderBy("user_id")
   }
 
-  /** Streaming exact dedup: first-seen wins per key (event_id % 1000),
-    * projected to the key alone so the emitted set is deterministic. The
-    * state-bound production variant is dropDuplicatesWithinWatermark;
-    * at single-batch test scale both emit the distinct key set. */
+  /** Streaming exact dedup, state-bounded: first-seen wins per key
+    * (event_id % 1000) via `dropDuplicatesWithinWatermark` — per-key
+    * state is DROPPED once the watermark passes it, so state size tracks
+    * the watermark horizon, not the full key history (plain
+    * `dropDuplicates` on a stream retains every key forever — the 100 TB
+    * failure mode). Emission is first-seen-immediate (append), so the
+    * emitted key set equals DISTINCT keys. Projected to the key alone so
+    * the emitted set is deterministic. */
   val qStreamDedup: QueryDef = QueryDef.oracle(
     "q_stream_dedup",
     """SELECT DISTINCT event_id % 1000 AS k FROM events ORDER BY k""".stripMargin,
   ) { (spark, dir) =>
     val out = EventsStream.read(spark, dir)
-      .select((col("event_id") % 1000).as("k"))
-      .dropDuplicates("k")
+      .withWatermark("ts", WM)
+      .select(col("ts"), (col("event_id") % 1000).as("k"))
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"))
     EventsStream.runToTable(spark, out, "append").orderBy("k")
   }
 
@@ -166,9 +183,13 @@ object Streaming {
     * click by the same user within the preceding 30 minutes — two
     * watermarked readStream sides, inner interval join (append emission;
     * the time bound is what lets Spark evict join state at scale),
-    * rolled up to per-user-bucket attribution stats. Oracle mirrors with
-    * a plain self-join on µs-truncated timestamps (inner-join emission
-    * is watermark-independent, so no eviction predicate is needed). */
+    * rolled up to per-user-bucket attribution stats. The rollup rides
+    * the stream's sink path (`foreachBatch` partial aggregation): the
+    * raw attribution pair set — unbounded at 100 TB — never leaves the
+    * executors; only 16-bucket partials per batch are sunk. Oracle
+    * mirrors with a plain self-join on µs-truncated timestamps
+    * (inner-join emission is watermark-independent, so no eviction
+    * predicate is needed). */
   val qStreamJoin: QueryDef = QueryDef.oracle(
     "q_stream_join",
     """WITH e AS (
@@ -195,11 +216,17 @@ object Streaming {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
-    EventsStream.runToTable(spark, joined, "append")
-      .groupBy((col("c_user") % 16).as("bucket"))
-      .agg(count(lit(1)).as("n_attr"),
-        sum(col("value").cast("decimal(30,6)")).cast("double")
-          .as("sum_purchase"))
+      .select((col("c_user") % 16).as("bucket"),
+        col("value").cast("decimal(30,6)").as("v"))
+    // partials are (count, exact decimal sum) per bucket — commutative,
+    // so the final fold over batch partials equals the global aggregate
+    val partials = EventsStream.runAggregated(spark, joined, "append") {
+      b => b.groupBy("bucket")
+        .agg(count(lit(1)).as("n_attr"), sum(col("v")).as("sum_p"))
+    }
+    partials.groupBy("bucket")
+      .agg(sum(col("n_attr")).as("n_attr"),
+        sum(col("sum_p")).cast("double").as("sum_purchase"))
       .orderBy("bucket")
   }
 
@@ -233,9 +260,40 @@ object Streaming {
       .orderBy("w_start", "seg")
   }
 
+  /** Arbitrary state via `transformWithState` (Spark 4.x API) — the
+    * modern successor of flatMapGroupsWithState and SURVEY §2.B's named
+    * analog of pyPiper node state: per-user running (count, max) in a
+    * named RocksDB-backed ValueState, snapshot emitted per batch. The
+    * provider conf is scoped to this query and restored after. */
+  val qStreamTws: QueryDef = QueryDef.oracle(
+    "q_stream_tws",
+    """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = EventsStream.read(spark, dir)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.UserCountMaxProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "max_value")
+      EventsStream.runToTable(spark, out, "update").orderBy("user_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamStateful, qStreamJoin, qStreamEnrich)
+    qStreamStateful, qStreamJoin, qStreamEnrich, qStreamTws)
 }
 
 /** Per-user mutable state carried across micro-batches. */

@@ -58,4 +58,27 @@ class DedupSpec extends SparkSpec {
       .select("n_removed").collect().map(_.getLong(0)).sum
     assert(removed == 0)
   }
+
+  test("cluster resolution converges past any fixed round count (diameter-8 chain)") {
+    import spark.implicits._
+    // a 9-node path 100-101-…-108 (diameter 8) plus a 2-cycle and a
+    // singleton edge: the old fixed-6-round loop mislabels the path tail
+    val chain = (100L to 107L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((200L, 201L), (300L, 301L)))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.operators.ConnectedComponents.minLabel(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 108L).foreach(n => assert(labels(n) == 100L,
+      s"node $n labeled ${labels(n)}, expected 100"))
+    assert(labels(201L) == 200L && labels(301L) == 300L)
+  }
+
+  test("cluster resolution handles reversed/mixed edge orientation") {
+    import spark.implicits._
+    // same path given tail-first: min label must still flow to every node
+    val pairs = (100L to 107L).map(i => (i + 1, i)).toDF("a", "b")
+    val labels = graft.operators.ConnectedComponents.minLabel(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L to 108L).forall(labels(_) == 100L))
+  }
 }

@@ -27,6 +27,9 @@ class SaltedJoinSpec extends SparkSpec {
     val joined = SaltedJoin.inner(big, small, "k", "k", 4,
       Seq(col("k"), col("v")))
     assert(joined.count() == 3)
+    // exactly one surviving key column: downstream string references work
+    assert(joined.columns.count(_ == "k") == 1)
+    assert(joined.filter(col("k") === 1L).count() == 2)
   }
 
   test("salt spreads a single hot key across partitions") {

@@ -51,6 +51,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH recall $recall")
   }
 
+  test("codegen graft_lsh_bucket equals the interpreted HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val nBits = 6
+    // the pre-codegen HOF tower, kept verbatim as the reference semantics
+    def planesHof(e: org.apache.spark.sql.Column) =
+      aggregate(
+        sequence(lit(0), lit(nBits - 1)),
+        lit(0L),
+        (acc, j) => acc * 2 + when(
+          aggregate(
+            zip_with(e, sequence(lit(0), lit(63)),
+              (x, i) => x.cast("double") *
+                ((((j * 64 + i) * 1103515245L + 12345L) % 2147483648L)
+                  .cast("double") / 2147483648.0 - 0.5)),
+            lit(0.0), (a, x) => a + x) > 0, 1L).otherwise(0L))
+    val mismatches = Tables(spark, sf).embeddings
+      .select(planesHof(col("embedding")).as("hof"),
+        graft.functions.GraftFunctions.lshBucket(col("embedding"), nBits)
+          .as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_lsh_bucket works from pure SQL via the registered function") {
+    val r = spark.sql(
+      "SELECT graft_lsh_bucket(array(1.0f, 0.0f), 6) AS b").head()
+    assert(r.getLong(0) >= 0L && r.getLong(0) < 64L)
+  }
+
   test("IVF nprobe=2 ANN recall floor") {
     val ivf = Similarity.qSimIvfAnn.run(spark, sf).collect()
     assert(ivf.length == 8 * 5)
