@@ -80,4 +80,31 @@ class PipelineSpec extends SparkSpec {
       Node.select("a", col("x")), Node.select("b", col("x")))
     assert(Pipeline(range(1), g).describe == "source | f | [a, b]")
   }
+
+  test("run() releases the fan-out upstream cache") {
+    // delta-based: other suites' localCheckpoint RDDs may legitimately
+    // persist in the shared session — only NEW pins count
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val evens = Node.where("evens", col("x") % 2 === 0)
+    val odds = Node.where("odds", col("x") % 2 === 1)
+    val counts = Pipeline(range(1000),
+      Node.streams("s", "*") | Seq(evens, odds)).run()
+    assert(counts == Map("s.evens" -> 500L, "s.odds" -> 500L))
+    // unpersist(blocking = false) is async — poll briefly
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.currentTimeMillis + 10000
+    while (leaked.nonEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(leaked.isEmpty, "fan-out upstream still pinned after run()")
+  }
+
+  test("DISK_ONLY storage level flows to the fan-out upstream") {
+    import org.apache.spark.storage.StorageLevel
+    val p = Pipeline.withStorage(range(100),
+      Node.streams("s", "*") | Seq(
+        Node.where("pos", col("x") > 0), Node.where("neg", col("x") < 0)),
+      StorageLevel.DISK_ONLY)
+    val out = p.runWith(_.count())
+    assert(out == Map("s.pos" -> 99L, "s.neg" -> 0L))
+  }
 }

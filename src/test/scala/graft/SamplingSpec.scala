@@ -33,6 +33,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("deterministic stratified sample hits per-stratum rates (sampleBy-bound parity)") {
+    val docs = Tables(spark, sf).documents
+    val got = graft.queries.Sampling.qSampleStratified.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- base) {
+      val want = lang match {
+        case "en" => 0.6; case "de" => 0.3; case _ => 0.1
+      }
+      val frac = got.getOrElse(lang, 0L).toDouble / n
+      // same accuracy bound the seeded sampleBy test uses — the
+      // deterministic scramble is as fraction-accurate as the RNG...
+      assert(math.abs(frac - want) < 0.15, s"stratum $lang fraction $frac != $want")
+    }
+    // ...and additionally partitioning-invariant, which sampleBy is not
+    val bucket = (col("doc_id") * 2654435761L) % 100
+    val rate = when(col("lang") === "en", 60)
+      .when(col("lang") === "de", 30).otherwise(10)
+    val reparted = docs.repartition(13).filter(bucket < rate)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reparted == got)
+  }
+
   test("hash split is exhaustive, disjoint, and partitioning-invariant") {
     val q = graft.queries.Sampling.qSampleSplit
     val r1 = q.run(spark, sf).collect().map(r => r.getString(0) -> r.getLong(1))
