@@ -145,12 +145,17 @@ object Similarity {
     * membership isn't ANSI-SQL-friendly). */
   val qSimLshAnn: QueryDef = QueryDef.noOracle("q_sim_lsh_ann") { (spark, dir) =>
     val nBits = 6
-    val n = normed(spark, dir)
+    // the corpus-wide scan is pure codegen: native bucket expression +
+    // native fused cosine — no interpreted lambda anywhere on the path
+    // that touches all 100 TB (the decimal-exact cosine stays the
+    // oracle-checked baseline in q_sim_cosine_pairs/q_sim_topk;
+    // PlanSpec pins this scan's codegen purity)
+    val n = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
       .withColumn("bucket",
         graft.functions.GraftFunctions.lshBucket(col("embedding"), nBits))
     val q = n.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
-        col("nrm").as("nq"),
         explode(array(col("bucket") +:
           (0 until nBits).map(b =>
             col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("qb"))
@@ -158,7 +163,8 @@ object Similarity {
     n.join(broadcast(q),
         col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("eq"), col("nq"), col("embedding"), col("nrm")).as("cos"))
+        graft.functions.GraftFunctions.cosineSim(col("eq"), col("embedding"))
+          .as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))

@@ -75,4 +75,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"as-of should be union+window, got:\n$p")
     assert(p.contains("Window"), s"expected window operator:\n$p")
   }
+
+  test("stratified sample: pruned scan, no shuffle added by sampling") {
+    val p = plan("q_sample_stratified")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("lang")
+      && read.contains("n_chars") && !read.contains("text"),
+      s"scan not pruned to the 3 needed columns: $read")
+    // one exchange for the groupBy, none for the sample filter itself
+    assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles:\n$p")
+  }
+
+  test("LSH bucket is the native codegen expression, not the HOF tower") {
+    val p = plan("q_sim_lsh_ann")
+    assert(p.contains("graft_lsh_bucket"), s"native bucket expr absent:\n$p")
+    // the corpus-wide scan must carry no interpreted HOF: lambda towers
+    // (aggregate/zip_with) may appear only in the exact-decimal verify
+    // that runs AFTER the bucket join prunes candidates
+    val bucketScan = p.linesIterator
+      .filter(_.contains("graft_lsh_bucket")).mkString("\n")
+    assert(!bucketScan.contains("lambdafunction"),
+      s"interpreted HOF on the full-scan path:\n$bucketScan")
+  }
 }
