@@ -34,8 +34,12 @@ object ConnectedComponents {
     val p = pairs.select(col(a).as("s"), col(b).as("d"))
     val edges = p.union(p.select(col("d").as("s"), col("s").as("d")))
       .localCheckpoint()
-    var labels = edges.select(col("s").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // init fused with the first propagation round: every node starts at
+    // min(self, direct neighbors) — one groupBy instead of a distinct
+    // plus a join, and one fewer fixpoint iteration
+    var labels = edges.groupBy(col("s").as("node"))
+      .agg(min(col("d")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("lbl"))
       .localCheckpoint()
     var prevSum = checksum(labels)
     var converged = false
