@@ -285,8 +285,29 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** Skew-salted join as a JUDGED entry: lineitem⋈orders through
+    * [[graft.operators.SaltedJoin]] (8 salts, salt derived from stable
+    * carried columns — never rand()), hash-checked against the plain
+    * equi-join oracle. Salting spreads one hot key over 8 reducers at
+    * the cost of replicating the small side 8×; the oracle match is the
+    * proof the rewrite is result-identical. */
+  val qJoinSalted: QueryDef = QueryDef.oracle(
+    "q_join_salted",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    graft.operators.SaltedJoin.inner(t.lineitem, t.orders, "l_orderkey",
+        "o_orderkey", 8, Seq(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinRightOuter, qJoinFullOuter, qJoinTheta, qJoinRange, qJoinAsof,
-    qJoinBloom)
+    qJoinBloom, qJoinSalted)
 }

@@ -119,8 +119,39 @@ object Misc {
       .orderBy("event_type")
   }
 
+  /** Progress reporting (SURVEY §2.A op #13) as a JUDGED entry: the
+    * quality gate's selectivity telemetry is collected by `observe()`
+    * INSIDE the gate's own pass — accumulator metrics, no second scan,
+    * no driver-side rows — and the emitted row IS the telemetry, so the
+    * DuckDB oracle hash-checks that in-flight metrics are exact. This is
+    * the 100 TB analog of pyPiper's tqdm progress: a counter that rides
+    * the job, not a recount. */
+  val qObserveMetrics: QueryDef = QueryDef.oracle(
+    "q_observe_metrics",
+    """SELECT COUNT(*) AS n_in,
+      |  CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_pass,
+      |  CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 1000 THEN n_chars ELSE 0 END)
+      |       AS BIGINT) AS chars_pass
+      |FROM documents""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val gate = col("n_chars").between(100, 1000)
+    val gated = Tables(spark, dir).documents
+      .observe(obs, count(lit(1)).as("n_in"),
+        sum(when(gate, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(gate, col("n_chars")).otherwise(0L)).as("chars_pass"))
+      .filter(gate)
+    gated.foreach((_: org.apache.spark.sql.Row) => ()) // one pass; metrics ride it
+    val m = obs.get
+    Seq((m("n_in").asInstanceOf[Long], m("n_pass").asInstanceOf[Long],
+      m("chars_pass").asInstanceOf[Long]))
+      .toDF("n_in", "n_pass", "chars_pass")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qFilterPredicates, qTextTfidf, qTypedDataset, qFnMap)
+    Seq(qFilterPredicates, qTextTfidf, qTypedDataset, qFnMap, qObserveMetrics)
 }
 
 final case class Customer(c_custkey: Long, c_mktsegment: String, c_acctbal: Double)

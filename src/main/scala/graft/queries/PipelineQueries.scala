@@ -102,5 +102,32 @@ object PipelineQueries {
       .outputs("tok_stats.quality_gate.dedup_keep_first.by_source")
   }
 
-  val all: Seq[QueryDef] = Seq(qPipeChain, qPipeFanout, qPipeTrainingData)
+  /** Micro-batch node (op #5, pyPiper batch_size) as a JUDGED entry: an
+    * even-line gate runs batch-wise over per-partition groups of ≤512
+    * rows through `Node.batch`. The gate is elementwise, so the result
+    * is independent of batch and partition placement (the invariance
+    * PipelineSpec pins) — which is exactly what makes it
+    * oracle-expressible. */
+  val qPipeBatch: QueryDef = QueryDef.oracle(
+    "q_pipe_batch",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_linenumber % 2 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+    val graph =
+      Node.where("hi_qty", col("l_quantity") > 45) |
+        Node.batch("even_lines", 512)(rows =>
+          rows.filter(r => r.getAs[Number]("l_linenumber").longValue % 2 == 0)) |
+        Node.batchAll("agg")(_
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag"))
+    Pipeline(li, graph).outputs("hi_qty.even_lines.agg")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qPipeChain, qPipeFanout, qPipeTrainingData, qPipeBatch)
 }
