@@ -225,6 +225,57 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Symmetric int8 quantization of the embedding corpus — the standard
+    * 4× storage/bandwidth compression for a 100 TB vector store (scan
+    * cost at ANN candidate-verification time is bandwidth-bound, so
+    * int8 reads are ~4× faster; the per-vector scale rides along as one
+    * float). Everything is elementwise IEEE-double arithmetic in a fixed
+    * op order plus integer aggregates, so Spark and DuckDB agree
+    * bit-for-bit: q = floor(v·127/maxabs + 0.5) (explicit half-up —
+    * engine round() tie rules never enter), reconstruction error
+    * reported as floor(|v − q·maxabs/127|·10⁶) ppm. Zero vectors
+    * quantize to all-zero (maxabs guard). */
+  val qEmbedQuantize: QueryDef = QueryDef.oracle(
+    "q_embed_quantize",
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT MAX(ABS(CAST(e AS DOUBLE))) FROM unnest(embedding) t(e)) AS maxabs
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, maxabs, CAST(e AS DOUBLE) AS v
+      |  FROM n, unnest(embedding) t(e)),
+      |q AS (
+      |  SELECT vec_id, maxabs, v,
+      |    CASE WHEN maxabs > 0 THEN FLOOR(v * 127 / maxabs + 0.5) ELSE 0 END AS qi
+      |  FROM x)
+      |SELECT vec_id % 8 AS bucket, COUNT(*) AS n_vals,
+      |  CAST(SUM(qi) AS BIGINT) AS sum_q,
+      |  CAST(MIN(qi) AS BIGINT) AS min_q, CAST(MAX(qi) AS BIGINT) AS max_q,
+      |  CAST(MAX(CASE WHEN maxabs > 0
+      |    THEN FLOOR(ABS(v - qi * maxabs / 127) * 1000000) ELSE 0 END) AS BIGINT)
+      |    AS max_err_ppm
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val vals = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))).as("maxabs"),
+        explode(col("embedding")).as("e"))
+      .select(col("vec_id"), col("maxabs"), col("e").cast("double").as("v"))
+    val qi = when(col("maxabs") > 0,
+      floor(col("v") * 127 / col("maxabs") + 0.5)).otherwise(0L)
+    vals
+      .withColumn("qi", qi)
+      .groupBy((col("vec_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_vals"),
+        sum(col("qi")).as("sum_q"),
+        min(col("qi")).as("min_q"), max(col("qi")).as("max_q"),
+        max(when(col("maxabs") > 0,
+          floor(abs(col("v") - col("qi") * col("maxabs") / 127) * 1000000))
+          .otherwise(0L)).as("max_err_ppm"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn)
+    Seq(qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn, qEmbedQuantize)
 }

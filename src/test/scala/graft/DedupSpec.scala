@@ -73,6 +73,13 @@ class DedupSpec extends SparkSpec {
     assert(labels(201L) == 200L && labels(301L) == 300L)
   }
 
+  test("cluster resolution of an empty pair list is empty (no iteration)") {
+    import spark.implicits._
+    val labels = graft.operators.ConnectedComponents.minLabel(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(labels.count() == 0)
+  }
+
   test("cluster resolution handles reversed/mixed edge orientation") {
     import spark.implicits._
     // same path given tail-first: min label must still flow to every node
