@@ -89,7 +89,8 @@ object GraftFunctions {
 
   val cosineInfo: ExpressionInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, null, "graft_cosine",
-    "graft_cosine(a, b) - cosine similarity of two float arrays", "")
+    "graft_cosine(a, b) - cosine similarity of two float arrays",
+    "", "", "", "", "", "", "built-in")
 
   val cosineBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => CosineSimilarity(a, b)

@@ -92,7 +92,8 @@ object HyperplaneBucket {
 
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[HyperplaneBucket].getName, null, "graft_lsh_bucket",
-    "graft_lsh_bucket(embedding, nBits) - random-hyperplane LSH bucket of a float array", "")
+    "graft_lsh_bucket(embedding, nBits) - random-hyperplane LSH bucket of a float array",
+    "", "", "", "", "", "", "built-in")
 
   val builder: Seq[Expression] => Expression = {
     case Seq(a, Literal(n: Int, IntegerType)) => HyperplaneBucket(a, n)

@@ -58,5 +58,5 @@ object ConnectedComponents {
   }
 
   private def checksum(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
 }

@@ -186,7 +186,7 @@ object Similarity {
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cos").desc, col("cid").asc)
       vecs.join(broadcast(cents), lit(true))
-        .select(vecs.columns.map(col) :+ col("cid") :+
+        .select(vecs.columns.toIndexedSeq.map(col) :+ col("cid") :+
           cosineSim(col("embedding"), col("ce")).as("cos"): _*)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
