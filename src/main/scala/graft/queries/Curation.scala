@@ -17,7 +17,7 @@ object Curation {
     * strictly linear per document (the index-lambda formulation loses
     * common-subexpression elimination across HOF boundaries and goes
     * O(L²); see Dedup.shingles). */
-  private def grams5(c: Column): Column = {
+  private[graft] def grams5(c: Column): Column = {
     val ws = filter(split(c, " "), w => w =!= "")
     val n = size(ws)
     def sl(k: Int) = slice(ws, lit(k), n - 4)
@@ -59,19 +59,29 @@ object Curation {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val ex = Tables(spark, dir).documents
-      .select(col("doc_id"), col("source"),
-        ((col("doc_id") * 2654435761L) % 97 < 5).as("is_eval"),
+    contaminated(Tables(spark, dir).documents,
+      (col("doc_id") * 2654435761L) % 97 < 5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+      .orderBy("source")
+  }
+
+  /** Library form of the decontamination core: training docs (rows of
+    * `docs` where `isEval` is false) that share ≥1 distinct word-5-gram
+    * with any eval doc. Returns the flagged docs' (doc_id, source).
+    * Broadcast LEFT SEMI against the eval gram-hash set: the training
+    * side never shuffles. */
+  def contaminated(docs: org.apache.spark.sql.DataFrame,
+      isEval: Column): org.apache.spark.sql.DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), col("source"), isEval.as("is_eval"),
         explode(transform(grams5(col("text")), x => xxhash64(x))).as("h"))
     val evalGrams = ex.filter(col("is_eval"))
       .select(col("h").as("he")).distinct()
     ex.filter(!col("is_eval"))
       .join(broadcast(evalGrams), col("h") === col("he"), "left_semi")
       .select("doc_id", "source").distinct()
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_contaminated"),
-        sum(col("doc_id")).cast("long").as("sum_ids"))
-      .orderBy("source")
   }
 
   /** Sequence packing: documents greedily packed (in deterministic
@@ -101,20 +111,31 @@ object Curation {
       |  CAST(SUM(bin_tok) AS BIGINT) AS sum_tok, MAX(bin_tok) AS max_bin_tok
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(spark, dir).documents
+    packSequences(Tables(spark, dir).documents
       .select(col("doc_id"),
         ((col("doc_id") * 2654435761L) % 8).as("shard"),
-        size(filter(split(col("text"), " "), x => x =!= "")).as("n_tok"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .withColumn("bin", floor(col("cum_before") / 256))
+        size(filter(split(col("text"), " "), x => x =!= "")).as("n_tok")),
+      budget = 256)
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tok"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
         sum(col("bin_tok")).as("sum_tok"), max(col("bin_tok")).as("max_bin_tok"))
       .orderBy("shard")
+  }
+
+  /** Library form of the packing core: assign each (doc_id, shard,
+    * n_tok) row its training-sequence bin — greedy in doc_id order
+    * within each shard, bin = floor(tokens-before / budget). Adds
+    * `bin`; per-shard prefix sums parallelize across shards. */
+  def packSequences(docs: org.apache.spark.sql.DataFrame,
+      budget: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / budget))
+      .drop("cum_before")
   }
 
   val all: Seq[QueryDef] = Seq(qTextDecontaminate, qPackSequences)

@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.Curation
+import org.apache.spark.sql.functions._
+
+/** Planted-case pins for the curation operators (the judged queries are
+  * oracle-checked on the synthetic corpus; these prove the operator
+  * semantics on adversarial inputs the corpus may not contain). */
+class CurationSpec extends SparkSpec {
+
+  test("decontamination flags a planted exact 5-gram leak and nothing else") {
+    import spark.implicits._
+    val docs = Seq(
+      // eval doc (id 1): the benchmark
+      (1L, "alpha bravo charlie delta echo foxtrot", "eval_src"),
+      // leaked train doc: contains the eval 5-gram "bravo…foxtrot"
+      (2L, "x y bravo charlie delta echo foxtrot z", "train_src"),
+      // clean train doc: shares words but no 5-gram
+      (3L, "alpha bravo charlie zulu delta echo", "train_src"),
+      // too short to carry any 5-gram
+      (4L, "alpha bravo", "train_src"),
+    ).toDF("doc_id", "text", "source")
+    val flagged = Curation.contaminated(docs, col("doc_id") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(2L), s"expected only the planted leak: $flagged")
+  }
+
+  test("decontamination never flags eval docs themselves") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", "s"),
+      (2L, "a b c d e f", "s"), // identical text, both eval
+    ).toDF("doc_id", "text", "source")
+    val flagged = Curation.contaminated(docs, col("doc_id").isin(1L, 2L))
+    assert(flagged.count() == 0)
+  }
+
+  test("packing is greedy in doc order and per-shard independent") {
+    import spark.implicits._
+    // shard 0: 100+100+100 tokens at budget 150 -> bins 0,1,1 (prefix
+    // sums 0,100,200); shard 1: one oversized doc still gets a bin
+    val docs = Seq(
+      (1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L),
+      (10L, 1L, 999L), (11L, 1L, 1L),
+    ).toDF("doc_id", "shard", "n_tok")
+    val bins = Curation.packSequences(docs, budget = 150)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 6L),
+      s"got $bins")
+  }
+
+  test("packing bins respect the budget boundary property") {
+    import spark.implicits._
+    // every bin's token count < budget + max single doc (greedy bound)
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), ((col("doc_id") * 2654435761L) % 8).as("shard"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("n_tok"))
+    val budget = 256
+    val maxDoc = docs.agg(max("n_tok")).head().getInt(0)
+    val maxBin = Curation.packSequences(docs, budget)
+      .groupBy("shard", "bin").agg(sum("n_tok").as("t"))
+      .agg(max("t")).head().getLong(0)
+    assert(maxBin < budget + maxDoc, s"bin of $maxBin tokens breaks greedy bound")
+  }
+}
