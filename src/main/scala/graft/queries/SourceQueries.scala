@@ -21,8 +21,10 @@ object SourceQueries {
       fmt: String, df: => DataFrame): String = {
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_src_${table}_${fmt}_${dir.hashCode.toHexString}")
-    if (!java.nio.file.Files.exists(out))
-      df.coalesce(1).write.format(fmt)
+    // key on _SUCCESS, not the directory: a crashed partial write must
+    // be overwritten, not trusted
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+      df.coalesce(1).write.mode("overwrite").format(fmt)
         .option("header", "true").save(out.toString)
     out.toString
   }

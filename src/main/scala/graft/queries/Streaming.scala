@@ -170,7 +170,17 @@ object Streaming {
       }
       .toDF()
       .select(col("user_id"), col("n_events"), col("sum_value"), col("max_ts_us"))
-    EventsStream.runToTable(spark, out, "update").orderBy("user_id")
+    // update mode emits one snapshot per key per batch; keep the LAST
+    // snapshot per user (n_events is strictly monotone across a user's
+    // snapshots, so the lexicographic struct-max is the latest) — the
+    // result is multi-batch-robust, not reliant on single-batch input
+    EventsStream.runToTable(spark, out, "update")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value"), col("max_ts_us")))
+        .as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.sum_value").as("sum_value"), col("s.max_ts_us").as("max_ts_us"))
+      .orderBy("user_id")
   }
 
   /** Exact 1e-6 fixed-point of a double (round-half-up, like the decimal
@@ -284,7 +294,14 @@ object Streaming {
         .transformWithState(new graft.streaming.UserCountMaxProcessor,
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "n_events", "max_value")
-      EventsStream.runToTable(spark, out, "update").orderBy("user_id")
+      // last snapshot per user (n_events strictly monotone) — see
+      // q_stream_stateful for why this is the multi-batch-robust fold
+      EventsStream.runToTable(spark, out, "update")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("max_value"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.max_value").as("max_value"))
+        .orderBy("user_id")
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None    => spark.conf.unset(key)
