@@ -81,6 +81,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(0) >= 0L && r.getLong(0) < 64L)
   }
 
+  test("native expressions: interpreted eval equals codegen over the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"), lshBucket(col("embedding"), 6).as("b"),
+        cosineSim(col("embedding"), col("embedding")).as("c"))
+    def snap() = e.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val codegen = snap()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = snap()
+      assert(interpreted == codegen,
+        "doGenCode and nullSafeEval disagree — the two paths must be twins")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("Graft.builder config and Graft.register expose the SQL functions") {
+    // the shared test session was built with the extensions; register()
+    // must be idempotent on such a session
+    graft.Graft.register(spark)
+    val r = spark.sql("SELECT graft_cosine(array(1.0f), array(1.0f)) AS c, " +
+      "graft_lsh_bucket(array(1.0f), 6) AS b").head()
+    assert(r.getDouble(0) == 1.0 && r.getLong(1) >= 0L)
+    val b = graft.Graft.builder()
+    assert(b != null) // construction-only: one live session per test JVM
+  }
+
   test("IVF nprobe=2 ANN recall floor") {
     val ivf = Similarity.qSimIvfAnn.run(spark, sf).collect()
     assert(ivf.length == 8 * 5)
