@@ -179,7 +179,31 @@ object Aggregates {
       .orderBy("lang")
   }
 
+  /** UNPIVOT (melt) — the inverse of q_agg_pivot: three measure columns
+    * folded into (measure, value) rows, then re-aggregated per measure.
+    * Spark's `unpivot` is a zero-shuffle Expand at the scan (each input
+    * row emits k rows map-side); the only exchange is the final
+    * aggregation's. */
+  val qAggUnpivot: QueryDef = QueryDef.oracle(
+    "q_agg_unpivot",
+    """SELECT l_returnflag, measure, COUNT(*) AS n,
+      |  CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+      |FROM (SELECT l_returnflag, l_quantity, l_discount, l_tax FROM lineitem)
+      |UNPIVOT (v FOR measure IN (l_quantity, l_discount, l_tax))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+        col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "v")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("sum_v"))
+      .orderBy("l_returnflag", "measure")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qAggDistinct, qAggApproxDistinct, qAggCube, qAggRollup, qAggGroupingSets,
-    qAggStats, qAggConditional, qAggCollect)
+    qAggStats, qAggConditional, qAggCollect, qAggUnpivot)
 }
