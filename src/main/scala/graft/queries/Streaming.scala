@@ -240,6 +240,76 @@ object Streaming {
       .orderBy("bucket")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click attributed as
+    * in q_stream_join, but clicks with NO purchase in their 30-minute
+    * window are ALSO emitted (null-extended) — once the watermark proves
+    * no future purchase can match (state eviction is the emission
+    * trigger; that is the defining semantics of a streaming outer join).
+    * Rollup rides the sink path like q_stream_join. The oracle mirrors
+    * both halves: matched pairs unconditionally (inner emission is
+    * watermark-independent), unmatched clicks under the exact eviction
+    * predicate — c_ts + 30 min < min(max click ts, max purchase ts) −
+    * 60 s (the global min-policy watermark after AvailableNow's final
+    * no-data batch). */
+  val qStreamJoinOuter: QueryDef = QueryDef.oracle(
+    "q_stream_join_outer",
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |    make_timestamp(epoch_us(ts)) AS ts
+      |  FROM events),
+      |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+      |              - INTERVAL 60 SECOND AS w),
+      |m AS (
+      |  SELECT c.user_id, p.value FROM c JOIN p
+      |    ON c.user_id = p.user_id
+      |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+      |u AS (
+      |  SELECT c.user_id FROM c, wm
+      |  WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+      |    AND NOT EXISTS (SELECT 1 FROM p
+      |      WHERE p.user_id = c.user_id
+      |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE))
+      |SELECT bucket, CAST(SUM(matched) AS BIGINT) AS n_matched,
+      |  CAST(SUM(unmatched) AS BIGINT) AS n_unmatched,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_purchase
+      |FROM (
+      |  SELECT user_id % 16 AS bucket, 1 AS matched, 0 AS unmatched,
+      |    CAST(value AS DECIMAL(30,6)) AS v FROM m
+      |  UNION ALL
+      |  SELECT user_id % 16, 0, 1, NULL FROM u)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val clicks = EventsStream.read(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", WM)
+    val purchases = EventsStream.read(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", WM)
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"),
+      "leftOuter")
+      .select((col("c_user") % 16).as("bucket"),
+        when(col("p_user").isNull, 0).otherwise(1).as("matched"),
+        when(col("p_user").isNull, 1).otherwise(0).as("unmatched"),
+        col("value").cast("decimal(30,6)").as("v"))
+    val partials = EventsStream.runAggregated(spark, joined, "append") {
+      b => b.groupBy("bucket")
+        .agg(sum(col("matched")).as("n_matched"),
+          sum(col("unmatched")).as("n_unmatched"), sum(col("v")).as("sum_p"))
+    }
+    partials.groupBy("bucket")
+      .agg(sum(col("n_matched")).as("n_matched"),
+        sum(col("n_unmatched")).as("n_unmatched"),
+        sum(col("sum_p")).cast("double").as("sum_purchase"))
+      .orderBy("bucket")
+  }
+
   /** Stream-static enrichment join: the event stream joined to the
     * static customer dimension (broadcast — the dim rides to every task,
     * the unbounded side never shuffles, no join state at all), then a
@@ -310,7 +380,8 @@ object Streaming {
 
   val all: Seq[QueryDef] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamStateful, qStreamJoin, qStreamEnrich, qStreamTws)
+    qStreamStateful, qStreamJoin, qStreamJoinOuter, qStreamEnrich,
+    qStreamTws)
 }
 
 /** Per-user mutable state carried across micro-batches. */

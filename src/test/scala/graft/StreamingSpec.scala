@@ -154,6 +154,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits null-extended rows only on eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "user").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "10 minutes")
+    val joined = c.join(b,
+      col("user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("interval 30 minutes"),
+      "leftOuter")
+      .select(col("user"), col("b_user"))
+    val q = joined.writeStream.format("memory").queryName("ssjo_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(60), 1L), (ts(65), 2L))
+      buys.addData((ts(80), 1L)) // matches click@60
+      q.processAllAvailable()
+      val early = spark.table("ssjo_test").collect()
+      // user 2 is unmatched but NOT yet evictable — must not be emitted
+      assert(early.map(_.getLong(0)).toSet == Set(1L),
+        s"premature outer emission: ${early.mkString(",")}")
+      // advance BOTH watermarks (global = min) far past click@65's window
+      clicks.addData((ts(300), 9L))
+      buys.addData((ts(300), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjo_test").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      // click@65/user2: no purchase in window -> null-extended on eviction
+      assert(rows.contains((2L, -1L)), s"missing outer row: ${rows.mkString(",")}")
+      assert(rows.contains((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("fixed-point accumulator is exact and order-independent") {
     val vs = Seq(0.1, 0.2, 0.3, 1e-6, 123456.789123)
     val a = vs.map(Streaming.micros).sum
