@@ -150,8 +150,59 @@ object Misc {
       .toDF("n_in", "n_pass", "chars_pass")
   }
 
+  /** Time-series gap-fill (resample): daily per-type counts of a sparse
+    * event slice (~1 % hash sample) against the COMPLETE (type × day)
+    * grid, missing cells zero-filled. The grid is generated inside the
+    * plan — `sequence()` over the observed date bounds crossed with the
+    * distinct types via an explicit broadcast (a 30×5 dimension, not
+    * data) — so the fill is a left join against a broadcast grid: no
+    * driver loop, no shuffle added beyond the aggregation's own. The
+    * standard shape for "report every bucket, even empty ones" over a
+    * 100 TB event store. */
+  val qTsGapfill: QueryDef = QueryDef.oracle(
+    "q_ts_gapfill",
+    """WITH e AS (
+      |  SELECT event_type, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS d,
+      |    value, event_id
+      |  FROM events),
+      |grid AS (
+      |  SELECT t.event_type, CAST(g.d AS DATE) AS d
+      |  FROM (SELECT DISTINCT event_type FROM e) t,
+      |    (SELECT unnest(generate_series((SELECT MIN(d) FROM e),
+      |      (SELECT MAX(d) FROM e), INTERVAL 1 DAY)) AS d) g),
+      |sparse AS (
+      |  SELECT event_type, d, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(30,6))) AS sv
+      |  FROM e WHERE (event_id * 2654435761) % 97 = 0
+      |  GROUP BY 1, 2)
+      |SELECT g.event_type, g.d, COALESCE(s.n, 0) AS n,
+      |  CAST(COALESCE(s.sv, 0) AS DOUBLE) AS sum_value
+      |FROM grid g LEFT JOIN sparse s
+      |  ON g.event_type = s.event_type AND g.d = s.d
+      |ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    val e = graft.Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"),
+        col("event_id"))
+    val bounds = e.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val days = bounds.select(explode(
+      sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val grid = days.join(broadcast(e.select("event_type").distinct()))
+    val sparse = e.filter((col("event_id") * 2654435761L) % 97 === 0)
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("sv"))
+    grid.join(sparse, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sv"), lit(0).cast("decimal(30,6)")).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type", "d")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qFilterPredicates, qTextTfidf, qTypedDataset, qFnMap, qObserveMetrics)
+    Seq(qFilterPredicates, qTextTfidf, qTypedDataset, qFnMap, qObserveMetrics,
+      qTsGapfill)
 }
 
 final case class Customer(c_custkey: Long, c_mktsegment: String, c_acctbal: Double)
