@@ -31,4 +31,16 @@ object Graft {
       graft.functions.HyperplaneBucket.info,
       graft.functions.HyperplaneBucket.builder)
   }
+
+  /** Register every corpus table as a temp view so pure-SQL users can
+    * `spark.sql` against the catalog's schema directly (at 100 TB these
+    * would be real catalog tables; Tables keeps that a one-line swap). */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    val t = Tables(spark, dir)
+    Seq("region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+  }
 }

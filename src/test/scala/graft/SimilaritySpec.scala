@@ -111,6 +111,12 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getLong(1) >= 0L)
     val b = graft.Graft.builder()
     assert(b != null) // construction-only: one live session per test JVM
+    // SQL-first path: tables as temp views + registered functions
+    graft.Graft.registerTables(spark, sf)
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM embeddings WHERE graft_lsh_bucket(embedding, 6) >= 0")
+      .head().getLong(0)
+    assert(n > 0)
   }
 
   test("IVF nprobe=2 ANN recall floor") {
