@@ -310,6 +310,60 @@ object Streaming {
       .orderBy("bucket")
   }
 
+  /** CHAINED stateful operators in one streaming query (Spark ≥3.5
+    * headline capability): stream-stream interval join → event-time
+    * tumbling window aggregation, both stateful, one query, append mode.
+    * The emitted rows are aggregate-sized (daily per-bucket rollups), so
+    * this is the in-stream alternative to q_stream_join's foreachBatch
+    * partials when the rollup IS windowed. Window emission is governed
+    * by the global min-policy watermark (both inputs' max event time −
+    * delay after the final no-data batch); the oracle applies the
+    * identical eviction predicate on window end. */
+  val qStreamJoinWindowed: QueryDef = QueryDef.oracle(
+    "q_stream_join_windowed",
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |    make_timestamp(epoch_us(ts)) AS ts
+      |  FROM events),
+      |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+      |              - INTERVAL 60 SECOND AS w),
+      |m AS (
+      |  SELECT CAST(time_bucket(INTERVAL 1 DAY, c.ts) AS TIMESTAMP) AS w_start,
+      |    c.user_id % 16 AS bucket, p.value
+      |  FROM c JOIN p
+      |    ON c.user_id = p.user_id
+      |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |SELECT w_start, bucket, COUNT(*) AS n_attr,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_purchase
+      |FROM m, wm
+      |GROUP BY 1, 2
+      |HAVING epoch_us(w_start) + 86400000000 <= epoch_us(MIN(wm.w))
+      |ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    val clicks = EventsStream.read(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", WM)
+    val purchases = EventsStream.read(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", WM)
+    val out = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+      .groupBy(window(col("c_ts"), "1 day"), (col("c_user") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_attr"),
+        sum(col("value").cast("decimal(30,6)")).cast("double")
+          .as("sum_purchase"))
+      .select(col("window.start").as("w_start"), col("bucket"),
+        col("n_attr"), col("sum_purchase"))
+    EventsStream.runToTable(spark, out, "append")
+      .orderBy("w_start", "bucket")
+  }
+
   /** Stream-static enrichment join: the event stream joined to the
     * static customer dimension (broadcast — the dim rides to every task,
     * the unbounded side never shuffles, no join state at all), then a
@@ -380,8 +434,8 @@ object Streaming {
 
   val all: Seq[QueryDef] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamStateful, qStreamJoin, qStreamJoinOuter, qStreamEnrich,
-    qStreamTws)
+    qStreamStateful, qStreamJoin, qStreamJoinOuter, qStreamJoinWindowed,
+    qStreamEnrich, qStreamTws)
 }
 
 /** Per-user mutable state carried across micro-batches. */
