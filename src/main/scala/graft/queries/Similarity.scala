@@ -276,6 +276,79 @@ object Similarity {
       .orderBy("bucket")
   }
 
-  val all: Seq[QueryDef] =
-    Seq(qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn, qEmbedQuantize)
+  /** Embedding OUTLIER detection — the data-quality pass of an embedding
+    * corpus: each vector's cosine to its group centroid, 3 least-similar
+    * per group flagged. Centroids come from the exact fixed-point
+    * VectorCentroid aggregator (same micro-rounding the q_udaf_centroid
+    * oracle pins), ride as a broadcast (groups ≪ corpus), and the
+    * scoring pass is one scan — the shape that finds mis-embedded or
+    * corrupted vectors in a 100 TB store. Cosine uses the decimal-exact
+    * interior so the DuckDB oracle matches bit-for-bit. */
+  val qEmbedOutliers: QueryDef = QueryDef.oracle(
+    "q_embed_outliers",
+    """WITH v AS (
+      |  SELECT vec_id, embedding, vec_id % 4 AS g FROM embeddings),
+      |ce AS (
+      |  SELECT g, i AS pos,
+      |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+      |      / COUNT(*) AS cv
+      |  FROM v, unnest(range(1, len(embedding) + 1)) AS t(i)
+      |  GROUP BY 1, 2),
+      |dotp AS (
+      |  SELECT v.vec_id, v.g,
+      |    CAST(SUM(CAST(CAST(v.embedding[ce.pos] AS DOUBLE) * ce.cv
+      |      AS DECIMAL(30,12))) AS DOUBLE) AS dot,
+      |    CAST(SUM(CAST(ce.cv * ce.cv AS DECIMAL(30,12))) AS DOUBLE) AS nc
+      |  FROM v JOIN ce ON v.g = ce.g
+      |  GROUP BY 1, 2),
+      |nrm AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+      |      AS DECIMAL(30,12))) AS DOUBLE) AS ne
+      |  FROM (SELECT vec_id, unnest(embedding) AS e FROM v) GROUP BY 1)
+      |SELECT g, rn, vec_id, cos FROM (
+      |  SELECT d.g, d.vec_id, ROUND(CASE WHEN n.ne * d.nc > 0
+      |      THEN d.dot / sqrt(n.ne * d.nc) ELSE 0 END, 6) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY d.g ORDER BY
+      |      CASE WHEN n.ne * d.nc > 0 THEN d.dot / sqrt(n.ne * d.nc) ELSE 0 END
+      |      ASC, d.vec_id) AS rn
+      |  FROM dotp d JOIN nrm n USING (vec_id))
+      |WHERE rn <= 3 ORDER BY g, rn""".stripMargin,
+  ) { (spark, dir) =>
+    // float×double and double×double exact-decimal dots (the float side
+    // is widened to double first — floats are exact in double; the
+    // centroid side must NEVER narrow to float)
+    def ddotFD(e: Column, c: Column): Column =
+      aggregate(
+        zip_with(e, c, (x, y) => (x.cast("double") * y).cast("decimal(30,12)")),
+        lit(0).cast("decimal(30,12)"),
+        (acc, x) => (acc + x).cast("decimal(30,12)")).cast("double")
+    def ddotDD(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) => (x * y).cast("decimal(30,12)")),
+        lit(0).cast("decimal(30,12)"),
+        (acc, x) => (acc + x).cast("decimal(30,12)")).cast("double")
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 4).as("g"))
+    val cents = v.groupBy("g")
+      .agg(graft.functions.VectorCentroid.centroid(col("embedding")).as("c"))
+    val scored = v.join(broadcast(cents), "g")
+      .select(col("g"), col("vec_id"),
+        ddotFD(col("embedding"), col("c")).as("dot"),
+        ddotFD(col("embedding"), col("embedding").cast("array<double>"))
+          .as("ne"),
+        ddotDD(col("c"), col("c")).as("nc"))
+      .select(col("g"), col("vec_id"),
+        when(col("ne") * col("nc") > 0,
+          col("dot") / sqrt(col("ne") * col("nc"))).otherwise(0.0).as("cos"))
+    val w = Window.partitionBy("g").orderBy(col("cos").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("g"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("g", "rn")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn, qEmbedQuantize,
+    qEmbedOutliers)
 }
