@@ -138,5 +138,55 @@ object Curation {
       .drop("cum_before")
   }
 
-  val all: Seq[QueryDef] = Seq(qTextDecontaminate, qPackSequences)
+  /** Repetition-ratio quality gate (the classic corpus-filter rule:
+    * drop docs whose most frequent word-2-gram covers too much of the
+    * text — boilerplate, chat spam, keyword stuffing). Integer-exact:
+    * a doc fails when 8 × top-2-gram-count > total 2-grams (ratio
+    * > 1/8). One explode + two hash aggregates, shuffling (doc, gram
+    * hash) pairs — the per-doc counting shape that scales linearly. */
+  val qTextRepetition: QueryDef = QueryDef.oracle(
+    "q_text_repetition",
+    """WITH g AS (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS gram
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 2),
+      |pc AS (
+      |  SELECT doc_id, source, COUNT(*) AS c
+      |  FROM g GROUP BY doc_id, source, gram),
+      |d AS (
+      |  SELECT doc_id, source, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_grams
+      |  FROM pc GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN 8 * top_c > n_grams THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repetitive,
+      |  CAST(SUM(doc_id * CASE WHEN 8 * top_c > n_grams THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS sum_flagged_ids
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val ws = filter(split(col("text"), " "), x => x =!= "")
+    val grams2 = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        explode(grams2).as("gram"))
+      .groupBy(col("doc_id"), col("source"), xxhash64(col("gram")).as("gh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_grams"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top_c") * 8 > col("n_grams"), 1L).otherwise(0L))
+          .as("n_repetitive"),
+        sum(col("doc_id") * when(col("top_c") * 8 > col("n_grams"), 1L)
+          .otherwise(0L)).as("sum_flagged_ids"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qTextDecontaminate, qPackSequences, qTextRepetition)
 }
