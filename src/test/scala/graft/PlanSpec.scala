@@ -87,6 +87,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles:\n$p")
   }
 
+  test("decontamination is a broadcast left-semi — training side never shuffles") {
+    val p = plan("q_text_decontaminate")
+    assert(p.contains("LeftSemi"), s"expected left-semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram set must broadcast, not shuffle the corpus:\n$p")
+  }
+
   test("LSH bucket is the native codegen expression, not the HOF tower") {
     val p = plan("q_sim_lsh_ann")
     assert(p.contains("graft_lsh_bucket"), s"native bucket expr absent:\n$p")
