@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.queries.{Streaming, UserState}
+import graft.queries.{Streaming, UserSnapshot, UserState}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -187,6 +187,50 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((2L, -1L)), s"missing outer row: ${rows.mkString(",")}")
       assert(rows.contains((1L, 1L)))
     } finally q.stop()
+  }
+
+  test("file-source multi-batch: per-key snapshots fold to the batch answer") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout => GST, OutputMode => OM, Trigger}
+    import spark.implicits._
+    // stage the sf0.001 events as TWO parquet files and force one file
+    // per micro-batch — the real file-source analog of the MemoryStream
+    // tests, exercising the struct-max last-snapshot fold the judged
+    // stateful queries rely on for multi-batch inputs
+    val staged = java.nio.file.Files.createTempDirectory("graft_mb_test_")
+    val src = Tables(spark, sf).events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    src.filter(col("user_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(staged.toString)
+    src.filter(col("user_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(staged.toString)
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        OM.Update(), GST.NoTimeout()) { (user, rows, state) =>
+        val s0 = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+        val s = rows.foldLeft(s0) { (acc, r) =>
+          UserState(acc.n + 1, acc.sumMicros + Streaming.micros(r._2),
+            math.max(acc.maxTsUs, r._3))
+        }
+        state.update(s)
+        Iterator(UserSnapshot(user, s.n, s.sumMicros / 1e6, s.maxTsUs))
+      }.toDF()
+    val q = stream.writeStream.format("memory").queryName("mb_test")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // ≥2 batches ran (two files, one per trigger)
+    val folded = spark.table("mb_test")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value"), col("max_ts_us")))
+        .as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.max_ts_us"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = src.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max(col("ts_us")).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(folded == batch, "struct-max fold must equal the batch aggregate")
   }
 
   test("fixed-point accumulator is exact and order-independent") {
