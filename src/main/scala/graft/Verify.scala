@@ -23,6 +23,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // within-query persists (pipeline fan-out upstreams, shingle tables)
+      // are released between queries — 94 queries share this session, and
+      // accumulated storage memory would otherwise evict and degrade later
+      // queries (same hygiene as Bench)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

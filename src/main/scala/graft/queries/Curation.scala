@@ -71,7 +71,19 @@ object Curation {
     * `docs` where `isEval` is false) that share ≥1 distinct word-5-gram
     * with any eval doc. Returns the flagged docs' (doc_id, source).
     * Broadcast LEFT SEMI against the eval gram-hash set: the training
-    * side never shuffles. */
+    * side never shuffles.
+    *
+    * Collision tolerance (deliberate): grams match by xxhash64, so an
+    * 8-byte hash collision can flag a CLEAN doc as contaminated — a
+    * false positive that costs one good training doc, never a missed
+    * leak (hash equality is implied by gram equality, so recall is
+    * exact). At 100 TB the expected FP count is corpus_grams ×
+    * eval_grams / 2^64 — e.g. 10^12 × 10^7 grams ≈ 5×10^-1 docs — and
+    * dropping the occasional clean doc is the cheap side of the
+    * trade; matching on gram strings would ship ~30-byte keys in the
+    * broadcast instead of 8-byte hashes. Callers needing zero FPs can
+    * re-verify flagged docs against the eval gram STRINGS (a second
+    * pass over only the flagged set). */
   def contaminated(docs: org.apache.spark.sql.DataFrame,
       isEval: Column): org.apache.spark.sql.DataFrame = {
     val ex = docs
@@ -87,26 +99,32 @@ object Curation {
   /** Sequence packing: documents greedily packed (in deterministic
     * doc_id order) into 256-token training bins, PER SHARD — the shard
     * (a hash bucket of the doc key) is the parallelism unit, so packing
-    * is embarrassingly parallel across shards and each shard's prefix
-    * sum is a single ordered pass. A global prefix sum would serialize
-    * the corpus through one partition — the classic 100 TB mistake this
-    * query's shape is designed against. Bin id = floor(tokens-before /
-    * budget), the streaming-friendly closed form of greedy packing. */
+    * is embarrassingly parallel across shards. TRUE greedy: a bin
+    * closes when the next doc doesn't fit, so no bin ever exceeds the
+    * budget (except a single oversized doc alone in its bin). The
+    * oracle replays the same fold as a per-shard recursive CTE. */
   val qPackSequences: QueryDef = QueryDef.oracle(
     "q_pack_sequences",
-    """WITH t AS (
-      |  SELECT doc_id, (doc_id * 2654435761) % 8 AS shard,
-      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
-      |  FROM documents),
-      |p AS (
-      |  SELECT shard, n_tok,
-      |    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-      |  FROM t),
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 8 AS shard, n_tok,
+      |    ROW_NUMBER() OVER (PARTITION BY (doc_id * 2654435761) % 8
+      |                       ORDER BY doc_id) AS rn
+      |  FROM (SELECT doc_id,
+      |          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      |        FROM documents)),
+      |g AS (
+      |  SELECT shard, rn, n_tok, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.shard, t.rn, t.n_tok,
+      |    CASE WHEN g.fill + t.n_tok <= 256 THEN g.bin ELSE g.bin + 1 END,
+      |    CASE WHEN g.fill + t.n_tok <= 256 THEN g.fill + t.n_tok
+      |         ELSE t.n_tok END
+      |  FROM g JOIN t ON t.shard = g.shard AND t.rn = g.rn + 1),
       |b AS (
-      |  SELECT shard, CAST(FLOOR(cum_before / 256) AS BIGINT) AS bin,
-      |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tok
-      |  FROM p GROUP BY 1, 2)
+      |  SELECT shard, bin, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS bin_tok
+      |  FROM g GROUP BY 1, 2)
       |SELECT shard, COUNT(*) AS n_bins, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
       |  CAST(SUM(bin_tok) AS BIGINT) AS sum_tok, MAX(bin_tok) AS max_bin_tok
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -114,7 +132,8 @@ object Curation {
     packSequences(Tables(spark, dir).documents
       .select(col("doc_id"),
         ((col("doc_id") * 2654435761L) % 8).as("shard"),
-        size(filter(split(col("text"), " "), x => x =!= "")).as("n_tok")),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
+          .as("n_tok")),
       budget = 256)
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tok"))
@@ -125,10 +144,51 @@ object Curation {
   }
 
   /** Library form of the packing core: assign each (doc_id, shard,
-    * n_tok) row its training-sequence bin — greedy in doc_id order
-    * within each shard, bin = floor(tokens-before / budget). Adds
-    * `bin`; per-shard prefix sums parallelize across shards. */
+    * n_tok:long) row its training-sequence bin — TRUE greedy in doc_id
+    * order within each shard (a bin closes when the next doc would push
+    * it past `budget`; a doc alone larger than the budget gets its own
+    * bin). Adds `bin: long`.
+    *
+    * The greedy fold is inherently sequential PER SHARD (each bin id
+    * depends on every prior doc's size), so this is one of the few
+    * honest `mapPartitions` sites in the library: shards are hashed to
+    * partitions and sorted, and one ordered pass folds each shard —
+    * parallelism comes from shard count, exactly how a production
+    * packing job shards a 100 TB corpus. For the streaming-friendly
+    * closed form (no sequential pass, bins may overflow by up to one
+    * doc) see [[packSequencesByOffset]]. */
   def packSequences(docs: org.apache.spark.sql.DataFrame,
+      budget: Int): org.apache.spark.sql.DataFrame = {
+    val schema = docs.schema.add("bin", org.apache.spark.sql.types.LongType)
+    val si = docs.schema.fieldIndex("shard")
+    val ni = docs.schema.fieldIndex("n_tok")
+    docs.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        var shard: Any = null
+        var bin = 0L
+        var fill = 0L
+        var open = false
+        it.map { r =>
+          val s = r.get(si)
+          val n = r.getLong(ni)
+          if (!open || s != shard) { shard = s; bin = 0L; fill = n; open = true }
+          else if (fill + n <= budget) fill += n
+          else { bin += 1; fill = n }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Offset-binning variant: bin = floor(tokens-before / budget) — a
+    * pure prefix-sum (window) closed form with NO sequential pass, so it
+    * also works under structured streaming and never reshuffles row
+    * order. The trade: a doc straddling a boundary is assigned by its
+    * starting offset, so a bin can hold up to budget + maxDoc − 1
+    * tokens. Use when downstream tolerates overflow-by-one-doc (e.g.
+    * when docs are subsequently truncated to the sequence length);
+    * [[packSequences]] is the strict-budget packer. */
+  def packSequencesByOffset(docs: org.apache.spark.sql.DataFrame,
       budget: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -142,8 +202,14 @@ object Curation {
     * drop docs whose most frequent word-2-gram covers too much of the
     * text — boilerplate, chat spam, keyword stuffing). Integer-exact:
     * a doc fails when 8 × top-2-gram-count > total 2-grams (ratio
-    * > 1/8). One explode + two hash aggregates, shuffling (doc, gram
-    * hash) pairs — the per-doc counting shape that scales linearly. */
+    * > 1/8). One explode + two hash aggregates, shuffling (doc, gram)
+    * pairs — the per-doc counting shape that scales linearly. Counts
+    * group on the gram STRING, not its hash: a hash collision here
+    * would MERGE two distinct grams' counts and inflate top_c — a
+    * wrong answer, not a tolerable false positive — and unlike the
+    * decontamination broadcast there is no size win to buy with it
+    * (the shuffle key carries the doc_id either way; 2-grams are
+    * short). */
   val qTextRepetition: QueryDef = QueryDef.oracle(
     "q_text_repetition",
     """WITH g AS (
@@ -174,7 +240,7 @@ object Curation {
     val perDoc = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"),
         explode(grams2).as("gram"))
-      .groupBy(col("doc_id"), col("source"), xxhash64(col("gram")).as("gh"))
+      .groupBy(col("doc_id"), col("source"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "source")
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_grams"))

@@ -123,9 +123,14 @@ object Streaming {
     * state is DROPPED once the watermark passes it, so state size tracks
     * the watermark horizon, not the full key history (plain
     * `dropDuplicates` on a stream retains every key forever — the 100 TB
-    * failure mode). Emission is first-seen-immediate (append), so the
-    * emitted key set equals DISTINCT keys. Projected to the key alone so
-    * the emitted set is deterministic. */
+    * failure mode). The state bound is also a semantic bound: a key
+    * recurring AFTER its state was evicted is emitted again (that is the
+    * contract of within-watermark dedup), so the sink is folded through a
+    * final `distinct` — multi-batch-robust like the other snapshot folds
+    * here, and exactly what a production consumer of a
+    * within-watermark-deduped stream does when it needs global
+    * uniqueness (the fold is over the already-thinned stream, not the
+    * raw input). */
   val qStreamDedup: QueryDef = QueryDef.oracle(
     "q_stream_dedup",
     """SELECT DISTINCT event_id % 1000 AS k FROM events ORDER BY k""".stripMargin,
@@ -135,7 +140,7 @@ object Streaming {
       .select(col("ts"), (col("event_id") % 1000).as("k"))
       .dropDuplicatesWithinWatermark("k")
       .select(col("k"))
-    EventsStream.runToTable(spark, out, "append").orderBy("k")
+    EventsStream.runToTable(spark, out, "append").distinct().orderBy("k")
   }
 
   /** Arbitrary stateful processing via flatMapGroupsWithState — the

@@ -68,11 +68,21 @@ object EventsStream {
     * plan, not rows, and the sink holds O(groups × batches) partial rows,
     * not O(stream). This is the 100 TB shape for "aggregate an unbounded
     * join/session stream": executors write partials, a final reduce folds
-    * them. */
+    * them.
+    *
+    * A schema-only (zero-row) partial file is written BEFORE the query
+    * starts, so a stream that produces no batches still yields a readable
+    * empty result instead of a schema-inference failure; the staging
+    * directory is deleted on JVM exit (consumers read it lazily, so
+    * deletion can't happen any earlier than that). */
   def runAggregated(spark: SparkSession, df: DataFrame, mode: String)(
       perBatch: DataFrame => DataFrame): DataFrame = {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_agg_${n.incrementAndGet()}_")
+    deleteOnExit(out)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+    perBatch(empty).write.mode("append").parquet(out.toString)
     val q = df.writeStream
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
@@ -83,4 +93,14 @@ object EventsStream {
     q.awaitTermination()
     spark.read.parquet(out.toString)
   }
+
+  /** Recursive-delete `dir` when the JVM exits (idempotent, best-effort). */
+  private def deleteOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
 }

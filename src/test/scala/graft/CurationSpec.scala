@@ -35,31 +35,56 @@ class CurationSpec extends SparkSpec {
     assert(flagged.count() == 0)
   }
 
-  test("packing is greedy in doc order and per-shard independent") {
+  test("packing is strictly greedy in doc order and per-shard independent") {
     import spark.implicits._
-    // shard 0: 100+100+100 tokens at budget 150 -> bins 0,1,1 (prefix
-    // sums 0,100,200); shard 1: one oversized doc still gets a bin
+    // shard 0: 100+100+100 tokens at budget 150 -> each doc closes the
+    // bin for the next (100+100 > 150), bins 0,1,2; shard 1: an
+    // oversized doc gets its own bin, the next doc opens a fresh one
     val docs = Seq(
       (1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L),
       (10L, 1L, 999L), (11L, 1L, 1L),
     ).toDF("doc_id", "shard", "n_tok")
     val bins = Curation.packSequences(docs, budget = 150)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
-    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 6L),
+    assert(bins == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 0L, 11L -> 1L),
       s"got $bins")
   }
 
-  test("packing bins respect the budget boundary property") {
+  test("greedy packing never exceeds the budget (except a lone oversized doc)") {
     import spark.implicits._
-    // every bin's token count < budget + max single doc (greedy bound)
     val docs = Tables(spark, sf).documents
       .select(col("doc_id"), ((col("doc_id") * 2654435761L) % 8).as("shard"),
-        size(filter(split(col("text"), " "), x => x =!= "")).as("n_tok"))
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
+          .as("n_tok"))
     val budget = 256
-    val maxDoc = docs.agg(max("n_tok")).head().getInt(0)
+    val maxDoc = docs.agg(max("n_tok")).head().getLong(0)
     val maxBin = Curation.packSequences(docs, budget)
       .groupBy("shard", "bin").agg(sum("n_tok").as("t"))
       .agg(max("t")).head().getLong(0)
-    assert(maxBin < budget + maxDoc, s"bin of $maxBin tokens breaks greedy bound")
+    assert(maxBin <= math.max(budget, maxDoc),
+      s"bin of $maxBin tokens breaks the strict greedy bound")
+    // multi-doc bins are strictly within budget — only a lone oversized
+    // doc may exceed it
+    val overfullMulti = Curation.packSequences(docs, budget)
+      .groupBy("shard", "bin")
+      .agg(sum("n_tok").as("t"), count(lit(1)).as("n"))
+      .filter(col("t") > budget && col("n") > 1)
+      .count()
+    assert(overfullMulti == 0, s"$overfullMulti multi-doc bins over budget")
+  }
+
+  test("offset-binning variant bins by starting offset (streaming closed form)") {
+    import spark.implicits._
+    // same planted input as the greedy test: offset binning assigns by
+    // floor(tokens-before / budget) — doc 2 lands in bin 0 (offset 100),
+    // overflowing it to 200 tokens, the documented overflow-by-one-doc
+    val docs = Seq(
+      (1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L),
+      (10L, 1L, 999L), (11L, 1L, 1L),
+    ).toDF("doc_id", "shard", "n_tok")
+    val bins = Curation.packSequencesByOffset(docs, budget = 150)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 6L),
+      s"got $bins")
   }
 }
