@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs every task slot in this one JVM: size the heap like a
+  // production executor (~1.5 GB/core on the 32-core/128 GiB bench box),
+  // not like a driver — 8g starved 32 slots to ~144 MB of execution
+  // memory each and pushed the heavy queries into spill
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // shuffle files and broadcasts are reclaimed by the ContextCleaner,
+      // which only acts when the JVM GCs their references — with a large
+      // heap that can be never; force a periodic sweep so a ~200-query
+      // session doesn't accrete dead shuffle state (default is 30 min,
+      // i.e. longer than the whole run)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed session warm-up: spins up executor threads and the codegen

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // see Bench: ContextCleaner only reclaims shuffles/broadcasts on
+      // JVM GC; with a large heap a periodic sweep is the only bound on
+      // a 94-query session's dead shuffle state
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

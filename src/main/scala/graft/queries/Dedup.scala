@@ -296,7 +296,56 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /** Embedding-cosine near-dup DEDUP — the semantic-similarity variant
+    * of the dedup family: exact cosine pairs (cos ≥ 0.4, the two-phase
+    * codegen-prefilter + decimal-exact pipeline of q_sim_cosine_pairs)
+    * become edges, min-label propagation resolves clusters to a fixpoint,
+    * and the min vec_id of each cluster is its canonical survivor — the
+    * full "embedding near-dup → keep one per cluster" pass an LLM corpus
+    * runs AFTER lexical dedup (MinHash/SimHash catch copies; embeddings
+    * catch paraphrases). At 100 TB the pair stage swaps in the LSH/IVF
+    * candidate join (same verify expression); cluster resolution is
+    * unchanged. Oracle: DuckDB recursive CTE over the identical
+    * decimal-exact pair set. */
+  val qDedupEmbedding: QueryDef = QueryDef.oracle(
+    "q_dedup_embedding",
+    """WITH RECURSIVE n AS (
+      |  SELECT vec_id, embedding,
+      |    CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+      |            AS DECIMAL(30,12))) FROM unnest(embedding) t(e)) AS DOUBLE) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT ida AS va, idb AS vb FROM (
+      |    SELECT a.vec_id, b.vec_id,
+      |      CAST((SELECT SUM(CAST(CAST(t.x AS DOUBLE) * CAST(t.y AS DOUBLE)
+      |              AS DECIMAL(30,12)))
+      |            FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) t)
+      |        AS DOUBLE) / sqrt(a.nrm * b.nrm) AS cos
+      |    FROM n a JOIN n b ON a.vec_id < b.vec_id) p(ida, idb, cos)
+      |  WHERE cos >= 0.4),
+      |edges AS (
+      |  SELECT va AS a, vb AS b FROM pairs
+      |  UNION ALL SELECT vb, va FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (SELECT src AS v, MIN(dst) AS cluster FROM reach GROUP BY 1)
+      |SELECT cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(SUM(cluster) AS BIGINT) AS sum_canonical
+      |FROM (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val pairs = Similarity.qSimCosinePairs.run(spark, dir)
+      .select("id_a", "id_b")
+    val labels = graft.operators.ConnectedComponents.minLabel(pairs)
+    labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))
+      .orderBy("cluster_size")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNormalized, qDedupNgramJaccard, qDedupMinhashLsh,
-    qDedupSimhash, qDedupClusters)
+    qDedupSimhash, qDedupClusters, qDedupEmbedding)
 }

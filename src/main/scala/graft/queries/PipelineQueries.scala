@@ -82,11 +82,15 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(col("text"), " "), w => w =!= "")
     val graph =
+      // per-doc token stats are PER-ROW expressions (size / array_distinct
+      // over the split array, all codegen'd) — the explode+groupBy
+      // formulation shuffled the full document text once PER TOKEN plus a
+      // countDistinct expand, ~5 GB of shuffle at sf0.1 for numbers a
+      // narrow projection computes in place
       Node.transform("tok_stats")(_
         .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
-          explode_outer(toks).as("w")) // token-less docs keep a row (oracle parity)
-        .groupBy("doc_id", "source", "text", "n_chars")
-        .agg(count(col("w")).as("n_tok"), countDistinct(col("w")).as("n_uniq"))) |
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"))) |
       Node.where("quality_gate", col("n_chars").between(100, 1000)
         && col("n_uniq") * 10 >= col("n_tok") * 2) |
       Node.transform("dedup_keep_first")(_

@@ -182,15 +182,20 @@ object Similarity {
     val n = graft.Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
 
+    // argmax-by-struct instead of a row_number window: the per-vector
+    // best centroid collapses MAP-SIDE in the partial aggregate (k
+    // candidate rows per vector never reach the shuffle — the window
+    // formulation shuffled every (vector × centroid) row WITH its
+    // embedding payload, k× the corpus in bytes). max(struct) picks
+    // highest cos, then highest -cid = lowest cid on ties — identical to
+    // the old ORDER BY cos DESC, cid ASC.
     def nearest(vecs: DataFrame, cents: DataFrame, out: String): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos").desc, col("cid").asc)
+      val keys = vecs.columns.toIndexedSeq
       vecs.join(broadcast(cents), lit(true))
-        .select(vecs.columns.toIndexedSeq.map(col) :+ col("cid") :+
-          cosineSim(col("embedding"), col("ce")).as("cos"): _*)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn", "cos").withColumnRenamed("cid", out)
+        .groupBy(keys.map(col): _*)
+        .agg(max(struct(cosineSim(col("embedding"), col("ce")).as("cos"),
+          (-col("cid")).as("ncid"))).as("best"))
+        .select(keys.map(col) :+ (-col("best.ncid")).as(out): _*)
     }
 
     val seed = n.filter(col("vec_id") % 53 === 0)
@@ -332,7 +337,29 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), (col("vec_id") % 4).as("g"))
     val cents = v.groupBy("g")
       .agg(graft.functions.VectorCentroid.centroid(col("embedding")).as("c"))
-    val scored = v.join(broadcast(cents), "g")
+    // two-phase like q_sim_cosine_pairs: phase 1 scores the WHOLE corpus
+    // with the codegen'd double cosine (centroid narrowed to float for
+    // the native float×float loop — perturbs cosines by ≲1e-6) and ranks
+    // only (g, vec_id, cos) 20-byte rows, keeping the bottom 32 per
+    // group — a 10× margin over the 3 actually wanted, dwarfing the
+    // prefilter error. Phase 2 re-attaches embeddings to the ≤32×|groups|
+    // survivors and computes the oracle-exact decimal cosine for the
+    // final ranking. The interpreted decimal fold — 3 towers × array
+    // length per row — now touches ~100 rows, not the corpus; and the
+    // payload-free phase-1 window is the shape that survives a 100 TB
+    // corpus (rank ids, re-join vectors).
+    val centsF = cents.select(col("g"), col("c"),
+      col("c").cast("array<float>").as("cf"))
+    val wf = Window.partitionBy("g").orderBy(col("cos_f").asc, col("vec_id").asc)
+    val candIds = v.join(broadcast(centsF), "g")
+      .select(col("g"), col("vec_id"),
+        graft.functions.GraftFunctions.cosineSim(col("embedding"), col("cf"))
+          .as("cos_f"))
+      .withColumn("rf", row_number().over(wf))
+      .filter(col("rf") <= 32)
+      .select(col("vec_id"))
+    val scored = v.join(broadcast(candIds), "vec_id")
+      .join(broadcast(cents), "g")
       .select(col("g"), col("vec_id"),
         ddotFD(col("embedding"), col("c")).as("dot"),
         ddotFD(col("embedding"), col("embedding").cast("array<double>"))
