@@ -309,12 +309,12 @@ object Dedup {
     * decimal-exact pair set. */
   val qDedupEmbedding: QueryDef = QueryDef.oracle(
     "q_dedup_embedding",
-    """WITH RECURSIVE n AS (
+    """WITH RECURSIVE n AS MATERIALIZED (
       |  SELECT vec_id, embedding,
       |    CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
       |            AS DECIMAL(30,12))) FROM unnest(embedding) t(e)) AS DOUBLE) AS nrm
       |  FROM embeddings),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT ida AS va, idb AS vb FROM (
       |    SELECT a.vec_id, b.vec_id,
       |      CAST((SELECT SUM(CAST(CAST(t.x AS DOUBLE) * CAST(t.y AS DOUBLE)
@@ -323,7 +323,7 @@ object Dedup {
       |        AS DOUBLE) / sqrt(a.nrm * b.nrm) AS cos
       |    FROM n a JOIN n b ON a.vec_id < b.vec_id) p(ida, idb, cos)
       |  WHERE cos >= 0.4),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT va AS a, vb AS b FROM pairs
       |  UNION ALL SELECT vb, va FROM pairs),
       |reach(src, dst) AS (
