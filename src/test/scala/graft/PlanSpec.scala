@@ -95,6 +95,29 @@ class PlanSpec extends SparkSpec {
       s"eval gram set must broadcast, not shuffle the corpus:\n$p")
   }
 
+  test("embed outliers: corpus-wide prefilter scan carries no interpreted HOF") {
+    val p = plan("q_embed_outliers")
+    // phase 1 (the line computing graft_cosine against the broadcast
+    // centroid) must be pure codegen; the decimal lambda towers may only
+    // appear in phase 2, after the per-group candidate cut
+    val prefilter = p.linesIterator
+      .filter(_.contains("graft_cosine")).mkString("\n")
+    assert(prefilter.nonEmpty, s"codegen cosine prefilter absent:\n$p")
+    assert(!prefilter.contains("lambdafunction"),
+      s"interpreted HOF on the full-scan path:\n$prefilter")
+  }
+
+  test("IVF centroid assignment is a map-side argmax, not a per-vector window") {
+    val p = plan("q_sim_ivf_ann")
+    // the argmax-by-struct formulation collapses the k candidate rows per
+    // vector in the partial aggregate; a window PARTITIONED BY vec_id
+    // would mean every (vector × centroid) row — embedding aboard — rides
+    // the shuffle. The q_id-partitioned windows (query-side probe/top-k
+    // ranking over the 8 broadcast queries) are fine and expected.
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      s"per-vector window assignment regressed:\n$p")
+  }
+
   test("LSH bucket is the native codegen expression, not the HOF tower") {
     val p = plan("q_sim_lsh_ann")
     assert(p.contains("graft_lsh_bucket"), s"native bucket expr absent:\n$p")
