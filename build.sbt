@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // not like a driver — 8g starved 32 slots to ~144 MB of execution
   // memory each and pushed the heavy queries into spill
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // the ContextCleaner's periodic System.gc() (see Bench/Verify conf)
+  // must not stop the world for seconds on a 48 g heap — make explicit
+  // GC a concurrent G1 cycle; the cleaner only needs references
+  // *noticed*, not a full compaction
+  "-XX:+ExplicitGCInvokesConcurrent",
 )
