@@ -3,12 +3,17 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components via iterative min-label propagation,
-  * run to a FIXPOINT — every node's label converges to the smallest id
-  * reachable through the edge set (the canonical survivor of a near-dup
-  * cluster). Everything is joins + min-aggregates: no driver-side
-  * union-find, no graph library, so each round shuffles on node id and
-  * scales like any other aggregation.
+/** Distributed connected components via min-label propagation PLUS
+  * pointer jumping, run to a FIXPOINT — every node's label converges to
+  * the smallest id reachable through the edge set (the canonical
+  * survivor of a near-dup cluster). Each round propagates labels one hop
+  * along edges, then shortcuts L(v) := min(L(v), L(L(v))); the shortcut
+  * roughly doubles the distance a min-label has traveled per round, so
+  * convergence takes O(log diameter) rounds instead of O(diameter) — on
+  * a 100 TB near-dup graph whose chains can be thousands long, that is
+  * the difference between ~12 rounds and ~1000. Everything is joins +
+  * min-aggregates: no driver-side union-find, no graph library, so each
+  * round shuffles on node id and scales like any other aggregation.
   *
   * Convergence is detected with one exact-decimal aggregate per round:
   * labels are monotonically non-increasing per node, so the global label
@@ -43,12 +48,24 @@ object ConnectedComponents {
       .localCheckpoint()
     var prevSum = checksum(labels)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      // (a) neighbor propagation: pull each node's neighbors' labels one
+      // hop — alone this needs O(diameter) rounds
       val prop = edges
         .join(labels, edges("d") === labels("node"))
         .select(edges("s").as("node"), col("lbl"))
-      val next = labels.unionByName(prop)
+      val stepped = labels.unionByName(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
+      // (b) pointer jump: L(v) := min(L(v), L(L(v))). Labels ARE node
+      // ids, so following the label is a self-join — each round roughly
+      // doubles the distance a min-label has traveled, turning the round
+      // count from O(diameter) into O(log diameter) (the pointer-doubling
+      // half of the standard MapReduce CC constructions). The join is
+      // total: every lbl value is a node id present in `stepped`.
+      val jump = stepped.select(col("node").as("jn"), col("lbl").as("jl"))
+      val next = stepped.join(jump, stepped("lbl") === jump("jn"))
+        .select(stepped("node"), least(stepped("lbl"), col("jl")).as("lbl"))
         .localCheckpoint()
       // the superseded round's checkpoint blocks are dead the moment the
       // next (eager) checkpoint exists — free them NOW: checkpoint blocks
@@ -59,13 +76,19 @@ object ConnectedComponents {
       // bench pass ran 11× slower on unrelated queries)
       unpersistCheckpoint(labels)
       labels = next
+      rounds += 1
       val s = checksum(labels)
       converged = s == prevSum
       prevSum = s
     }
+    lastRounds = rounds
     unpersistCheckpoint(edges)
     labels
   }
+
+  /** Rounds the last minLabel call took to converge (diagnostics/tests:
+    * DedupSpec asserts the logarithmic bound on a planted long chain). */
+  @volatile private[graft] var lastRounds: Int = 0
 
   private def checksum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)

@@ -73,6 +73,21 @@ class DedupSpec extends SparkSpec {
     assert(labels(201L) == 200L && labels(301L) == 300L)
   }
 
+  test("pointer jumping converges a 64-node chain in logarithmic rounds") {
+    import spark.implicits._
+    // diameter-63 path: plain one-hop propagation needs ~63 rounds;
+    // propagation + pointer jumping covers distance ~2^r after r rounds,
+    // so convergence (plus the one confirming round the checksum needs)
+    // must land well under the linear bound
+    val pairs = (1000L to 1062L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.operators.ConnectedComponents.minLabel(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1000L to 1063L).foreach(n => assert(labels(n) == 1000L,
+      s"node $n labeled ${labels(n)}, expected 1000"))
+    val rounds = graft.operators.ConnectedComponents.lastRounds
+    assert(rounds <= 10, s"took $rounds rounds — pointer jumping regressed")
+  }
+
   test("cluster resolution of an empty pair list is empty (no iteration)") {
     import spark.implicits._
     val labels = graft.operators.ConnectedComponents.minLabel(
