@@ -203,7 +203,39 @@ object Aggregates {
       .orderBy("l_returnflag", "measure")
   }
 
+  /** EXACT interpolated percentiles (median/quartile/p90) per group —
+    * `percentile()` sorts each group's values and interpolates at rank
+    * p·(n−1), the same definition DuckDB's `quantile_cont` implements, so
+    * the doubles match bit-for-bit (empirically at all three sf; the
+    * interpolation a + (b−a)·frac is one IEEE multiply-add in both
+    * engines). Exact percentiles shuffle the group's values once and
+    * sort per group — fine when groups fit an executor (the case here:
+    * values are one column, not rows). At 100 TB with huge groups the
+    * scale path is `approx_percentile` (t-digest-style sketch,
+    * partial+final mergeable, bounded memory) — spec-bounded rather than
+    * judged because its sketch is engine-specific, exactly like
+    * approx_count_distinct above. */
+  val qAggPercentile: QueryDef = QueryDef.oracle(
+    "q_agg_percentile",
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS p90,
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS price_p50
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity").cast("double"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity").cast("double"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity").cast("double"), lit(0.9)).as("p90"),
+        percentile(col("l_extendedprice").cast("double"), lit(0.5))
+          .as("price_p50"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qAggDistinct, qAggApproxDistinct, qAggCube, qAggRollup, qAggGroupingSets,
-    qAggStats, qAggConditional, qAggCollect, qAggUnpivot)
+    qAggStats, qAggConditional, qAggCollect, qAggUnpivot, qAggPercentile)
 }

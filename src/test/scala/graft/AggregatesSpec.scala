@@ -1,0 +1,36 @@
+package graft
+
+import graft.queries.Aggregates
+import org.apache.spark.sql.functions._
+
+/** Error-bound pins for the approximate aggregates — the operators whose
+  * sketches are engine-specific (no DuckDB oracle by design): the spec
+  * asserts they track their exact counterparts within the advertised
+  * tolerance, which is the property a 100 TB user actually relies on. */
+class AggregatesSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within 5% of the exact count per group") {
+    val rows = Aggregates.qAggApproxDistinct.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"group ${r.get(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("approx_percentile tracks the exact interpolated percentile") {
+    val li = graft.Tables(spark, sf).lineitem
+    val r = li.agg(
+      percentile(col("l_extendedprice").cast("double"), lit(0.5)).as("exact"),
+      approx_percentile(col("l_extendedprice").cast("double"), lit(0.5),
+        lit(10000)).as("approx")).head()
+    val exact = r.getDouble(0)
+    val approx = r.getDouble(1)
+    // approx_percentile guarantees rank error ≤ n/accuracy; on this
+    // distribution that is well under 1% in value
+    assert(math.abs(approx - exact) / exact <= 0.01,
+      s"approx $approx vs exact $exact")
+  }
+}
