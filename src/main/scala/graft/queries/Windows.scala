@@ -204,7 +204,47 @@ object Windows {
       .orderBy("seg")
   }
 
+  /** BATCH sessionization via `session_window` — the exact operator
+    * q_stream_session runs on the stream, applied to the bounded table:
+    * one aggregation merges each user's events into 6-h-gap sessions
+    * (sessions end at last event + gap; an event exactly at the gap
+    * boundary starts a new session — the `>=` rule the oracle's
+    * gaps-and-islands CTE encodes), then a per-user rollup. Having the
+    * SAME operator on both batch and stream is the point: a backfill and
+    * the live pipeline can't drift. Scale shape: session_window is a
+    * single hash aggregation keyed (user, merged-window) — no window
+    * function, no per-user sort spill. */
+  val qWinSessionize: QueryDef = QueryDef.oracle(
+    "q_win_sessionize",
+    """WITH sessions AS (
+      |  SELECT user_id, COUNT(*) AS n
+      |  FROM (
+      |    SELECT user_id, sid FROM (
+      |      SELECT user_id, event_id,
+      |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM (
+      |        SELECT user_id, ts, event_id,
+      |          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                    >= INTERVAL 6 HOUR
+      |               THEN 1 ELSE 0 END AS is_new
+      |        FROM events)))
+      |  GROUP BY user_id, sid)
+      |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  MAX(n) AS max_session_events
+      |FROM sessions GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    graft.Tables(spark, dir).events
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qWinRank, qWinTopkPerGroup, qWinLagLead, qWinRunning, qWinRangeFrame,
-    qWinNtile, qWinDistribution)
+    qWinNtile, qWinDistribution, qWinSessionize)
 }
