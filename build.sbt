@@ -29,8 +29,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[N] runs every task slot in this one JVM: size the heap like a
   // production executor (~1.5 GB/core on the 32-core/128 GiB bench box),
   // not like a driver — 8g starved 32 slots to ~144 MB of execution
-  // memory each and pushed the heavy queries into spill
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // memory each and pushed the heavy queries into spill. Capped at half
+  // of physical RAM so smaller machines degrade to spill instead of
+  // meeting the OS OOM-killer; SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val ram = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean].getTotalMemorySize
+    val gb = math.max(2L, math.min(48L, ram / 2 >> 30))
+    s"${gb}g"
+  })}",
   // the ContextCleaner's periodic System.gc() (see Bench/Verify conf)
   // must not stop the world for seconds on a 48 g heap — make explicit
   // GC a concurrent G1 cycle; the cleaner only needs references

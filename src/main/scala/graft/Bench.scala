@@ -1,15 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // Graft.builder is the tested session contract (UTC, extensions,
+    // nanos handling) — the mains must not hand-roll drifting copies
+    val spark = Graft.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // shuffle files and broadcasts are reclaimed by the ContextCleaner,
       // which only acts when the JVM GCs their references — with a large
       // heap that can be never; force a periodic sweep so a ~200-query

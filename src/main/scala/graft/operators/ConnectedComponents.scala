@@ -90,6 +90,20 @@ object ConnectedComponents {
     * DedupSpec asserts the logarithmic bound on a planted long chain). */
   @volatile private[graft] var lastRounds: Int = 0
 
+  /** Run `rollup` over the converged labels, eagerly materialize its
+    * (aggregate-sized) result, and free the labels' checkpoint blocks
+    * before returning. `minLabel`'s result is itself a localCheckpoint —
+    * pinned O(nodes) storage that `clearCache()` can't reach — so any
+    * caller that only needs an aggregate over the labels should come
+    * through here: what survives the call is a checkpoint of the rollup
+    * rows (tens), not the node set (everything). */
+  def summarized(pairs: DataFrame)(rollup: DataFrame => DataFrame): DataFrame = {
+    val labels = minLabel(pairs)
+    val out = rollup(labels).localCheckpoint()
+    unpersistCheckpoint(labels)
+    out
+  }
+
   private def checksum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
 

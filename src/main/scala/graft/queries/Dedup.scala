@@ -289,11 +289,12 @@ object Dedup {
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     val pairs = qDedupNgramJaccard.run(spark, dir).select("doc_a", "doc_b")
-    val labels = graft.operators.ConnectedComponents.minLabel(pairs)
-    labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size")
-      .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))
-      .orderBy("cluster_size")
+    graft.operators.ConnectedComponents.summarized(pairs) { labels =>
+      labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))
+        .orderBy("cluster_size")
+    }
   }
 
   /** Embedding-cosine near-dup DEDUP — the semantic-similarity variant
@@ -338,11 +339,12 @@ object Dedup {
   ) { (spark, dir) =>
     val pairs = Similarity.qSimCosinePairs.run(spark, dir)
       .select("id_a", "id_b")
-    val labels = graft.operators.ConnectedComponents.minLabel(pairs)
-    labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size")
-      .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))
-      .orderBy("cluster_size")
+    graft.operators.ConnectedComponents.summarized(pairs) { labels =>
+      labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))
+        .orderBy("cluster_size")
+    }
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -82,17 +82,22 @@ object EventsStream {
   }
 
   /** Checkpoint dir for a run-to-completion backfill query: RAM-backed
-    * (/dev/shm) when the OS provides it, tmpdir otherwise, deleted on
-    * exit. The checkpoint of an AvailableNow backfill into an ephemeral
-    * sink is itself ephemeral — there is no restart to recover; a
-    * production deployment passes its own durable checkpointLocation and
-    * never enters this path. State-store deltas and WAL fsyncs land in
-    * memory instead of disk, which halved the per-batch commit cost. */
+    * (/dev/shm) when the OS provides it WITH headroom (≥1 GiB usable —
+    * containers often cap tmpfs at 64 MB, where state deltas would hit
+    * ENOSPC mid-query), tmpdir otherwise, deleted on exit. The
+    * checkpoint of an AvailableNow backfill into an ephemeral sink is
+    * itself ephemeral — there is no restart to recover; a production
+    * deployment passes its own durable checkpointLocation and never
+    * enters this path. State-store deltas and WAL fsyncs land in memory
+    * instead of disk, which halved the per-batch commit cost. */
   private def ephemeralCheckpoint(name: String): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val base = if (java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val dir = java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_${name}_")
+    import java.nio.file.{Files, Paths}
+    val shm = Paths.get("/dev/shm")
+    val shmUsable = Files.isWritable(shm) &&
+      (try Files.getFileStore(shm).getUsableSpace >= (1L << 30)
+       catch { case _: Throwable => false })
+    val base = if (shmUsable) shm else Paths.get(sys.props("java.io.tmpdir"))
+    val dir = Files.createTempDirectory(base, s"graft_ckpt_${name}_")
     deleteOnExit(dir)
     dir.toString
   }
@@ -135,13 +140,26 @@ object EventsStream {
     spark.read.parquet(out.toString)
   }
 
-  /** Recursive-delete `dir` when the JVM exits (idempotent, best-effort). */
-  private def deleteOnExit(dir: java.nio.file.Path): Unit =
+  /** Registered paths are recursively deleted by ONE static shutdown
+    * hook (not one hook thread per directory — a long-lived session
+    * registers an unbounded number of staging dirs). */
+  private val toDelete = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case _: Throwable => () }
+      var dir = toDelete.poll()
+      while (dir != null) {
+        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+        dir = toDelete.poll()
+      }
     }))
+
+  private def deleteOnExit(dir: java.nio.file.Path): Unit = {
+    cleanupHook
+    toDelete.add(dir)
+  }
 }

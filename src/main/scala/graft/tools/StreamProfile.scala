@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
@@ -19,12 +18,12 @@ object StreamProfile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shuffle = sys.env.getOrElse("GRAFT_SHUFFLE", cpus)
-    val b = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
+    // same session contract as Bench/Verify (graft.Graft.builder) — a
+    // profile taken under different session semantics than the bench it
+    // diagnoses would be a profile of something else
+    val b = graft.Graft.builder(s"local[$cpus]", shuffle.toInt)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.cleaner.periodicGC.interval", "1min")
     sys.env.get("GRAFT_CKPT").foreach(p =>
       b.config("spark.sql.streaming.checkpointLocation", p))
     val spark = b.getOrCreate()
