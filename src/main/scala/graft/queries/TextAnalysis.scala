@@ -178,6 +178,50 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Document CHUNKING — the step between curation and packing in a
+    * training pipeline: each doc is split into token windows of size 128
+    * at stride 64 (start offsets k·64 for every k with k·64 < n_tok;
+    * the final window is truncated to the doc end). Pure per-row
+    * arithmetic: token count from the split array, window starts from
+    * `sequence`, one explode — no shuffle until the per-source rollup,
+    * so a 100 TB corpus chunks at scan speed. Integer-exact stats
+    * (chunk counts, window lengths, full-window count) keep the oracle
+    * bit-for-bit. */
+  val qTextChunk: QueryDef = QueryDef.oracle(
+    "q_text_chunk",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tok, k * 64 AS start,
+      |    LEAST(128, n_tok - k * 64) AS chunk_len
+      |  FROM t, unnest(range(0, CAST(CEIL(n_tok / 64.0) AS BIGINT))) AS u(k)
+      |  WHERE n_tok > 0)
+      |SELECT source, COUNT(*) AS n_chunks,
+      |  CAST(SUM(chunk_len) AS BIGINT) AS sum_len,
+      |  CAST(SUM(CASE WHEN chunk_len = 128 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_full,
+      |  MAX(chunk_len) AS max_len, MIN(chunk_len) AS min_len
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val n = size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), n.as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("source"), col("n_tok"),
+        explode(sequence(lit(0L), ceil(col("n_tok") / 64.0).cast("long") - 1))
+          .as("k"))
+      .select(col("source"),
+        least(lit(128L), col("n_tok") - col("k") * 64).as("chunk_len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("sum_len"),
+        sum(when(col("chunk_len") === 128, 1L).otherwise(0L)).as("n_full"),
+        max(col("chunk_len")).as("max_len"), min(col("chunk_len")).as("min_len"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint)
+    Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qTextChunk)
 }
