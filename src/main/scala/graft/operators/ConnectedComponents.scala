@@ -55,8 +55,15 @@ object ConnectedComponents {
       val prop = edges
         .join(labels, edges("d") === labels("node"))
         .select(edges("s").as("node"), col("lbl"))
+      // persisted for the round: the jump below references `stepped` on
+      // BOTH join sides, and without materialization Catalyst plans the
+      // propagation aggregate twice (ReuseExchange dedupes the shuffle
+      // but not the final aggregation pass — a full extra pass over
+      // every node per round at scale); the cache substitutes one
+      // InMemoryRelation into both occurrences
       val stepped = labels.unionByName(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
+        .persist()
       // (b) pointer jump: L(v) := min(L(v), L(L(v))). Labels ARE node
       // ids, so following the label is a self-join — each round roughly
       // doubles the distance a min-label has traveled, turning the round
@@ -67,6 +74,7 @@ object ConnectedComponents {
       val next = stepped.join(jump, stepped("lbl") === jump("jn"))
         .select(stepped("node"), least(stepped("lbl"), col("jl")).as("lbl"))
         .localCheckpoint()
+      stepped.unpersist(blocking = false)
       // the superseded round's checkpoint blocks are dead the moment the
       // next (eager) checkpoint exists — free them NOW: checkpoint blocks
       // never appear in the catalog cache, so session-level clearCache()

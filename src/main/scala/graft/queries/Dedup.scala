@@ -289,13 +289,18 @@ object Dedup {
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     val pairs = qDedupNgramJaccard.run(spark, dir).select("doc_a", "doc_b")
-    graft.operators.ConnectedComponents.summarized(pairs) { labels =>
-      labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))
-        .orderBy("cluster_size")
-    }
+    graft.operators.ConnectedComponents.summarized(pairs)(clusterSummary)
   }
+
+  /** Shared rollup for the cluster-resolution queries: cluster sizes →
+    * (cluster_size, n_clusters, sum of canonical ids) — one definition
+    * so the lexical and embedding dedups can't drift apart from their
+    * structurally-identical oracles. */
+  private def clusterSummary(labels: DataFrame): DataFrame =
+    labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))
+      .orderBy("cluster_size")
 
   /** Embedding-cosine near-dup DEDUP — the semantic-similarity variant
     * of the dedup family: exact cosine pairs (cos ≥ 0.4, the two-phase
@@ -339,12 +344,7 @@ object Dedup {
   ) { (spark, dir) =>
     val pairs = Similarity.qSimCosinePairs.run(spark, dir)
       .select("id_a", "id_b")
-    graft.operators.ConnectedComponents.summarized(pairs) { labels =>
-      labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))
-        .orderBy("cluster_size")
-    }
+    graft.operators.ConnectedComponents.summarized(pairs)(clusterSummary)
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -205,13 +205,19 @@ object TextAnalysis {
       |  MAX(chunk_len) AS max_len, MIN(chunk_len) AS min_len
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val n = size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
+    // the zero-token guard is the `when(...empty array)` under the
+    // explode (generators drop empty arrays), NOT a filter: a filter on
+    // n_tok would push below the projection and re-evaluate the
+    // tokenize HOF per row (no CSE across HOF boundaries — the trap
+    // qTextQuality documents); here tokenization runs once in the
+    // bottom projection and everything above references the attribute
+    val n = size(toks(col("text"))).cast("long")
     Tables(spark, dir).documents
-      .select(col("doc_id"), col("source"), n.as("n_tok"))
-      .filter(col("n_tok") > 0)
+      .select(col("source"), n.as("n_tok"))
       .select(col("source"), col("n_tok"),
-        explode(sequence(lit(0L), ceil(col("n_tok") / 64.0).cast("long") - 1))
-          .as("k"))
+        explode(when(col("n_tok") > 0,
+          sequence(lit(0L), ceil(col("n_tok") / 64.0).cast("long") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("k"))
       .select(col("source"),
         least(lit(128L), col("n_tok") - col("k") * 64).as("chunk_len"))
       .groupBy("source")
