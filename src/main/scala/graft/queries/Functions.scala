@@ -160,5 +160,60 @@ object Functions {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson)
+  /** Bitwise family: AND/OR/XOR, shifts, bit_count — pure integer
+    * arithmetic, bit-identical across engines by construction. The
+    * per-key expressions mirror the hash/partition/bucketing tricks the
+    * engine itself uses (SimHash blocks, salt mixing), exposed as the
+    * user-facing surface. */
+  val qFnBitwise: QueryDef = QueryDef.oracle(
+    "q_fn_bitwise",
+    """SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_and,
+      |  CAST(SUM(xor(o_orderkey, o_custkey * 2654435761)) AS BIGINT) AS sum_xor,
+      |  CAST(SUM((o_orderkey << 3) | (o_custkey >> 2)) AS BIGINT) AS sum_shifts,
+      |  CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS sum_bits
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .groupBy((col("o_orderkey") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").bitwiseAND(255)).as("sum_and"),
+        sum(col("o_orderkey").bitwiseXOR(col("o_custkey") * 2654435761L))
+          .as("sum_xor"),
+        sum(shiftleft(col("o_orderkey"), 3)
+          .bitwiseOR(shiftright(col("o_custkey"), 2))).as("sum_shifts"),
+        sum(bit_count(col("o_orderkey")).cast("long")).as("sum_bits"))
+      .orderBy("bucket")
+  }
+
+  /** Histogram via `width_bucket` — SQL-standard equi-width binning
+    * (below range → 0, at-or-above max → nbuckets+1). Integer-exact
+    * counts; the standard first look at any numeric column's
+    * distribution, and at 100 TB a single partial+final aggregate.
+    * DuckDB has no width_bucket, so the oracle spells out Spark's exact
+    * formula — floor((v − min) / ((max − min) / n)) + 1, same IEEE op
+    * order, so bucket edges agree bit-for-bit. */
+  val qFnHistogram: QueryDef = QueryDef.oracle(
+    "q_fn_histogram",
+    """SELECT CASE WHEN v < 900.0 THEN 0
+      |            WHEN v >= 105000.0 THEN 11
+      |            ELSE CAST(FLOOR((v - 900.0) / ((105000.0 - 900.0) / 10))
+      |                      AS BIGINT) + 1 END AS bucket,
+      |  COUNT(*) AS n, CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+      |  CAST(MAX(l_orderkey) AS BIGINT) AS max_ok
+      |FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_orderkey
+      |      FROM lineitem)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy(width_bucket(col("l_extendedprice").cast("double"),
+        lit(900.0), lit(105000.0), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).cast("long").as("min_ok"),
+        max(col("l_orderkey")).cast("long").as("max_ok"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson,
+    qFnBitwise, qFnHistogram)
 }
