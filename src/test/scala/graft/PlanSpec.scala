@@ -118,6 +118,21 @@ class PlanSpec extends SparkSpec {
       s"per-vector window assignment regressed:\n$p")
   }
 
+  test("chunking shuffles only for the rollup and the final sort") {
+    val p = plan("q_text_chunk")
+    // per-row sequence+explode chunking must add NO exchange of its own:
+    // one hash exchange for the per-source aggregate, one range exchange
+    // for the ORDER BY — anything more means chunk rows (n_chunks ≫ docs)
+    // started riding a shuffle
+    assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles:\n$p")
+  }
+
+  test("histogram is one partial+final aggregate over the scan") {
+    val p = plan("q_fn_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles:\n$p")
+  }
+
   test("LSH bucket is the native codegen expression, not the HOF tower") {
     val p = plan("q_sim_lsh_ann")
     assert(p.contains("graft_lsh_bucket"), s"native bucket expr absent:\n$p")
