@@ -32,12 +32,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // memory each and pushed the heavy queries into spill. Capped at half
   // of physical RAM so smaller machines degrade to spill instead of
   // meeting the OS OOM-killer; SPARK_DRIVER_MEM overrides.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  // the RAM probe is HotSpot-specific (com.sun.management); on another
+  // JVM (OpenJ9 etc.) or under a restrictive sandbox fall back to 8g
+  // instead of failing the whole build load
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", scala.util.Try {
     val ram = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean].getTotalMemorySize
     val gb = math.max(2L, math.min(48L, ram / 2 >> 30))
     s"${gb}g"
-  })}",
+  }.getOrElse("8g"))}",
   // the ContextCleaner's periodic System.gc() (see Bench/Verify conf)
   // must not stop the world for seconds on a 48 g heap — make explicit
   // GC a concurrent G1 cycle; the cleaner only needs references

@@ -60,11 +60,22 @@ object Bench {
       "q_stream_join_windowed", "q_stream_session", "q_text_decontaminate",
       "q_text_tfidf", "q_pack_sequences", "q_media_frames")
     val qs = jmap(headline.flatMap(k => warm.get(k).map(k -> _)))
+    // session-rot self-check: a steady-state session must not get SLOWER.
+    // Any query whose warm pass exceeds 2x its cold pass (and 0.5 s
+    // absolute, to ignore timer noise on sub-second queries) is flagged
+    // machine-readably — round 4's /dev/shm checkpoint accumulation was
+    // exactly this pattern and was only visible by diffing per-query maps
+    // by hand.
+    val warmRegressions = cold.keys.toSeq.sorted.filter { k =>
+      val c = cold(k); val w = warm.getOrElse(k, 0.0)
+      w > 2 * c && w > 0.5
+    }
+    val wr = warmRegressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"cold_total":${f(coldTotal)},"warm_total":${f(warmTotal)},"cpus":$cpus,"sf":"$sfDir","cold":${jmap(cold)},"warm":${jmap(warm)}}""")
+      s"""{"cold_total":${f(coldTotal)},"warm_total":${f(warmTotal)},"warm_regressions":$wr,"cpus":$cpus,"sf":"$sfDir","cold":${jmap(cold)},"warm":${jmap(warm)}}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f(coldTotal)},"unit":"sec","warm_total":${f(warmTotal)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(coldTotal)},"unit":"sec","warm_total":${f(warmTotal)},"warm_regressions":$wr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

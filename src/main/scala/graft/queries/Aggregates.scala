@@ -205,10 +205,16 @@ object Aggregates {
 
   /** EXACT interpolated percentiles (median/quartile/p90) per group —
     * `percentile()` sorts each group's values and interpolates at rank
-    * p·(n−1), the same definition DuckDB's `quantile_cont` implements, so
-    * the doubles match bit-for-bit (empirically at all three sf; the
-    * interpolation a + (b−a)·frac is one IEEE multiply-add in both
-    * engines). Exact percentiles shuffle the group's values once and
+    * p·(n−1), the same rank definition DuckDB's `quantile_cont` uses.
+    * The interpolation FORMULAS differ: Spark's PercentileBase computes
+    * the weighted form (hi−pos)·lower + (pos−lo)·higher (two multiplies
+    * + add), DuckDB lerps lower + (higher−lower)·frac — algebraically
+    * equal, not structurally IEEE-identical. The bit-for-bit hash match
+    * is therefore EMPIRICAL (verified at all three sf: these order
+    * statistics and fractions happen to combine exactly), not guaranteed
+    * for arbitrary data; a mismatch would indicate nothing deeper than
+    * one ulp of formula divergence. Exact percentiles shuffle the
+    * group's values once and
     * sort per group — fine when groups fit an executor (the case here:
     * values are one column, not rows). At 100 TB with huge groups the
     * scale path is `approx_percentile` (t-digest-style sketch,

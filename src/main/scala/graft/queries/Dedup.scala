@@ -309,10 +309,11 @@ object Dedup {
     * and the min vec_id of each cluster is its canonical survivor — the
     * full "embedding near-dup → keep one per cluster" pass an LLM corpus
     * runs AFTER lexical dedup (MinHash/SimHash catch copies; embeddings
-    * catch paraphrases). At 100 TB the pair stage swaps in the LSH/IVF
-    * candidate join (same verify expression); cluster resolution is
-    * unchanged. Oracle: DuckDB recursive CTE over the identical
-    * decimal-exact pair set. */
+    * catch paraphrases). This entry is the EXACTNESS BASELINE (all-pairs);
+    * the judged scale composition that swaps the pair stage for banded-LSH
+    * candidates is q_dedup_embedding_ann below — same verify expression,
+    * same cluster resolution, sub-quadratic candidates. Oracle: DuckDB
+    * recursive CTE over the identical decimal-exact pair set. */
   val qDedupEmbedding: QueryDef = QueryDef.oracle(
     "q_dedup_embedding",
     """WITH RECURSIVE n AS MATERIALIZED (
@@ -347,7 +348,26 @@ object Dedup {
     graft.operators.ConnectedComponents.summarized(pairs)(clusterSummary)
   }
 
+  /** Embedding near-dup dedup, ANN candidate path — the composition the
+    * 100 TB deployment runs: banded-LSH candidate generation (equi-join
+    * on (band, key), never n²) → the same decimal-exact cosine verify →
+    * the same fixpoint cluster resolution and rollup as
+    * q_dedup_embedding. See [[Similarity.annNearDupPairs]] for the
+    * recall math: exhaustive at the high-similarity regime ANN dedup is
+    * built for, probabilistic at this catalog's deliberately wide 0.4
+    * threshold (DedupSpec pins precision 1.0 + the recall floor + the
+    * planted-near-identical recall-1.0 proof). Rows-only driver check
+    * (hyperplane buckets aren't ANSI-SQL-expressible). */
+  val qDedupEmbeddingAnn: QueryDef = QueryDef.noOracle("q_dedup_embedding_ann") {
+    (spark, dir) =>
+      val vecs = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+      val pairs = Similarity.annNearDupPairs(vecs, 0.4)
+        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      graft.operators.ConnectedComponents.summarized(pairs)(clusterSummary)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNormalized, qDedupNgramJaccard, qDedupMinhashLsh,
-    qDedupSimhash, qDedupClusters, qDedupEmbedding)
+    qDedupSimhash, qDedupClusters, qDedupEmbedding, qDedupEmbeddingAnn)
 }

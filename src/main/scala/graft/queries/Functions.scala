@@ -191,13 +191,17 @@ object Functions {
     * counts; the standard first look at any numeric column's
     * distribution, and at 100 TB a single partial+final aggregate.
     * DuckDB has no width_bucket, so the oracle spells out Spark's exact
-    * formula — floor((v − min) / ((max − min) / n)) + 1, same IEEE op
-    * order, so bucket edges agree bit-for-bit. */
+    * formula. Spark 4.1's WidthBucket computes floor(n·(v − min) /
+    * (max − min)) + 1 — MULTIPLY first, then one divide (not the
+    * divide-by-bucket-width reading of the SQL standard) — so the oracle
+    * mirrors that op order literally; with a different op order the two
+    * engines could disagree by one ulp at a bucket edge and flip a
+    * count. */
   val qFnHistogram: QueryDef = QueryDef.oracle(
     "q_fn_histogram",
     """SELECT CASE WHEN v < 900.0 THEN 0
       |            WHEN v >= 105000.0 THEN 11
-      |            ELSE CAST(FLOOR((v - 900.0) / ((105000.0 - 900.0) / 10))
+      |            ELSE CAST(FLOOR(10 * (v - 900.0) / (105000.0 - 900.0))
       |                      AS BIGINT) + 1 END AS bucket,
       |  COUNT(*) AS n, CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
       |  CAST(MAX(l_orderkey) AS BIGINT) AS max_ok

@@ -171,6 +171,80 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Banded-LSH near-dup pairs — the sub-quadratic candidate path for
+    * embedding dedup (the scale-safe alternative to q_sim_cosine_pairs'
+    * all-pairs baseline). OR-amplified exactly like MinHash banding: ONE
+    * `graft_lsh_bucket` call computes `nBands × bandBits` hyperplane sign
+    * bits fused in codegen, the packed long is split into bands by
+    * shift+mask (the SimHash blocking trick), and two vectors become a
+    * candidate when ANY band agrees — a plain equi-join on (band, key),
+    * never an n² scan. Candidates are id-pairs only (16-byte shuffle
+    * rows); vectors re-attach by equi-join for the two-phase verify
+    * (codegen double-cosine prefilter over all candidates, decimal-exact
+    * cosine on the survivors — same shape as q_sim_cosine_pairs, so the
+    * emitted pairs are bit-exactly thresholded).
+    *
+    * Recall is the standard LSH S-curve 1-(1-p^b)^L with
+    * p = 1 - θ/π: in the regime embedding near-dup dedup actually runs
+    * (cos ≥ 0.9 ⇒ p ≥ 0.86, b=2, L=24 ⇒ miss < 3e-15) recall is 1.0 for
+    * every practical corpus — DedupSpec proves it on planted
+    * near-identical vectors. At the deliberately wide catalog threshold
+    * (0.4, ~66°: p ≈ 0.63, per-pair miss ≈ (1-p²)^24 ≈ 5e-6 but
+    * plane-correlated across pairs) recall is high-but-probabilistic —
+    * the spec pins the measured floor and precision 1.0. No LSH family
+    * is simultaneously selective and complete at 66°; corpora needing
+    * exhaustive wide-angle pairs use the exact baseline. */
+  private[graft] def annNearDupPairs(vecs: DataFrame, threshold: Double,
+      bandBits: Int = 2, nBands: Int = 24): DataFrame = {
+    val nBits = bandBits * nBands
+    val mask = (1L << bandBits) - 1
+    val banded = vecs
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.GraftFunctions.lshBucket(col("embedding"), nBits)
+          .as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until nBands).map { i =>
+          struct(lit(i).as("blk"),
+            shiftrightunsigned(col("bucket"), (nBands - 1 - i) * bandBits)
+              .bitwiseAND(mask).as("key"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("bk.blk"), col("bk.key"))
+    val l = banded.select(col("blk"), col("key"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val r = banded.select(col("blk").as("blk_b"), col("key").as("key_b"),
+      col("vec_id").as("id_b"), col("embedding").as("eb"))
+    // phase 1: the codegen double-cosine prefilter rides IN the band-join
+    // condition, so a pair sharing k bands is evaluated k times by the
+    // cheap fused loop but only SURVIVORS ever materialize as rows — the
+    // pair distinct then runs on O(true pairs × bands), not on the raw
+    // candidate mass (deduping first looked thriftier but shuffled the
+    // entire candidate set as rows: measured 12 s vs the exact baseline's
+    // 7 s at sf0.1/0.4, where 2-bit bands leave ~96% of pairs as
+    // candidates; prefilter-in-join cut the query to ~2 s and at a
+    // selective high-similarity threshold the two orders converge anyway).
+    // The margin sits far above graft_cosine's <1e-12 deviation from the
+    // exact value, so phase 2's decimal threshold is authoritative.
+    val pre = l.join(r, col("blk") === col("blk_b")
+        && col("key") === col("key_b") && col("id_a") < col("id_b")
+        && graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb"))
+          >= threshold - 1e-6)
+      .select("id_a", "id_b").distinct()
+    val n = vecs.select(col("vec_id"), col("embedding"),
+      ddot(col("embedding"), col("embedding")).as("nrm"))
+    // phase 2: re-join vectors and apply the decimal-exact threshold in a
+    // separate join chain so Catalyst can't fold the expensive exact
+    // filter back onto the full candidate set (see q_sim_cosine_pairs).
+    pre
+      .join(n.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** IVF (inverted-file) ANN: deterministic seed centroids (every 53rd
     * vector), one Lloyd refinement step — assignment is a broadcast
     * nested-loop join against ≤16 centroids, the update a posexplode +

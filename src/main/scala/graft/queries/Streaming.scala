@@ -177,12 +177,19 @@ object Streaming {
       .select(col("user_id"), col("n_events"), col("sum_value"), col("max_ts_us"))
     // update mode emits one snapshot per key per batch; keep the LAST
     // snapshot per user (n_events is strictly monotone across a user's
-    // snapshots, so the lexicographic struct-max is the latest) — the
-    // result is multi-batch-robust, not reliant on single-batch input
-    EventsStream.runToTable(spark, out, "update")
-      .groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("sum_value"), col("max_ts_us")))
-        .as("s"))
+    // snapshots, so the lexicographic struct-max is the latest). The
+    // per-batch max rides the sink path (foreachBatch parquet partials —
+    // O(users) rows per batch on the executors, never the driver), and
+    // struct-max is associative, so the final fold over batch partials
+    // equals the global last-snapshot fold at ANY key cardinality.
+    val snap = struct(col("n_events"), col("sum_value"), col("max_ts_us"))
+    val partials = EventsStream.runAggregated(spark, out, "update") { b =>
+      b.groupBy("user_id").agg(max(snap).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.sum_value").as("sum_value"), col("s.max_ts_us").as("max_ts_us"))
+    }
+    partials.groupBy("user_id")
+      .agg(max(snap).as("s"))
       .select(col("user_id"), col("s.n_events").as("n_events"),
         col("s.sum_value").as("sum_value"), col("s.max_ts_us").as("max_ts_us"))
       .orderBy("user_id")
@@ -423,11 +430,17 @@ object Streaming {
         .transformWithState(new graft.streaming.UserCountMaxProcessor,
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "n_events", "max_value")
-      // last snapshot per user (n_events strictly monotone) — see
-      // q_stream_stateful for why this is the multi-batch-robust fold
-      EventsStream.runToTable(spark, out, "update")
-        .groupBy("user_id")
-        .agg(max(struct(col("n_events"), col("max_value"))).as("s"))
+      // last snapshot per user (n_events strictly monotone), folded as
+      // foreachBatch parquet partials — see q_stream_stateful for why
+      // this is both multi-batch-robust and driver-safe at any key count
+      val snap = struct(col("n_events"), col("max_value"))
+      val partials = EventsStream.runAggregated(spark, out, "update") { b =>
+        b.groupBy("user_id").agg(max(snap).as("s"))
+          .select(col("user_id"), col("s.n_events").as("n_events"),
+            col("s.max_value").as("max_value"))
+      }
+      partials.groupBy("user_id")
+        .agg(max(snap).as("s"))
         .select(col("user_id"), col("s.n_events").as("n_events"),
           col("s.max_value").as("max_value"))
         .orderBy("user_id")

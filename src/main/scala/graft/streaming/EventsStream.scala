@@ -54,10 +54,12 @@ object EventsStream {
   def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_sink_${n.incrementAndGet()}"
     scopedStateConf(spark) {
+      val ckpt = ephemeralCheckpoint(name)
       val q = df.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ephemeralCheckpoint(name))
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      deleteNow(ckpt)
     }
     spark.table(name)
   }
@@ -72,7 +74,16 @@ object EventsStream {
     * fits a handful of stores — at 32 shuffle partitions the tiny-state
     * judged queries spent 48 s of cumulative wall in 128 near-empty
     * store commits. Scoped to query startup (the value is captured into
-    * the query's checkpoint at first batch) and restored after. */
+    * the query's checkpoint at first batch) and restored after.
+    *
+    * SINGLE-THREADED ASSUMPTION: this temporarily mutates the shared
+    * session's `spark.sql.shuffle.partitions`, so any batch query or
+    * second stream PLANNED concurrently on the same session during the
+    * window would silently pick up the scoped value, and overlapping
+    * scopes would restore stale values. All call sites in this repo are
+    * sequential (Verify/Bench run the catalog one query at a time). A
+    * concurrent deployment should instead pass the partition count per
+    * query (writeStream option / cloned session), not via shared conf. */
   private def scopedStateConf[A](spark: SparkSession)(run: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -84,13 +95,21 @@ object EventsStream {
   /** Checkpoint dir for a run-to-completion backfill query: RAM-backed
     * (/dev/shm) when the OS provides it WITH headroom (≥1 GiB usable —
     * containers often cap tmpfs at 64 MB, where state deltas would hit
-    * ENOSPC mid-query), tmpdir otherwise, deleted on exit. The
-    * checkpoint of an AvailableNow backfill into an ephemeral sink is
-    * itself ephemeral — there is no restart to recover; a production
-    * deployment passes its own durable checkpointLocation and never
-    * enters this path. State-store deltas and WAL fsyncs land in memory
-    * instead of disk, which halved the per-batch commit cost. */
-  private def ephemeralCheckpoint(name: String): String = {
+    * ENOSPC mid-query), tmpdir otherwise. The checkpoint of an
+    * AvailableNow backfill into an ephemeral sink is itself ephemeral —
+    * there is no restart to recover; a production deployment passes its
+    * own durable checkpointLocation and never enters this path.
+    * State-store deltas and WAL fsyncs land in memory instead of disk,
+    * which halved the per-batch commit cost.
+    *
+    * Lifecycle contract: the CALLER deletes the dir via [[deleteNow]]
+    * immediately after `awaitTermination()` — RAM-backed checkpoints
+    * that linger until JVM exit compete with the page cache and executor
+    * memory for the rest of the session (a two-pass bench over 10
+    * streaming queries accumulated enough tmpfs pages to slow the warm
+    * pass's shuffle-heavy queries measurably). The exit hook registered
+    * here is only the backstop for a query that dies before cleanup. */
+  private def ephemeralCheckpoint(name: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val shm = Paths.get("/dev/shm")
     val shmUsable = Files.isWritable(shm) &&
@@ -99,7 +118,20 @@ object EventsStream {
     val base = if (shmUsable) shm else Paths.get(sys.props("java.io.tmpdir"))
     val dir = Files.createTempDirectory(base, s"graft_ckpt_${name}_")
     deleteOnExit(dir)
-    dir.toString
+    dir
+  }
+
+  /** Recursively delete a finished query's checkpoint dir right away and
+    * drop it from the exit-hook queue. Best-effort: a failure leaves the
+    * dir to the backstop hook. */
+  private def deleteNow(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    try {
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      toDelete.remove(dir)
+    } catch { case _: Throwable => () }
   }
 
   /** Run a streaming DataFrame with the rollup INSIDE the stream's sink
@@ -127,15 +159,17 @@ object EventsStream {
       new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
     perBatch(empty).write.mode("append").parquet(out.toString)
     scopedStateConf(spark) {
+      val ckpt = ephemeralCheckpoint(s"agg_$id")
       val q = df.writeStream
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ephemeralCheckpoint(s"agg_$id"))
+        .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           perBatch(batch).write.mode("append").parquet(out.toString)
         }
         .start()
       q.awaitTermination()
+      deleteNow(ckpt)
     }
     spark.read.parquet(out.toString)
   }

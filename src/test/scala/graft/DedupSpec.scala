@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.Dedup
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 /** Recall/precision pins for the approximate dedup operators, measured
   * against the exact n-gram-Jaccard pairs (which are themselves DuckDB-
@@ -93,6 +94,39 @@ class DedupSpec extends SparkSpec {
     val labels = graft.operators.ConnectedComponents.minLabel(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
     assert(labels.count() == 0)
+  }
+
+  test("ANN embedding pairs are a subset of the exact pairs (precision 1.0)") {
+    // the decimal-exact verify stage makes every emitted ANN pair a true
+    // cos >= 0.4 pair — candidates can only LOSE pairs, never invent them
+    val exact = pairSet(queries.Similarity.qSimCosinePairs.run(spark, sf)
+      .select("id_a", "id_b").collect())
+    val ann = pairSet(queries.Similarity.annNearDupPairs(
+      Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding")), 0.4)
+      .collect())
+    assert(ann.subsetOf(exact), s"false positives: ${ann.diff(exact)}")
+    // at the deliberately wide 0.4 threshold (66 deg — far below the
+    // high-similarity regime LSH is designed for) recall is probabilistic;
+    // pin the measured floor so a banding regression is visible
+    assert(ann.size >= math.ceil(exact.size * 0.9).toInt,
+      s"recall ${ann.size}/${exact.size} fell below 0.9")
+  }
+
+  test("ANN embedding dedup finds every planted near-identical pair (recall 1.0 in its design regime)") {
+    // 50 vectors perturbed by +-0.001 per element (cos > 0.9999 to their
+    // originals): at this similarity the per-pair band-miss probability is
+    // < 1e-50, so exact recall is a safe deterministic assertion — this is
+    // the regime embedding near-dup dedup actually runs in
+    val base = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50)
+    val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + when(i % 2 === 0, lit(0.001f)).otherwise(lit(-0.001f)))
+          .cast("float")).as("embedding"))
+    val pairs = pairSet(queries.Similarity
+      .annNearDupPairs(base.unionByName(planted), 0.99).collect())
+    (0L until 50L).foreach(id => assert(pairs.contains((id, id + 100000L)),
+      s"missed planted near-identical pair $id"))
   }
 
   test("cluster resolution handles reversed/mixed edge orientation") {

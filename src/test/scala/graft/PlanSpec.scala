@@ -133,6 +133,21 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles:\n$p")
   }
 
+  test("ANN embedding dedup pair stage is a banded equi-join, never all-pairs") {
+    // the structural point of q_dedup_embedding_ann (vs q_dedup_embedding's
+    // deliberate n² baseline): candidates come from the native bucket
+    // expression + an equi-join on (band, key) — the plan must carry the
+    // codegen bucket and no nested-loop/cartesian anywhere
+    import org.apache.spark.sql.functions.col
+    val p = queries.Similarity.annNearDupPairs(
+      Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding")), 0.4)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("graft_lsh_bucket"), s"native bucket expr absent:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the ANN path:\n$p")
+  }
+
   test("LSH bucket is the native codegen expression, not the HOF tower") {
     val p = plan("q_sim_lsh_ann")
     assert(p.contains("graft_lsh_bucket"), s"native bucket expr absent:\n$p")

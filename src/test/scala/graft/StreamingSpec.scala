@@ -233,6 +233,32 @@ class StreamingSpec extends SparkSpec {
     assert(folded == batch, "struct-max fold must equal the batch aggregate")
   }
 
+  test("stream dedup thins the stream BEFORE the final distinct") {
+    // q_stream_dedup's sink folds through .distinct() for multi-batch
+    // robustness, which would also mask a dropDuplicatesWithinWatermark
+    // that degraded to identity — the oracle can no longer tell. This
+    // pins the operator itself: the pre-distinct emission must equal the
+    // distinct key count, not the raw event count. Runs at sf0.01 (the
+    // correctness-gate scale) because sf0.001 has one event per key and
+    // nothing to thin.
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.streaming.EventsStream.read(spark, dir)
+      .withWatermark("ts", "60 seconds")
+      .select(col("ts"), (col("event_id") % 1000).as("k"))
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"))
+    val emitted = graft.streaming.EventsStream.runToTable(spark, out, "append")
+      .count()
+    val raw = spark.read.parquet(s"$dir/events.parquet").count()
+    val distinctKeys = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id % 1000 AS k").distinct().count()
+    assert(raw > distinctKeys, "fixture must contain duplicate keys")
+    assert(emitted < raw,
+      s"dedup emitted $emitted of $raw raw rows — operator degraded to identity")
+    assert(emitted == distinctKeys,
+      s"expected $distinctKeys deduped keys from the single AvailableNow batch, got $emitted")
+  }
+
   test("fixed-point accumulator is exact and order-independent") {
     val vs = Seq(0.1, 0.2, 0.3, 1e-6, 123456.789123)
     val a = vs.map(Streaming.micros).sum
