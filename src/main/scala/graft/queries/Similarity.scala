@@ -178,11 +178,12 @@ object Similarity {
     * bits fused in codegen, the packed long is split into bands by
     * shift+mask (the SimHash blocking trick), and two vectors become a
     * candidate when ANY band agrees — a plain equi-join on (band, key),
-    * never an n² scan. Candidates are id-pairs only (16-byte shuffle
-    * rows); vectors re-attach by equi-join for the two-phase verify
-    * (codegen double-cosine prefilter over all candidates, decimal-exact
-    * cosine on the survivors — same shape as q_sim_cosine_pairs, so the
-    * emitted pairs are bit-exactly thresholded).
+    * never an n² scan. The codegen double-cosine prefilter rides in the
+    * join condition behind a first-agreeing-band integer gate (each
+    * colliding pair evaluates the cosine exactly once, see below); the
+    * decimal-exact cosine then re-verifies the survivors through a
+    * separate join chain — same shape as q_sim_cosine_pairs, so the
+    * emitted pairs are bit-exactly thresholded.
     *
     * Recall is the standard LSH S-curve 1-(1-p^b)^L with
     * p = 1 - θ/π: in the regime embedding near-dup dedup actually runs
@@ -198,34 +199,53 @@ object Similarity {
       bandBits: Int = 2, nBands: Int = 24): DataFrame = {
     val nBits = bandBits * nBands
     val mask = (1L << bandBits) - 1
+    // low bit position of band j's lane in the packed bucket (band 0 is
+    // most significant — the fold order of graft_lsh_bucket)
+    def laneBit(j: Int): Int = (nBands - 1 - j) * bandBits
+    // lane-indicator mask of all bands BEFORE band i: used below to emit
+    // each colliding pair from its FIRST agreeing band only
+    def maskTop(i: Int): Long =
+      (0 until i).map(j => 1L << laneBit(j)).foldLeft(0L)(_ | _)
     val banded = vecs
       .select(col("vec_id"), col("embedding"),
         graft.functions.GraftFunctions.lshBucket(col("embedding"), nBits)
           .as("bucket"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("bucket"),
         explode(array((0 until nBands).map { i =>
           struct(lit(i).as("blk"),
-            shiftrightunsigned(col("bucket"), (nBands - 1 - i) * bandBits)
-              .bitwiseAND(mask).as("key"))
+            shiftrightunsigned(col("bucket"), laneBit(i))
+              .bitwiseAND(mask).as("key"),
+            lit(maskTop(i)).as("mtop"))
         }: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("bk.blk"), col("bk.key"))
-    val l = banded.select(col("blk"), col("key"), col("vec_id").as("id_a"),
-      col("embedding").as("ea"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        col("bk.blk"), col("bk.key"), col("bk.mtop"))
+    val l = banded.select(col("blk"), col("key"), col("mtop"),
+      col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("bucket").as("ba"))
     val r = banded.select(col("blk").as("blk_b"), col("key").as("key_b"),
-      col("vec_id").as("id_b"), col("embedding").as("eb"))
-    // phase 1: the codegen double-cosine prefilter rides IN the band-join
-    // condition, so a pair sharing k bands is evaluated k times by the
-    // cheap fused loop but only SURVIVORS ever materialize as rows — the
-    // pair distinct then runs on O(true pairs × bands), not on the raw
-    // candidate mass (deduping first looked thriftier but shuffled the
-    // entire candidate set as rows: measured 12 s vs the exact baseline's
-    // 7 s at sf0.1/0.4, where 2-bit bands leave ~96% of pairs as
-    // candidates; prefilter-in-join cut the query to ~2 s and at a
-    // selective high-similarity threshold the two orders converge anyway).
-    // The margin sits far above graft_cosine's <1e-12 deviation from the
-    // exact value, so phase 2's decimal threshold is authoritative.
+      col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("bucket").as("bb"))
+    // Each colliding pair is emitted by its FIRST agreeing band only:
+    // fold the XOR of the two packed buckets so every lane's low bit says
+    // "this band differs", then require all lanes BEFORE this band to be
+    // set. Pure integer codegen, evaluated ahead of the cosine in the
+    // conjunction — so a pair sharing k bands pays k-1 two-op integer
+    // rejections and exactly ONE fused-cosine evaluation, the join never
+    // materializes band-duplicate rows, and the pair distinct is a
+    // correctness backstop over near-unique rows. (Deduping ids BEFORE
+    // any filtering shuffled the whole candidate mass as rows — measured
+    // 12 s vs the exact baseline's 7 s at sf0.1/0.4 where 2-bit bands
+    // leave ~96% of pairs as candidates; prefilter-in-join without the
+    // first-band rule still paid ~6 all-pairs of cosine evaluations.)
+    // The prefilter margin sits far above graft_cosine's <1e-12 deviation
+    // from the exact value, so phase 2's decimal threshold stays
+    // authoritative.
+    val x = col("ba").bitwiseXOR(col("bb"))
+    val laneNonzero = (0 until bandBits).map(s => shiftrightunsigned(x, s))
+      .reduce(_ bitwiseOR _)
     val pre = l.join(r, col("blk") === col("blk_b")
         && col("key") === col("key_b") && col("id_a") < col("id_b")
+        && (laneNonzero.bitwiseAND(col("mtop")) === col("mtop"))
         && graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb"))
           >= threshold - 1e-6)
       .select("id_a", "id_b").distinct()
