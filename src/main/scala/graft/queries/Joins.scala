@@ -306,8 +306,100 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** Fact-to-fact INTERVAL join with NO equi key, decomposed into a
+    * bucketed equi-join — the scale path when q_join_range's
+    * broadcast-the-bands shape stops working because BOTH sides are
+    * facts. Each click gets one W=5-minute bucket; each purchase probes
+    * its own bucket and the previous one (an interval of length ≤ W spans
+    * at most two buckets), so candidates come from a plain equi-join on
+    * the bucket id with the exact interval predicate as the join
+    * residual. Probe mass is bounded by per-bucket co-occupancy — linear
+    * in time-density, never |L|×|R| — and a pair can match only one probe
+    * (buckets are disjoint), so no dedup step exists. Semantics:
+    * platform-wide purchase attribution — clicks by ANY user in the 5
+    * minutes before each purchase (deliberately keyless: with a user key
+    * the join is already an equi join and needs no decomposition —
+    * that variant is q_events_funnel below). */
+  val qJoinIntervalBucketed: QueryDef = QueryDef.oracle(
+    "q_join_interval_bucketed",
+    """SELECT p_day AS day, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT pid) AS n_purchases
+      |FROM (
+      |  SELECT p.event_id AS pid, epoch_us(p.ts) // 86400000000 AS p_day
+      |  FROM events p JOIN events c
+      |    ON p.event_type = 'purchase' AND c.event_type = 'click'
+      |   AND epoch_us(c.ts) >= epoch_us(p.ts) - 300000000
+      |   AND epoch_us(c.ts) <  epoch_us(p.ts))
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val W = 300000000L // 5 minutes in µs
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("us").as("c_us"))
+      .withColumn("bk", expr(s"c_us div $W"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("us").as("p_us"))
+      .withColumn("pb", expr(s"p_us div $W"))
+      .select(col("pid"), col("p_us"),
+        explode(array(col("pb"), col("pb") - 1)).as("bk"))
+    purchases.join(clicks, "bk")
+      .filter(col("c_us") >= col("p_us") - W && col("c_us") < col("p_us"))
+      .groupBy(expr("p_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("pid")).as("n_purchases"))
+      .orderBy("day")
+  }
+
+  /** Click→purchase conversion funnel: a click CONVERTS when the same
+    * user purchases within the following 30 minutes. Exists-within-window
+    * is a temporal LEFT SEMI join — hash semi join on the user equi key
+    * with the interval as the join residual, so each click is emitted at
+    * most once no matter how many purchases land in its window (the inner
+    * join + distinct formulation would materialize every matching pair
+    * first). Per-bucket totals then come from two small aggregates; the
+    * batch twin of q_stream_join's streaming attribution. */
+  val qEventsFunnel: QueryDef = QueryDef.oracle(
+    "q_events_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+      |conv AS (
+      |  SELECT c.user_id FROM c
+      |  WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+      |                AND p.us >= c.us AND p.us <= c.us + 1800000000))
+      |SELECT bucket, n_clicks, COALESCE(n_converted, 0) AS n_converted
+      |FROM (SELECT user_id % 16 AS bucket, COUNT(*) AS n_clicks
+      |      FROM c GROUP BY 1) t
+      |LEFT JOIN (SELECT user_id % 16 AS bucket, COUNT(*) AS n_converted
+      |           FROM conv GROUP BY 1) v USING (bucket)
+      |ORDER BY bucket""".stripMargin,
+  ) { (spark, dir) =>
+    val W = 1800000000L // 30 minutes in µs
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"))
+    val converted = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + W,
+      "left_semi")
+    val total = clicks.groupBy((col("c_user") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val conv = converted.groupBy((col("c_user") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_converted"))
+    total.join(conv, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_clicks"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinRightOuter, qJoinFullOuter, qJoinTheta, qJoinRange, qJoinAsof,
-    qJoinBloom, qJoinSalted)
+    qJoinBloom, qJoinSalted, qJoinIntervalBucketed, qEventsFunnel)
 }

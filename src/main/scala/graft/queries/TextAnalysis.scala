@@ -228,6 +228,49 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Vocabulary construction — the tokenizer-building pass of a training
+    * pipeline: token → frequency with a min-count cutoff and DENSE
+    * contiguous ids ordered by (count desc, token asc). The id assignment
+    * is the part that matters at 100 TB: a bare
+    * `ROW_NUMBER() OVER (ORDER BY …)` funnels the ENTIRE vocabulary
+    * through one partition. Instead: (1) histogram the counts — rows =
+    * distinct frequency VALUES, thousands at most, Zipf guarantees it;
+    * (2) prefix-sum offsets over that tiny table (the only unpartitioned
+    * window, deliberately on aggregate-sized input); (3) broadcast the
+    * offsets back and rank WITHIN each count partition — every partition
+    * ranks in parallel, id = offset(count) + local rank. Oracle proves
+    * the distributed ranking equals the single-window definition. */
+  val qTextVocab: QueryDef = QueryDef.oracle(
+    "q_text_vocab",
+    """WITH c AS (
+      |  SELECT w AS token, COUNT(*) AS n FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY 1 HAVING COUNT(*) >= 3)
+      |SELECT token, CAST(n AS BIGINT) AS n,
+      |  ROW_NUMBER() OVER (ORDER BY n DESC, token) AS vocab_id
+      |FROM c ORDER BY vocab_id""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir).documents
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+    val hist = counts.groupBy("n").agg(count(lit(1)).as("c"))
+    val off = hist
+      .withColumn("offset",
+        coalesce(sum(col("c")).over(Window.orderBy(col("n").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n"), col("offset"))
+    counts.join(broadcast(off), "n")
+      .withColumn("vocab_id",
+        col("offset") + row_number().over(
+          Window.partitionBy("n").orderBy("token")))
+      .select(col("token"), col("n"), col("vocab_id"))
+      .orderBy("vocab_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qTextChunk)
+    Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qTextChunk,
+      qTextVocab)
 }

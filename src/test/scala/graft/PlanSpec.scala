@@ -148,6 +148,23 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in the ANN path:\n$p")
   }
 
+  test("vocab ranking window is partitioned by count, never the whole vocabulary") {
+    // the distributed dense-rank: the only row_number over the token table
+    // must be PARTITIONED BY the frequency value; an unpartitioned window
+    // there would funnel the entire 100 TB vocabulary through one task
+    // (the tiny histogram prefix-sum window is the deliberate exception)
+    val p = plan("q_text_vocab")
+    val ranks = p.linesIterator.filter(_.contains("row_number()")).mkString("\n")
+    assert(ranks.nonEmpty, s"no ranking window found:\n$p")
+    assert(ranks.contains("windowspecdefinition(n#"),
+      s"token ranking window is not partitioned by count:\n$ranks")
+  }
+
+  test("funnel conversion is a semi join — clicks never fan out per purchase") {
+    val p = plan("q_events_funnel")
+    assert(p.contains("LeftSemi"), s"expected temporal left-semi join:\n$p")
+  }
+
   test("LSH bucket is the native codegen expression, not the HOF tower") {
     val p = plan("q_sim_lsh_ann")
     assert(p.contains("graft_lsh_bucket"), s"native bucket expr absent:\n$p")
