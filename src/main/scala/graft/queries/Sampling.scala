@@ -84,5 +84,45 @@ object Sampling {
       .orderBy("lang")
   }
 
-  val all: Seq[QueryDef] = Seq(qSampleHash, qSampleSplit, qSampleStratified)
+  /** EXACT class rebalance — downsample every language to the size of
+    * the scarcest one, so output class counts are equal BY CONSTRUCTION
+    * (the hard guarantee q_sample_stratified's hand-tuned rates only
+    * approximate). Rows are ranked per language by the Knuth scramble of
+    * doc_id — a deterministic shuffle, membership a pure function of the
+    * data — and rank ≤ global-minimum-class-count keeps the head. The
+    * ranking window is PARTITIONED by language (parallel; never a
+    * whole-corpus window), and the target size rides as a one-row
+    * broadcast — the nested-loop it plans is a 1-row × corpus scalar
+    * attach, the same by-design shape as q_ts_gapfill's grid. */
+  val qSampleBalance: QueryDef = QueryDef.oracle(
+    "q_sample_balance",
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+      |  FROM documents),
+      |t AS (SELECT MIN(c) AS target FROM
+      |      (SELECT COUNT(*) AS c FROM documents GROUP BY lang) s)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM r, t WHERE rk <= target
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val scr = (col("doc_id") * 2654435761L) % 1000000007L
+    val ranked = docs
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(scr.asc, col("doc_id").asc)))
+    val target = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("target"))
+    ranked.crossJoin(broadcast(target))
+      .filter(col("rk") <= col("target"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qSampleHash, qSampleSplit, qSampleStratified, qSampleBalance)
 }

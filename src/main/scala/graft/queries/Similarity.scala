@@ -187,7 +187,7 @@ object Similarity {
     *
     * Recall is the standard LSH S-curve 1-(1-p^b)^L with
     * p = 1 - θ/π: in the regime embedding near-dup dedup actually runs
-    * (cos ≥ 0.9 ⇒ p ≥ 0.86, b=2, L=24 ⇒ miss < 3e-15) recall is 1.0 for
+    * (cos ≥ 0.9 ⇒ p ≥ 0.856, b=2, L=24 ⇒ miss (1−p²)²⁴ < 2e-14) recall is 1.0 for
     * every practical corpus — DedupSpec proves it on planted
     * near-identical vectors. At the deliberately wide catalog threshold
     * (0.4, ~66°: p ≈ 0.63, per-pair miss ≈ (1-p²)^24 ≈ 5e-6 but
