@@ -72,4 +72,15 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(r1.toMap == r2)
   }
+
+  test("class rebalance yields exactly equal counts, each the minimum class size") {
+    val rows = graft.queries.Sampling.qSampleBalance.run(spark, sf).collect()
+    val counts = rows.map(_.getLong(1)).toSet
+    assert(counts.size == 1, s"unequal class counts: ${rows.mkString(", ")}")
+    val minClass = graft.Tables(spark, sf).documents
+      .groupBy("lang").count().agg(org.apache.spark.sql.functions.min("count"))
+      .head().getLong(0)
+    assert(counts.head == minClass,
+      s"balanced size ${counts.head} != scarcest class $minClass")
+  }
 }
