@@ -85,6 +85,11 @@ object GraftFunctions {
     GraftColumnBridge.column(HyperplaneBucket(
       GraftColumnBridge.expression(a), nBits))
 
+  /** Column-API entry point: `minhash($"shingles", 16)`. */
+  def minhash(a: Column, nHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSignature(
+      GraftColumnBridge.expression(a), nHashes))
+
   val cosineIdent: FunctionIdentifier = FunctionIdentifier("graft_cosine")
 
   val cosineInfo: ExpressionInfo = new ExpressionInfo(
@@ -115,5 +120,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.cosineBuilder))
     ext.injectFunction((HyperplaneBucket.ident, HyperplaneBucket.info,
       HyperplaneBucket.builder))
+    ext.injectFunction((MinHashSignature.ident, MinHashSignature.info,
+      MinHashSignature.builder))
   }
 }

@@ -26,7 +26,7 @@ object Dedup {
     * shingling O(L²); on 100-token docs that was ~5× the whole query.)
     * Guarded for <3-token docs: `when` branches evaluate lazily, so the
     * negative-length slices never run. */
-  private def shingles(c: Column): Column = {
+  private[graft] def shingles(c: Column): Column = {
     val ws = toks(c)
     val n = size(ws)
     when(n >= 3,
@@ -162,14 +162,15 @@ object Dedup {
         .select(col("doc_id"), shingles(col("text")).as("s"))
         .filter(size(col("s")) > 0)
         .cache()
-      // hash each shingle string ONCE, then derive the k minhashes from
-      // the cheap long re-hash — 16× fewer string hashes
+      // signature build is the stage that touches every shingle of all
+      // 100 TB, so it runs as ONE native codegen loop (graft_minhash:
+      // each shingle string hashed once, k lane-minima by cheap long
+      // re-hash) — bit-identical to the interpreted HOF tower it
+      // replaced, which paid k+1 lambda closures and k+1 intermediate
+      // arrays per document (DedupSpec pins the equality)
       val sig = docs
-        .withColumn("hs", transform(col("s"), x => xxhash64(x)))
         .select(col("doc_id"),
-          array((0 until nHashes).map { k =>
-            array_min(transform(col("hs"), h => xxhash64(lit(k), h)))
-          }: _*).as("mh"))
+          graft.functions.GraftFunctions.minhash(col("s"), nHashes).as("mh"))
       val banded = sig.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),

@@ -96,6 +96,28 @@ class DedupSpec extends SparkSpec {
     assert(labels.count() == 0)
   }
 
+  test("native minhash signature is bit-identical to the HOF tower") {
+    // the codegen graft_minhash must reproduce the interpreted
+    // formulation exactly — same left-fold xxhash64 seeds, same minima —
+    // or every band key (and thus the candidate set) silently shifts
+    val nHashes = 16
+    val s = Tables(spark, sf).documents
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .filter(size(col("s")) > 0)
+    val hof = s.withColumn("hs", transform(col("s"), x => xxhash64(x)))
+      .select(col("doc_id"), array((0 until nHashes).map { k =>
+        array_min(transform(col("hs"), h => xxhash64(lit(k), h)))
+      }: _*).as("mh"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val native = s.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash(col("s"), nHashes).as("mh"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(native.sameElements(hof),
+      "native minhash diverged from the HOF formulation")
+  }
+
   test("ANN embedding pairs are a subset of the exact pairs (precision 1.0)") {
     // the decimal-exact verify stage makes every emitted ANN pair a true
     // cos >= 0.4 pair — candidates can only LOSE pairs, never invent them

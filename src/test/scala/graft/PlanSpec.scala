@@ -166,6 +166,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"expected temporal left-semi join:\n$p")
   }
 
+  test("minhash signature is the native codegen expression, not the HOF tower") {
+    val p = plan("q_dedup_minhash_lsh")
+    assert(p.contains("graft_minhash"), s"native minhash expr absent:\n$p")
+    // the signature scan touches every shingle of the corpus — it must
+    // carry no interpreted HOF; lambdas may only appear in the exact
+    // Jaccard verify that runs after banding prunes candidates
+    val sigScan = p.linesIterator
+      .filter(_.contains("graft_minhash")).mkString("\n")
+    assert(!sigScan.contains("lambdafunction"),
+      s"interpreted HOF on the signature scan path:\n$sigScan")
+  }
+
   test("LSH bucket is the native codegen expression, not the HOF tower") {
     val p = plan("q_sim_lsh_ann")
     assert(p.contains("graft_lsh_bucket"), s"native bucket expr absent:\n$p")
