@@ -90,6 +90,10 @@ object GraftFunctions {
     GraftColumnBridge.column(MinHashSignature(
       GraftColumnBridge.expression(a), nHashes))
 
+  /** Column-API entry point: `shingleHashes($"text")`. */
+  def shingleHashes(a: Column): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(a)))
+
   val cosineIdent: FunctionIdentifier = FunctionIdentifier("graft_cosine")
 
   val cosineInfo: ExpressionInfo = new ExpressionInfo(
@@ -122,5 +126,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneBucket.builder))
     ext.injectFunction((MinHashSignature.ident, MinHashSignature.info,
       MinHashSignature.builder))
+    ext.injectFunction((ShingleHashes.ident, ShingleHashes.info,
+      ShingleHashes.builder))
   }
 }

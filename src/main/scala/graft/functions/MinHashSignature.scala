@@ -6,10 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
-/** Native Catalyst expression: the k-lane MinHash signature of an
-  * `array<string>` shingle set — per shingle ONE string hash, then per
-  * lane one cheap long re-hash and a compare, all fused into a single
-  * primitive loop inside whole-stage codegen.
+/** Native Catalyst expression: the k-lane MinHash signature of a shingle
+  * set — per shingle ONE string hash, then per lane one cheap long
+  * re-hash and a compare, all fused into a single primitive loop inside
+  * whole-stage codegen. Accepts `array<string>` (raw shingles, hashed
+  * here) or `array<long>` (pre-hashed shingles from
+  * [[ShingleHashes]] — the values ARE `xxhash64(string)`, so both input
+  * forms yield identical signatures).
   *
   * Bit-identical to the HOF formulation it replaces
   * (`array((0 until k).map(j => array_min(transform(transform(s, x => xxhash64(x)), h => xxhash64(lit(j), h)))))`):
@@ -37,6 +40,9 @@ final case class MinHashSignature(child: Expression, nHashes: Int)
   @transient private lazy val seeds: Array[Long] =
     MinHashSignature.seeds(nHashes)
 
+  @transient private lazy val preHashed: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
@@ -44,7 +50,8 @@ final case class MinHashSignature(child: Expression, nHashes: Int)
     val acc = Array.fill(nHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(xs.getUTF8String(i), 42L)
+      val h = if (preHashed) xs.getLong(i)
+        else XXH64.hashUTF8String(xs.getUTF8String(i), 42L)
       var k = 0
       while (k < nHashes) {
         val v = XXH64.hashLong(h, seeds(k))
@@ -67,6 +74,9 @@ final case class MinHashSignature(child: Expression, nHashes: Int)
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
       val xxh = classOf[XXH64].getName
+      val hashElem =
+        if (preHashed) s"$a.getLong($i)"
+        else s"$xxh.hashUTF8String($a.getUTF8String($i), 42L)"
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) {
@@ -75,7 +85,7 @@ final case class MinHashSignature(child: Expression, nHashes: Int)
          |  long[] $acc = new long[$nHashes];
          |  java.util.Arrays.fill($acc, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |    long $h = $hashElem;
          |    for (int $k = 0; $k < $nHashes; $k++) {
          |      long $v = $xxh.hashLong($h, $s[$k]);
          |      if ($v < $acc[$k]) $acc[$k] = $v;

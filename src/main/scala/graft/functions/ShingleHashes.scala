@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression: the distinct word-3-gram shingle hashes of a text
+  * column — tokenize on single spaces (empties dropped), join each three
+  * consecutive tokens with one space, xxhash64 the shingle, dedup —
+  * computed in ONE compiled pass per row with a reused scratch buffer.
+  *
+  * Hash-compatible with the declarative formulation it replaces
+  * (`transform(array_distinct(zip_with(zip_with(slice…))), x => xxhash64(x))`):
+  * each shingle's hash is `XXH64.hashUnsafeBytes` over exactly the UTF-8
+  * bytes `xxhash64(string)` hashes, so every downstream band key,
+  * signature lane, and join key is unchanged (DedupSpec pins equality on
+  * the corpus). The one semantic nuance: dedup happens on the HASHES,
+  * not the strings — two distinct shingles colliding in 64 bits would
+  * merge; at S shingles/doc that is a ~S²/2⁶⁵ event (~1e-13 here), the
+  * same collision tolerance the MinHash/decontamination stages already
+  * document. Tokens shorter than 3 words yield an empty array, matching
+  * the guarded slice formulation. Byte-level scan is UTF-8-safe: 0x20
+  * never occurs inside a multi-byte sequence.
+  *
+  * The heavy lifting lives in [[ShingleHashes.compute]], called as ONE
+  * static invocation from generated code — the scan stage that touches
+  * every byte of a 100 TB corpus runs compiled either way, with no
+  * per-element lambda interpretation and no intermediate string arrays.
+  */
+final case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes = copy(child = newChild)
+}
+
+object ShingleHashes {
+
+  /** One-pass shingle hashing; static so generated code calls it
+    * directly. Returns an UnsafeArrayData of distinct 3-gram hashes in
+    * first-occurrence order. */
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // token spans (start, end) over the byte array
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var t = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        val s0 = i
+        while (i < n && bytes(i) != ' ') i += 1
+        if (t == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, t * 2)
+          ends = java.util.Arrays.copyOf(ends, t * 2)
+        }
+        starts(t) = s0; ends(t) = i; t += 1
+      }
+    }
+    if (t < 3) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    var scratch = new Array[Byte](64)
+    val out = new Array[Long](t - 2)
+    val seen = new java.util.HashSet[java.lang.Long](t * 2)
+    var m = 0
+    var j = 0
+    while (j < t - 2) {
+      val len = (ends(j) - starts(j)) + (ends(j + 1) - starts(j + 1)) +
+        (ends(j + 2) - starts(j + 2)) + 2
+      if (scratch.length < len) scratch = new Array[Byte](len * 2)
+      var p = 0
+      var w = j
+      while (w <= j + 2) {
+        val l = ends(w) - starts(w)
+        System.arraycopy(bytes, starts(w), scratch, p, l)
+        p += l
+        if (w < j + 2) { scratch(p) = ' '; p += 1 }
+        w += 1
+      }
+      val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  val ident: FunctionIdentifier = FunctionIdentifier("graft_shingle_hashes")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[ShingleHashes].getName, null, "graft_shingle_hashes",
+    "graft_shingle_hashes(text) - distinct xxhash64 values of word-3-gram shingles",
+    "", "", "", "", "", "", "built-in")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a) => ShingleHashes(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_shingle_hashes expects 1 argument, got ${other.size}")
+  }
+}

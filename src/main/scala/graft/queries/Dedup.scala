@@ -120,11 +120,14 @@ object Dedup {
     // ever materialize (linear in co-occurrence mass, not quadratic in
     // documents; the naive pairwise array_intersect was ~30× slower).
     // Shingles join by their xxhash64 (8-byte shuffle keys, not ~25-byte
-    // strings) and the exploded token table is cached so the shingling
-    // expression runs once, not once per join side.
+    // strings), produced by the native graft_shingle_hashes scan (one
+    // compiled pass per row — no HOF tower on the corpus-wide stage;
+    // DedupSpec pins hash equality with the declarative formulation),
+    // and the exploded token table is cached so shingling runs once, not
+    // once per join side.
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("lang"),
-        transform(shingles(col("text")), x => xxhash64(x)).as("hs"))
+        graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
       .withColumn("sz", size(col("hs")))
     val tok = docs.select(col("doc_id"), col("lang"), col("sz"),
       explode(col("hs")).as("sh")).cache()
@@ -156,18 +159,22 @@ object Dedup {
     (spark, dir) =>
       val nHashes = 16
       val bands = 8 // × 2 rows each
-      // cached: the shingle arrays feed the signature build AND both
-      // sides of the candidate-verification rejoin
+      // cached: the shingle-hash arrays feed the signature build AND both
+      // sides of the candidate-verification rejoin (hashes, not strings —
+      // graft_minhash consumes them directly and exact-Jaccard
+      // verification intersects them with identical counts, so the
+      // strings never materialize at all)
       val docs = Tables(spark, dir).documents
-        .select(col("doc_id"), shingles(col("text")).as("s"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.shingleHashes(col("text")).as("s"))
         .filter(size(col("s")) > 0)
         .cache()
       // signature build is the stage that touches every shingle of all
-      // 100 TB, so it runs as ONE native codegen loop (graft_minhash:
-      // each shingle string hashed once, k lane-minima by cheap long
-      // re-hash) — bit-identical to the interpreted HOF tower it
-      // replaced, which paid k+1 lambda closures and k+1 intermediate
-      // arrays per document (DedupSpec pins the equality)
+      // 100 TB, so it runs as ONE native codegen loop (graft_minhash over
+      // the pre-hashed shingles: k lane-minima by cheap long re-hash) —
+      // bit-identical to the interpreted HOF tower it replaced, which
+      // paid k+1 lambda closures and k+1 intermediate arrays per
+      // document (DedupSpec pins the equality)
       val sig = docs
         .select(col("doc_id"),
           graft.functions.GraftFunctions.minhash(col("s"), nHashes).as("mh"))

@@ -96,6 +96,41 @@ class DedupSpec extends SparkSpec {
     assert(labels.count() == 0)
   }
 
+  test("native shingle hashes equal the declarative formulation exactly") {
+    // graft_shingle_hashes must reproduce transform(shingles(text),
+    // xxhash64) value-for-value (as sets — dedup on hashes vs strings
+    // can only differ on a 64-bit collision, absent here), or every
+    // downstream join key and signature silently shifts
+    val docs = Tables(spark, sf).documents
+    val hof = docs.select(col("doc_id"),
+      transform(Dedup.shingles(col("text")), x => xxhash64(x)).as("hs"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val native = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    assert(native.sameElements(hof),
+      "native shingle hashes diverged from the declarative formulation")
+  }
+
+  test("minhash over pre-hashed shingles equals minhash over shingle strings") {
+    val nHashes = 16
+    val docs = Tables(spark, sf).documents
+      .filter(size(Dedup.shingles(col("text"))) > 0)
+    val fromStrings = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions
+        .minhash(Dedup.shingles(col("text")), nHashes).as("mh"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val fromHashes = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash(
+        graft.functions.GraftFunctions.shingleHashes(col("text")), nHashes)
+        .as("mh"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(fromHashes.sameElements(fromStrings),
+      "pre-hashed minhash path diverged from the string path")
+  }
+
   test("native minhash signature is bit-identical to the HOF tower") {
     // the codegen graft_minhash must reproduce the interpreted
     // formulation exactly — same left-fold xxhash64 seeds, same minima —
