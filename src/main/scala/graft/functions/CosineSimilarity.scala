@@ -90,9 +90,10 @@ object GraftFunctions {
     GraftColumnBridge.column(MinHashSignature(
       GraftColumnBridge.expression(a), nHashes))
 
-  /** Column-API entry point: `shingleHashes($"text")`. */
-  def shingleHashes(a: Column): Column =
-    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(a)))
+  /** Column-API entry point: `shingleHashes($"text", 3)`. */
+  def shingleHashes(a: Column, gramSize: Int = 3): Column =
+    GraftColumnBridge.column(
+      ShingleHashes(GraftColumnBridge.expression(a), gramSize))
 
   val cosineIdent: FunctionIdentifier = FunctionIdentifier("graft_cosine")
 

@@ -8,10 +8,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native expression: the distinct word-3-gram shingle hashes of a text
-  * column — tokenize on single spaces (empties dropped), join each three
-  * consecutive tokens with one space, xxhash64 the shingle, dedup —
-  * computed in ONE compiled pass per row with a reused scratch buffer.
+/** Native expression: the distinct word-n-gram (default 3) shingle
+  * hashes of a text column — tokenize on single spaces (empties
+  * dropped), join each n consecutive tokens with one space, xxhash64 the
+  * shingle, dedup — computed in ONE compiled pass per row with a reused
+  * scratch buffer.
   *
   * Hash-compatible with the declarative formulation it replaces
   * (`transform(array_distinct(zip_with(zip_with(slice…))), x => xxhash64(x))`):
@@ -22,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * not the strings — two distinct shingles colliding in 64 bits would
   * merge; at S shingles/doc that is a ~S²/2⁶⁵ event (~1e-13 here), the
   * same collision tolerance the MinHash/decontamination stages already
-  * document. Tokens shorter than 3 words yield an empty array, matching
+  * document. Texts shorter than n words yield an empty array, matching
   * the guarded slice formulation. Byte-level scan is UTF-8-safe: 0x20
   * never occurs inside a multi-byte sequence.
   *
@@ -31,18 +32,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * every byte of a 100 TB corpus runs compiled either way, with no
   * per-element lambda interpretation and no intermediate string arrays.
   */
-final case class ShingleHashes(child: Expression) extends UnaryExpression {
+final case class ShingleHashes(child: Expression, gramSize: Int)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def prettyName: String = "graft_shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String])
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], gramSize)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.ShingleHashes.compute($a);")
+      s"${ev.value} = graft.functions.ShingleHashes.compute($a, $gramSize);")
 
   override protected def withNewChildInternal(
       newChild: Expression): ShingleHashes = copy(child = newChild)
@@ -51,9 +53,9 @@ final case class ShingleHashes(child: Expression) extends UnaryExpression {
 object ShingleHashes {
 
   /** One-pass shingle hashing; static so generated code calls it
-    * directly. Returns an UnsafeArrayData of distinct 3-gram hashes in
+    * directly. Returns an UnsafeArrayData of distinct g-gram hashes in
     * first-occurrence order. */
-  def compute(text: UTF8String): ArrayData = {
+  def compute(text: UTF8String, g: Int): ArrayData = {
     val bytes = text.getBytes
     val n = bytes.length
     // token spans (start, end) over the byte array
@@ -73,23 +75,24 @@ object ShingleHashes {
         starts(t) = s0; ends(t) = i; t += 1
       }
     }
-    if (t < 3) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    if (t < g) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     var scratch = new Array[Byte](64)
-    val out = new Array[Long](t - 2)
+    val out = new Array[Long](t - g + 1)
     val seen = new java.util.HashSet[java.lang.Long](t * 2)
     var m = 0
     var j = 0
-    while (j < t - 2) {
-      val len = (ends(j) - starts(j)) + (ends(j + 1) - starts(j + 1)) +
-        (ends(j + 2) - starts(j + 2)) + 2
+    while (j <= t - g) {
+      var len = g - 1
+      var w = j
+      while (w < j + g) { len += ends(w) - starts(w); w += 1 }
       if (scratch.length < len) scratch = new Array[Byte](len * 2)
       var p = 0
-      var w = j
-      while (w <= j + 2) {
+      w = j
+      while (w < j + g) {
         val l = ends(w) - starts(w)
         System.arraycopy(bytes, starts(w), scratch, p, l)
         p += l
-        if (w < j + 2) { scratch(p) = ' '; p += 1 }
+        if (w < j + g - 1) { scratch(p) = ' '; p += 1 }
         w += 1
       }
       val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 42L)
@@ -104,12 +107,15 @@ object ShingleHashes {
 
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[ShingleHashes].getName, null, "graft_shingle_hashes",
-    "graft_shingle_hashes(text) - distinct xxhash64 values of word-3-gram shingles",
+    "graft_shingle_hashes(text[, n]) - distinct xxhash64 values of word-n-gram shingles",
     "", "", "", "", "", "", "built-in")
 
   val builder: Seq[Expression] => Expression = {
-    case Seq(a) => ShingleHashes(a)
+    case Seq(a) => ShingleHashes(a, 3)
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+        org.apache.spark.sql.types.IntegerType)) => ShingleHashes(a, n)
     case other => throw new IllegalArgumentException(
-      s"graft_shingle_hashes expects 1 argument, got ${other.size}")
+      "graft_shingle_hashes expects (text[, gram size literal]), got " +
+        other.mkString(", "))
   }
 }

@@ -86,9 +86,14 @@ object Curation {
     * pass over only the flagged set). */
   def contaminated(docs: org.apache.spark.sql.DataFrame,
       isEval: Column): org.apache.spark.sql.DataFrame = {
+    // gram hashing is the corpus-wide scan stage → the native one-pass
+    // graft_shingle_hashes(text, 5); hash-identical to
+    // transform(grams5(text), xxhash64) (CurationSpec pins it), dedup on
+    // hashes covered by the collision-tolerance note above
     val ex = docs
       .select(col("doc_id"), col("source"), isEval.as("is_eval"),
-        explode(transform(grams5(col("text")), x => xxhash64(x))).as("h"))
+        explode(graft.functions.GraftFunctions.shingleHashes(col("text"), 5))
+          .as("h"))
     val evalGrams = ex.filter(col("is_eval"))
       .select(col("h").as("he")).distinct()
     ex.filter(!col("is_eval"))

@@ -87,4 +87,21 @@ class CurationSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 6L),
       s"got $bins")
   }
+
+  test("native 5-gram hashes equal the declarative grams5 formulation") {
+    // graft_shingle_hashes(text, 5) must reproduce
+    // transform(grams5(text), xxhash64) as a set, or decontamination's
+    // broadcast gram keys silently shift
+    val docs = Tables(spark, sf).documents
+    val hof = docs.select(col("doc_id"),
+      transform(Curation.grams5(col("text")), x => xxhash64(x)).as("hs"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val native = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.shingleHashes(col("text"), 5).as("hs"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    assert(native.sameElements(hof),
+      "native 5-gram hashes diverged from the declarative formulation")
+  }
 }
