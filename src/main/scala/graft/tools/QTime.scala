@@ -12,6 +12,8 @@ object QTime {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("graft.streaming.statePartitions",
+        sys.env.getOrElse("GRAFT_STATE_PARTS", "8"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
