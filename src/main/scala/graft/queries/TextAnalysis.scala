@@ -270,7 +270,59 @@ object TextAnalysis {
       .orderBy("vocab_id")
   }
 
+  /** Adjacent-token bigram statistics with PMI — the pair-frequency pass
+    * at the heart of BPE-style tokenizer training (which token pairs to
+    * merge) and collocation mining. Bigrams come from zipping two
+    * shifted slices per row (linear, no index lambdas), shuffle as
+    * (w1, w2) counts with map-side partial aggregation; the two corpus
+    * totals ride as 1-row broadcast crosses and the unigram table
+    * broadcasts into the two attachment joins — the corpus never
+    * shuffles twice. PMI is one fixed-order double expression over
+    * integer counts (products stay < 2⁶³), rounded at 4 dp, so both
+    * engines agree exactly. */
+  val qTextBigrams: QueryDef = QueryDef.oracle(
+    "q_text_bigrams",
+    """WITH w AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |uni AS (SELECT unnest(ws) AS w FROM w),
+      |ucnt AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+      |nu AS (SELECT COUNT(*) AS n FROM uni),
+      |big AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |        FROM w, unnest(range(1, len(ws))) t(i)),
+      |bcnt AS (SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2),
+      |nb AS (SELECT COUNT(*) AS n FROM big)
+      |SELECT w1, w2, bcnt.n AS n_pair,
+      |  ROUND(LN(CAST(bcnt.n * nu.n * nu.n AS DOUBLE)
+      |           / CAST(nb.n * u1.n * u2.n AS DOUBLE)), 4) AS pmi
+      |FROM bcnt CROSS JOIN nu CROSS JOIN nb
+      |JOIN ucnt u1 ON u1.w = bcnt.w1
+      |JOIN ucnt u2 ON u2.w = bcnt.w2
+      |ORDER BY n_pair DESC, w1, w2 LIMIT 15""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val ws = toks(col("text"))
+    val pairs = docs.select(explode(when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val uni = docs.select(explode(ws).as("w"))
+    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("n"))
+    val nu = uni.agg(count(lit(1)).as("nu"))
+    val bcnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val nb = pairs.agg(count(lit(1)).as("nb"))
+    bcnt.crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .join(broadcast(ucnt.select(col("w").as("w1"), col("n").as("n1"))), "w1")
+      .join(broadcast(ucnt.select(col("w").as("w2"), col("n").as("n2"))), "w2")
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair") * col("nu") * col("nu")).cast("double")
+          / (col("nb") * col("n1") * col("n2")).cast("double")), 4).as("pmi"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(15)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qTextChunk,
-      qTextVocab)
+      qTextVocab, qTextBigrams)
 }

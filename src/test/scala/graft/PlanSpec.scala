@@ -26,7 +26,8 @@ class PlanSpec extends SparkSpec {
     "q_sim_cosine_pairs", "q_sim_topk", "q_sim_topk_fast", "q_sim_ivf_ann",
     "q_dedup_embedding", // pair stage = q_sim_cosine_pairs' all-pairs scan
     "q_ts_gapfill", // dimension-grid generation: 30-day × 5-type broadcast cross
-    "q_sample_balance") // 1-row broadcast target-count scalar attach
+    "q_sample_balance", // 1-row broadcast target-count scalar attach
+    "q_text_bigrams") // two 1-row broadcast corpus-total scalar attaches
 
   for (q <- Registry.all if !q.name.startsWith("q_stream_")) {
     test(s"${q.name}: no cartesian product; nested-loop only by design") {
