@@ -23,13 +23,24 @@ object Graft {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   /** Attach graft functions to an existing session (e.g. one owned by a
-    * host application that can't pass extensions at build time). */
+    * host application that can't pass extensions at build time). Must
+    * register the same set as GraftExtensions — RegistrySmokeSpec pins
+    * the parity so a function added to one path can't miss the other. */
   def register(spark: SparkSession): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    spark.sessionState.functionRegistry.registerFunction(
-      graft.functions.HyperplaneBucket.ident,
-      graft.functions.HyperplaneBucket.info,
-      graft.functions.HyperplaneBucket.builder)
+    Seq(
+      (graft.functions.HyperplaneBucket.ident,
+        graft.functions.HyperplaneBucket.info,
+        graft.functions.HyperplaneBucket.builder),
+      (graft.functions.MinHashSignature.ident,
+        graft.functions.MinHashSignature.info,
+        graft.functions.MinHashSignature.builder),
+      (graft.functions.ShingleHashes.ident,
+        graft.functions.ShingleHashes.info,
+        graft.functions.ShingleHashes.builder),
+    ).foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
   }
 
   /** Register every corpus table as a temp view so pure-SQL users can

@@ -39,6 +39,8 @@ final case class MinHashSignature(child: Expression, nHashes: Int)
   override def prettyName: String = "graft_minhash"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if nHashes <= 0 || nHashes > 1024 => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash lane count must be in [1, 1024], got $nHashes")
     case ArrayType(StringType, _) | ArrayType(LongType, _) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -57,17 +59,25 @@ final case class MinHashSignature(child: Expression, nHashes: Int)
     if (n == 0) return null
     val acc = Array.fill(nHashes)(Long.MaxValue)
     var i = 0
+    var used = 0
     while (i < n) {
-      val h = if (preHashed) xs.getLong(i)
-        else XXH64.hashUTF8String(xs.getUTF8String(i), 42L)
-      var k = 0
-      while (k < nHashes) {
-        val v = XXH64.hashLong(h, seeds(k))
-        if (v < acc(k)) acc(k) = v
-        k += 1
+      // null elements are skipped (a null shingle is no shingle — and the
+      // unsafe getters would NPE on strings / misread 0 on longs); an
+      // array of ONLY nulls degrades to the empty-input null result
+      if (!xs.isNullAt(i)) {
+        val h = if (preHashed) xs.getLong(i)
+          else XXH64.hashUTF8String(xs.getUTF8String(i), 42L)
+        var k = 0
+        while (k < nHashes) {
+          val v = XXH64.hashLong(h, seeds(k))
+          if (v < acc(k)) acc(k) = v
+          k += 1
+        }
+        used += 1
       }
       i += 1
     }
+    if (used == 0) return null
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(acc)
   }
@@ -85,20 +95,24 @@ final case class MinHashSignature(child: Expression, nHashes: Int)
       val hashElem =
         if (preHashed) s"$a.getLong($i)"
         else s"$xxh.hashUTF8String($a.getUTF8String($i), 42L)"
+      val used = ctx.freshName("used")
       s"""
          |int $n = $a.numElements();
-         |if ($n == 0) {
+         |long[] $acc = new long[$nHashes];
+         |java.util.Arrays.fill($acc, Long.MAX_VALUE);
+         |int $used = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  long $h = $hashElem;
+         |  for (int $k = 0; $k < $nHashes; $k++) {
+         |    long $v = $xxh.hashLong($h, $s[$k]);
+         |    if ($v < $acc[$k]) $acc[$k] = $v;
+         |  }
+         |  $used++;
+         |}
+         |if ($used == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long[] $acc = new long[$nHashes];
-         |  java.util.Arrays.fill($acc, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h = $hashElem;
-         |    for (int $k = 0; $k < $nHashes; $k++) {
-         |      long $v = $xxh.hashLong($h, $s[$k]);
-         |      if ($v < $acc[$k]) $acc[$k] = $v;
-         |    }
-         |  }
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |    .fromPrimitiveArray($acc);
          |}

@@ -41,6 +41,8 @@ final case class ShingleHashes(child: Expression, gramSize: Int)
   override def prettyName: String = "graft_shingle_hashes"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if gramSize <= 0 => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes gram size must be positive, got $gramSize")
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_shingle_hashes expects a string column, got $other")

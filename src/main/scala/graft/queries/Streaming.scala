@@ -175,24 +175,29 @@ object Streaming {
       }
       .toDF()
       .select(col("user_id"), col("n_events"), col("sum_value"), col("max_ts_us"))
-    // update mode emits one snapshot per key per batch; keep the LAST
-    // snapshot per user (n_events is strictly monotone across a user's
-    // snapshots, so the lexicographic struct-max is the latest). The
-    // per-batch max rides the sink path (foreachBatch parquet partials —
-    // O(users) rows per batch on the executors, never the driver), and
-    // struct-max is associative, so the final fold over batch partials
-    // equals the global last-snapshot fold at ANY key cardinality.
-    val snap = struct(col("n_events"), col("sum_value"), col("max_ts_us"))
+    lastSnapshotPerKey(spark, out, "user_id",
+      Seq("n_events", "sum_value", "max_ts_us"))
+  }
+
+  /** Fold an update-mode snapshot stream to the LAST snapshot per key,
+    * driver-safe at any key cardinality: update mode emits one snapshot
+    * per key per batch; the FIRST column of `snapCols` must be strictly
+    * monotone across a key's snapshots (an event count), so the
+    * lexicographic struct-max is the latest snapshot. The per-batch max
+    * rides the sink path (foreachBatch parquet partials — O(keys) rows
+    * per batch on the executors, never the driver), and struct-max is
+    * associative, so the final fold over batch partials equals the
+    * global last-snapshot fold. Both stateful judged queries share this
+    * fold so the monotonicity invariant lives in exactly one place. */
+  private def lastSnapshotPerKey(spark: SparkSession, out: DataFrame,
+      key: String, snapCols: Seq[String]): DataFrame = {
+    val snap = struct(snapCols.map(col): _*)
+    def unpack(df: DataFrame) =
+      df.select(col(key) +: snapCols.map(c => col(s"s.$c").as(c)): _*)
     val partials = EventsStream.runAggregated(spark, out, "update") { b =>
-      b.groupBy("user_id").agg(max(snap).as("s"))
-        .select(col("user_id"), col("s.n_events").as("n_events"),
-          col("s.sum_value").as("sum_value"), col("s.max_ts_us").as("max_ts_us"))
+      unpack(b.groupBy(key).agg(max(snap).as("s")))
     }
-    partials.groupBy("user_id")
-      .agg(max(snap).as("s"))
-      .select(col("user_id"), col("s.n_events").as("n_events"),
-        col("s.sum_value").as("sum_value"), col("s.max_ts_us").as("max_ts_us"))
-      .orderBy("user_id")
+    unpack(partials.groupBy(key).agg(max(snap).as("s"))).orderBy(key)
   }
 
   /** Exact 1e-6 fixed-point of a double (round-half-up, like the decimal
@@ -430,20 +435,7 @@ object Streaming {
         .transformWithState(new graft.streaming.UserCountMaxProcessor,
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "n_events", "max_value")
-      // last snapshot per user (n_events strictly monotone), folded as
-      // foreachBatch parquet partials — see q_stream_stateful for why
-      // this is both multi-batch-robust and driver-safe at any key count
-      val snap = struct(col("n_events"), col("max_value"))
-      val partials = EventsStream.runAggregated(spark, out, "update") { b =>
-        b.groupBy("user_id").agg(max(snap).as("s"))
-          .select(col("user_id"), col("s.n_events").as("n_events"),
-            col("s.max_value").as("max_value"))
-      }
-      partials.groupBy("user_id")
-        .agg(max(snap).as("s"))
-        .select(col("user_id"), col("s.n_events").as("n_events"),
-          col("s.max_value").as("max_value"))
-        .orderBy("user_id")
+      lastSnapshotPerKey(spark, out, "user_id", Seq("n_events", "max_value"))
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None    => spark.conf.unset(key)

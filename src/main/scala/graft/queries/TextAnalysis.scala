@@ -277,9 +277,11 @@ object TextAnalysis {
     * (w1, w2) counts with map-side partial aggregation; the two corpus
     * totals ride as 1-row broadcast crosses and the unigram table
     * broadcasts into the two attachment joins — the corpus never
-    * shuffles twice. PMI is one fixed-order double expression over
-    * integer counts (products stay < 2⁶³), rounded at 4 dp, so both
-    * engines agree exactly. */
+    * shuffles twice. PMI is one fixed-order double expression over the
+    * counts, each count cast to double BEFORE any multiplication — a
+    * Long product n_pair·N² would wrap silently around 3×10⁸ tokens,
+    * far below target scale — rounded at 4 dp; both engines run the
+    * identical IEEE op order, so they agree exactly. */
   val qTextBigrams: QueryDef = QueryDef.oracle(
     "q_text_bigrams",
     """WITH w AS (
@@ -293,8 +295,10 @@ object TextAnalysis {
       |bcnt AS (SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2),
       |nb AS (SELECT COUNT(*) AS n FROM big)
       |SELECT w1, w2, bcnt.n AS n_pair,
-      |  ROUND(LN(CAST(bcnt.n * nu.n * nu.n AS DOUBLE)
-      |           / CAST(nb.n * u1.n * u2.n AS DOUBLE)), 4) AS pmi
+      |  ROUND(LN(CAST(bcnt.n AS DOUBLE) * CAST(nu.n AS DOUBLE)
+      |             * CAST(nu.n AS DOUBLE)
+      |           / (CAST(nb.n AS DOUBLE) * CAST(u1.n AS DOUBLE)
+      |              * CAST(u2.n AS DOUBLE))), 4) AS pmi
       |FROM bcnt CROSS JOIN nu CROSS JOIN nb
       |JOIN ucnt u1 ON u1.w = bcnt.w1
       |JOIN ucnt u2 ON u2.w = bcnt.w2
@@ -316,8 +320,10 @@ object TextAnalysis {
       .join(broadcast(ucnt.select(col("w").as("w1"), col("n").as("n1"))), "w1")
       .join(broadcast(ucnt.select(col("w").as("w2"), col("n").as("n2"))), "w2")
       .select(col("w1"), col("w2"), col("n_pair"),
-        round(log((col("n_pair") * col("nu") * col("nu")).cast("double")
-          / (col("nb") * col("n1") * col("n2")).cast("double")), 4).as("pmi"))
+        round(log(col("n_pair").cast("double") * col("nu").cast("double")
+            * col("nu").cast("double")
+          / (col("nb").cast("double") * col("n1").cast("double")
+            * col("n2").cast("double"))), 4).as("pmi"))
       .orderBy(col("n_pair").desc, col("w1"), col("w2"))
       .limit(15)
   }

@@ -125,12 +125,23 @@ object EventsStream {
     * drop it from the exit-hook queue. Best-effort: a failure leaves the
     * dir to the backstop hook. */
   private def deleteNow(dir: java.nio.file.Path): Unit = {
+    deleteRecursively(dir)
+    toDelete.remove(dir)
+  }
+
+  /** Walk-and-delete with the stream CLOSED — `Files.walk` keeps
+    * directory handles open until close(), and this runs once per
+    * streaming query in a long-lived low-GC session, so leaking the
+    * stream would accumulate fds toward the process limit. Shared by the
+    * immediate path and the exit hook. Best-effort by design. */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     try {
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
-      toDelete.remove(dir)
+      finally walk.close()
     } catch { case _: Throwable => () }
   }
 
@@ -181,13 +192,9 @@ object EventsStream {
 
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
       var dir = toDelete.poll()
       while (dir != null) {
-        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        catch { case _: Throwable => () }
+        deleteRecursively(dir)
         dir = toDelete.poll()
       }
     }))

@@ -17,6 +17,19 @@ class RegistrySmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("Graft.register exposes every graft SQL function (extensions parity)") {
+    // registration has two paths — GraftExtensions (session builder) and
+    // Graft.register (attach to an existing session); a function added to
+    // one but not the other breaks pure-SQL users on the other path
+    Graft.register(spark)
+    val probes = Seq(
+      "SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f))",
+      "SELECT graft_lsh_bucket(array(1.0f, 0.0f), 6)",
+      "SELECT graft_minhash(array('a b c'), 4)",
+      "SELECT graft_shingle_hashes('a b c d', 3)")
+    probes.foreach(sql => assert(spark.sql(sql).collect().length == 1, sql))
+  }
+
   for (q <- Registry.all) {
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, sf)
