@@ -167,6 +167,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"expected temporal left-semi join:\n$p")
   }
 
+  test("bigram statistics broadcast the unigram table and corpus totals") {
+    // the corpus shuffles once (the bigram count); unigram attachment and
+    // the two 1-row totals must ride as broadcasts, never re-shuffle it
+    val p = plan("q_text_bigrams")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"unigram attachments not broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"extra key shuffles in bigram plan:\n$p")
+  }
+
   test("minhash signature is the native codegen expression, not the HOF tower") {
     val p = plan("q_dedup_minhash_lsh")
     assert(p.contains("graft_minhash"), s"native minhash expr absent:\n$p")
