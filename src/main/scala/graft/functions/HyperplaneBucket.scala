@@ -96,9 +96,9 @@ object HyperplaneBucket {
     "", "", "", "", "", "", "built-in")
 
   val builder: Seq[Expression] => Expression = {
-    case Seq(a, Literal(n: Int, IntegerType)) => HyperplaneBucket(a, n)
+    case Seq(a, IntArg(n)) => HyperplaneBucket(a, n)
     case other => throw new IllegalArgumentException(
-      "graft_lsh_bucket expects (array<float>, int literal), got " +
+      "graft_lsh_bucket expects (array<float>, constant integer), got " +
         other.mkString(", "))
   }
 }

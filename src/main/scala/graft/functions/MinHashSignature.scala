@@ -138,9 +138,9 @@ object MinHashSignature {
     "", "", "", "", "", "", "built-in")
 
   val builder: Seq[Expression] => Expression = {
-    case Seq(a, Literal(n: Int, IntegerType)) => MinHashSignature(a, n)
+    case Seq(a, IntArg(n)) => MinHashSignature(a, n)
     case other => throw new IllegalArgumentException(
-      "graft_minhash expects (array<string>, int literal), got " +
+      "graft_minhash expects (array<string>, constant integer), got " +
         other.mkString(", "))
   }
 }

@@ -87,7 +87,14 @@ object ShingleHashes {
     if (t < g) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     var scratch = new Array[Byte](64)
     val out = new Array[Long](t - g + 1)
-    val seen = new java.util.HashSet[java.lang.Long](t * 2)
+    // open-addressing long set (linear probe, load ≤ 0.5): 0 marks an
+    // empty slot and a genuine 0 hash is tracked by the flag — the
+    // per-shingle dedup stays allocation-free (one flat array, no boxing)
+    var cap = 4
+    while (cap < (t - g + 1) * 2) cap <<= 1
+    val seen = new Array[Long](cap)
+    val mask = cap - 1
+    var seenZero = false
     var m = 0
     var j = 0
     while (j <= t - g) {
@@ -105,7 +112,14 @@ object ShingleHashes {
         w += 1
       }
       val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 42L)
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      var fresh = false
+      if (h == 0L) { fresh = !seenZero; seenZero = true }
+      else {
+        var slot = (h ^ (h >>> 32)).toInt & mask
+        while (seen(slot) != 0L && seen(slot) != h) slot = (slot + 1) & mask
+        if (seen(slot) == 0L) { seen(slot) = h; fresh = true }
+      }
+      if (fresh) { out(m) = h; m += 1 }
       j += 1
     }
     UnsafeArrayData.fromPrimitiveArray(
@@ -121,10 +135,9 @@ object ShingleHashes {
 
   val builder: Seq[Expression] => Expression = {
     case Seq(a) => ShingleHashes(a, 3)
-    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
-        org.apache.spark.sql.types.IntegerType)) => ShingleHashes(a, n)
+    case Seq(a, IntArg(n)) => ShingleHashes(a, n)
     case other => throw new IllegalArgumentException(
-      "graft_shingle_hashes expects (text[, gram size literal]), got " +
+      "graft_shingle_hashes expects (text[, constant integer gram size]), got " +
         other.mkString(", "))
   }
 }

@@ -52,7 +52,10 @@ object ConnectedComponents {
     val spark = pairs.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(key)
-    val parts = math.max(1L, math.min(prevParts.toLong,
+    // host sessions may carry a non-numeric value here (e.g. "auto" on
+    // managed platforms) — fall back to a sane width instead of throwing
+    val sessionParts = scala.util.Try(prevParts.toLong).getOrElse(32L)
+    val parts = math.max(1L, math.min(sessionParts,
       edges.count() / 2000000L + 1L))
     spark.conf.set(key, parts.toString)
     try minLabelLoop(edges) finally spark.conf.set(key, prevParts)

@@ -253,9 +253,13 @@ object Joins {
   /** Bloom-prefiltered fact-fact join — the manual runtime-filter
     * pattern. A selective predicate keeps ~20 % of orders; a Bloom
     * filter of the surviving keys (a KB-scale sketch, the one thing here
-    * that legitimately passes through the driver) is broadcast and
-    * applied to lineitem BEFORE the shuffle join, so ~80 % of the fact
-    * side drops at the scan instead of crossing the exchange. False
+    * that legitimately passes through the driver) is applied to lineitem
+    * BEFORE the shuffle join, so ~80 % of the fact side drops at the
+    * scan instead of crossing the exchange. Build and probe are the same
+    * expression pair Spark's own `InjectRuntimeFilter` emits —
+    * `BloomFilterAggregate`/`BloomFilterMightContain` over
+    * `xxhash64(key)` — so the probe stays inside whole-stage codegen
+    * (no ScalaUDF boundary per fact row; PlanSpec pins this). False
     * positives only cost bytes, never correctness — the real join still
     * verifies every pair — which is why the oracle is simply the plain
     * join SQL. (AQE's automatic runtime bloom does this when stats
@@ -269,15 +273,26 @@ object Joins {
       |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.classic.GraftColumnBridge.{column => exprCol, expression => colExpr}
+    import org.apache.spark.sql.types.BinaryType
     val t = Tables(spark, dir)
     val urgent = t.orders
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .select(col("o_orderkey"), col("o_orderpriority"))
-    val bf = urgent.stat.bloomFilter("o_orderkey", 300000L, 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    // distributed partial+final build of the sketch; only the KB-scale
+    // serialized filter crosses the driver
+    val bfBytes = urgent
+      .select(exprCol(new BloomFilterAggregate(
+          new XxHash64(Seq(colExpr(col("o_orderkey")))), 300000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = exprCol(new BloomFilterMightContain(
+      Literal(bfBytes, BinaryType),
+      new XxHash64(Seq(colExpr(col("l_orderkey"))))))
     t.lineitem
-      .filter(mightContain(col("l_orderkey"))) // pre-shuffle row cut
+      .filter(probe) // pre-shuffle row cut, fully codegen'd
       .join(urgent, col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),

@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions._
   * (corpus downsampling, eval-split carving, per-stratum balancing).
   *
   * The judged query uses DETERMINISTIC hash sampling: a Knuth
-  * multiplicative scramble of the row key mod 100. Unlike `df.sample`,
+  * multiplicative scramble of the row key mod 100. The key is reduced
+  * mod 1e9+7 BEFORE the multiply so the intermediate stays below 2^63
+  * for any non-negative int64 key — a raw `key * 2654435761` would
+  * silently wrap in Spark (non-ANSI Long multiply) above ~3.5e9 while
+  * DuckDB raises an overflow error, breaking engine/oracle parity at
+  * exactly the id range a 100 TB corpus reaches. Unlike `df.sample`,
   * whose output depends on partitioning (seeded XORShift per partition),
   * key-hash sampling is a pure function of the data — the same rows are
   * selected on 1 partition or 10 000, on Spark or DuckDB, today or in a
@@ -26,11 +31,11 @@ object Sampling {
     """SELECT l_returnflag, COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
       |FROM lineitem
-      |WHERE (l_orderkey * 2654435761) % 100 < 7
+      |WHERE ((l_orderkey % 1000000007) * 2654435761) % 100 < 7
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     Tables(spark, dir).lineitem
-      .filter((col("l_orderkey") * 2654435761L) % 100 < 7)
+      .filter(((col("l_orderkey") % 1000000007L) * 2654435761L) % 100 < 7)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
@@ -43,13 +48,13 @@ object Sampling {
   val qSampleSplit: QueryDef = QueryDef.oracle(
     "q_sample_split",
     """SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM (
-      |  SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-      |              WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      |  SELECT CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+      |              WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
       |              ELSE 'test' END AS split, n_chars
       |  FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val bucket = (col("doc_id") * 2654435761L) % 100
+    val bucket = ((col("doc_id") % 1000000007L) * 2654435761L) % 100
     Tables(spark, dir).documents
       .select(when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"), col("n_chars"))
@@ -70,11 +75,11 @@ object Sampling {
     "q_sample_stratified",
     """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
-      |WHERE (doc_id * 2654435761) % 100 <
+      |WHERE ((doc_id % 1000000007) * 2654435761) % 100 <
       |      CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 30 ELSE 10 END
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val bucket = (col("doc_id") * 2654435761L) % 100
+    val bucket = ((col("doc_id") % 1000000007L) * 2654435761L) % 100
     val rate = when(col("lang") === "en", 60)
       .when(col("lang") === "de", 30).otherwise(10)
     Tables(spark, dir).documents
@@ -99,7 +104,7 @@ object Sampling {
     """WITH r AS (
       |  SELECT lang, n_chars,
       |    ROW_NUMBER() OVER (PARTITION BY lang
-      |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+      |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rk
       |  FROM documents),
       |t AS (SELECT MIN(c) AS target FROM
       |      (SELECT COUNT(*) AS c FROM documents GROUP BY lang) s)
@@ -109,7 +114,7 @@ object Sampling {
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
-    val scr = (col("doc_id") * 2654435761L) % 1000000007L
+    val scr = ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L
     val ranked = docs
       .select(col("lang"), col("n_chars"), col("doc_id"))
       .withColumn("rk", row_number().over(

@@ -189,6 +189,30 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF on the signature scan path:\n$sigScan")
   }
 
+  test("bloom probe is the built-in codegen expression, not a ScalaUDF") {
+    // the probe runs once per fact row on the pre-shuffle scan — a ScalaUDF
+    // there would break whole-stage codegen on the hottest path of the query
+    val p = plan("q_join_bloom")
+    assert(p.contains("might_contain"), s"built-in bloom probe absent:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("pythonudf"),
+      s"UDF boundary on the bloom probe path:\n$p")
+  }
+
+  test("salted join keeps the salted-equi shape: hash join on (salt, key)") {
+    // pins the SaltedJoin decomposition: a hash-keyed equi-join whose key
+    // includes the salt column, small side replicated via explode(sequence)
+    // — no nested loop, no post-join dedup. (At spec SF the replicated side
+    // fits the broadcast threshold, so the join may legitimately be a
+    // BroadcastHashJoin; at scale the same plan shuffles on (salt, key).)
+    val p = plan("q_join_salted")
+    assert("Join \\[__graft_salt__#\\d+, ".r.findFirstIn(p).isDefined,
+      s"join key does not lead with the salt column:\n$p")
+    assert(p.contains("Generate explode"),
+      s"small side not replicated via explode(sequence):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join sneaked in:\n$p")
+  }
+
   test("LSH bucket is the native codegen expression, not the HOF tower") {
     val p = plan("q_sim_lsh_ann")
     assert(p.contains("graft_lsh_bucket"), s"native bucket expr absent:\n$p")

@@ -30,6 +30,23 @@ class RegistrySmokeSpec extends SparkSpec {
     probes.foreach(sql => assert(spark.sql(sql).collect().length == 1, sql))
   }
 
+  test("SQL builders accept foldable integral args, not only int literals") {
+    // a BIGINT literal or a constant expression (1 + 3) must resolve the
+    // same as a plain int literal — builders run post-analysis, so any
+    // foldable integral child is a legitimate constant
+    Graft.register(spark)
+    val equalPairs = Seq(
+      ("SELECT graft_minhash(array('a b c'), 1 + 3)",
+        "SELECT graft_minhash(array('a b c'), 4)"),
+      ("SELECT graft_shingle_hashes('a b c d', CAST(2 AS BIGINT))",
+        "SELECT graft_shingle_hashes('a b c d', 2)"),
+      ("SELECT graft_lsh_bucket(array(1.0f, 0.5f), 2 * 3)",
+        "SELECT graft_lsh_bucket(array(1.0f, 0.5f), 6)"))
+    for ((fancy, plain) <- equalPairs)
+      assert(spark.sql(fancy).collect().toSeq ==
+        spark.sql(plain).collect().toSeq, fancy)
+  }
+
   for (q <- Registry.all) {
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, sf)
