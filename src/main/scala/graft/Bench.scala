@@ -20,21 +20,50 @@ object Bench {
     // JVM's bootstrap (standard bench hygiene; touches no test data)
     spark.range(1000000).selectExpr("sum(id * 2)", "count(distinct id % 100)")
       .collect()
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // total stop-the-world GC milliseconds so far — per-query deltas land
+    // in BENCH_FULL.json so a pause-induced spike is attributable from the
+    // artifact alone (round 5's warm "regressions" were exactly this:
+    // forced periodic full GCs billed to whichever query was running)
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    // whole-process CPU nanos: under host CPU steal a query's wall time
+    // spikes while its CPU time doesn't — the discriminator between "this
+    // session got slower" (session rot — our bug) and "the box was busy"
+    // (environment). Round 5's warm "regressions" were the latter: the
+    // spikes moved to different queries every run, with flat GC and CPU.
+    def cpuNanos: Long =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      } catch { case _: Throwable => -1L }
+    val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed(tag: String, name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val g0 = gcMillis
+      val c0 = cpuNanos
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       // within-query caches (shingle tables, fan-out upstreams) are only
       // live during the action; clearing here keeps later queries from
       // paying earlier queries' storage-memory pressure
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      gcByQuery(s"$tag:$name") = (gcMillis - g0) / 1e3
+      cpuByQuery(s"$tag:$name") = (cpuNanos - c0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    def pass(tag: String): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) => name -> timed(tag, name, fn)
     }
     // two passes: pass 1 (cold) keeps round-over-round continuity with the
     // r1/r2 single-pass totals; pass 2 (warm) is the steady-state number a
     // long-lived cluster session actually sees — JIT placement stops
     // masquerading as per-query regressions
-    val cold = pass()
-    val warm = pass()
+    val cold = pass("cold")
+    val warm = pass("warm")
     // Locale.ROOT: "%.3f" in a comma-decimal default locale emits "1,234",
     // which is invalid JSON.
     def f(v: Double): String =
@@ -62,20 +91,35 @@ object Bench {
     val qs = jmap(headline.flatMap(k => warm.get(k).map(k -> _)))
     // session-rot self-check: a steady-state session must not get SLOWER.
     // Any query whose warm pass exceeds 2x its cold pass AND 1.5 s
-    // absolute is flagged machine-readably — round 4's /dev/shm
-    // checkpoint accumulation was exactly this pattern (every degraded
-    // query reached >= 1.6 s warm) and was only visible by diffing
-    // per-query maps by hand. The 1.5 s floor keeps the list from
-    // flapping on sub-second queries at the start of pass 2, which
-    // absorb pass 1's asynchronous shuffle/broadcast cleanup.
-    val warmRegressions = cold.keys.toSeq.sorted.filter { k =>
+    // absolute is a candidate — round 4's /dev/shm checkpoint
+    // accumulation was exactly this pattern (every degraded query
+    // reached >= 1.6 s warm) and was only visible by diffing per-query
+    // maps by hand. The 1.5 s floor keeps the list from flapping on
+    // sub-second queries at the start of pass 2, which absorb pass 1's
+    // asynchronous shuffle/broadcast cleanup.
+    //
+    // Candidates are then RE-RUN once, in this same session, even later
+    // in its lifetime: genuine session rot (accumulated state slowing the
+    // session) must reproduce, while a transient host-level stall (CPU
+    // steal from co-tenants — the round-5/round-6 spikes, which moved to
+    // a different query set every run with flat GC and per-query CPU
+    // time) does not. Only candidates that are ALSO slow on the retry
+    // are reported as regressions; all three measurements land in
+    // BENCH_FULL.json so the evidence is auditable.
+    val candidates = cold.keys.toSeq.sorted.filter { k =>
       val c = cold(k); val w = warm.getOrElse(k, 0.0)
       w > 2 * c && w > 1.5
+    }
+    val retry = candidates.map { k =>
+      k -> timed("retry", k, SparkEntry.queries(k))
+    }.toMap
+    val warmRegressions = candidates.filter { k =>
+      val r = retry(k); r > 2 * cold(k) && r > 1.5
     }
     val wr = warmRegressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"cold_total":${f(coldTotal)},"warm_total":${f(warmTotal)},"warm_regressions":$wr,"cpus":$cpus,"sf":"$sfDir","cold":${jmap(cold)},"warm":${jmap(warm)}}""")
+      s"""{"cold_total":${f(coldTotal)},"warm_total":${f(warmTotal)},"warm_regressions":$wr,"retry":${jmap(retry)},"cpus":$cpus,"sf":"$sfDir","cold":${jmap(cold)},"warm":${jmap(warm)},"gc_sec":${jmap(gcByQuery)},"cpu_sec":${jmap(cpuByQuery)}}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${f(coldTotal)},"unit":"sec","warm_total":${f(warmTotal)},"warm_regressions":$wr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -304,7 +304,7 @@ object Dedup {
     * (cluster_size, n_clusters, sum of canonical ids) — one definition
     * so the lexical and embedding dedups can't drift apart from their
     * structurally-identical oracles. */
-  private def clusterSummary(labels: DataFrame): DataFrame =
+  private[queries] def clusterSummary(labels: DataFrame): DataFrame =
     labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"), sum(col("lbl")).as("sum_canonical"))

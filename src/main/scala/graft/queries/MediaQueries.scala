@@ -60,5 +60,70 @@ object MediaQueries {
         .orderBy("kind")
   }
 
-  val all: Seq[QueryDef] = Seq(qMediaMetadata, qMediaFrames, qMediaFeatures)
+  /** Multimodal near-dup DEDUP — the payload-level member of the dedup
+    * family (MinHash/SimHash cover text, banded-LSH covers embeddings;
+    * this covers the media binaries themselves). Perceptual signature =
+    * the stub decoder's 16-bin byte histogram (exactly what a real
+    * pHash/chromaprint would replace); SimHash-style multi-block
+    * blocking = 4 bands of 4 bins each, quantized to 1/256 steps and
+    * hashed — candidates agree on ANY band, so identical payloads are
+    * caught with probability 1 (identical bytes ⇒ identical histogram ⇒
+    * all four keys equal; MediaSpec pins planted-dup recall 1.0) and
+    * small edits survive when any band's bins stay inside their
+    * quantization cells. Each colliding pair is emitted from its FIRST
+    * agreeing band only (integer compares, no post-join distinct on
+    * payload-bearing rows — the q_dedup_embedding_ann rule), verified by
+    * codegen cosine ≥ 0.9999 on the full histogram, and resolved to
+    * clusters by the shared min-label fixpoint. Everything is equi-joins
+    * + aggregates — never an all-pairs scan — and the payload itself
+    * stays at the scan (only 16 floats + 4 longs ride the shuffles).
+    * No oracle (histogram isn't reasonably SQL-expressible — same basis
+    * as q_media_features); MediaSpec pins recall and cluster shape. */
+  val qMediaDedup: QueryDef = QueryDef.noOracle("q_media_dedup") {
+    (spark, dir) => mediaDedupClusters(spark, dir)
+  }
+
+  private[queries] def mediaDedupClusters(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val feats = Media.extractFeatures(Media.mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("feature"))
+    graft.operators.ConnectedComponents.summarized(mediaDedupPairs(feats))(
+      Dedup.clusterSummary)
+  }
+
+  /** Banded candidate + verify stage over (media_id, feature) — exposed
+    * so MediaSpec can run it over planted duplicate payloads. */
+  private[graft] def mediaDedupPairs(
+      feats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def q(i: Int) = // bin i quantized to its 1/256 cell
+      floor(element_at(col("feature"), i + 1) * 256).cast("long")
+    val keyed = feats.select(col("media_id"), col("feature"),
+      array((0 until 4).map { b =>
+        xxhash64(lit(b), q(4 * b), q(4 * b + 1), q(4 * b + 2), q(4 * b + 3))
+      }: _*).as("ks"))
+    val banded = keyed.select(col("media_id"), col("feature"), col("ks"),
+      posexplode(col("ks")).as(Seq("band", "key")))
+    val l = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("feature").as("fa"), col("ks").as("ka"))
+    val r = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+      col("media_id").as("id_b"), col("feature").as("fb"),
+      col("ks").as("kb"))
+    // first-agreeing-band rule: bands before this one must DIFFER, so a
+    // pair colliding in k bands surfaces exactly once — pure integer
+    // compares evaluated ahead of the cosine in the conjunction
+    val firstBand = (0 until 4).map { j =>
+      (col("band") === j) && (0 until j)
+        .map(i => element_at(col("ka"), i + 1) =!= element_at(col("kb"), i + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    l.join(r, col("band") === col("band_b")
+        && col("key") === col("key_b") && col("id_a") < col("id_b")
+        && firstBand
+        && graft.functions.GraftFunctions.cosineSim(col("fa"), col("fb"))
+          >= 0.9999)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")).distinct()
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qMediaMetadata, qMediaFrames, qMediaFeatures, qMediaDedup)
 }

@@ -132,6 +132,50 @@ object PipelineQueries {
     Pipeline(li, graph).outputs("hi_qty.even_lines.agg")
   }
 
+  /** Plan display (op #14, `print(pipeline)`) as a JUDGED entry — the
+    * DAG rendering, the resolved leaf paths, and a normalized logical-
+    * plan operator chain for one leaf, emitted as rows and hash-checked
+    * against their expected literals. The facade string proves the
+    * composition operators render structurally (`a | b | [c, d]`); the
+    * operator chain proves what the facade COMPILES TO — one declarative
+    * Catalyst plan (sort ← aggregate ← project ← filter ← scan), with
+    * the filter visibly below the projection where pushdown starts. The
+    * chain is normalized through our own mapping (leaf nodes → "Scan"),
+    * so the string is a stable contract of THIS library, not of Spark's
+    * toString. Nothing here executes: the pipeline is composed, never
+    * run — display is a pure function of the graph. */
+  val qPlanDisplay: QueryDef = QueryDef.oracle(
+    "q_plan_display",
+    """SELECT * FROM (VALUES
+      |  ('dag', 'source | quality | tokens | [by_lang, by_source]'),
+      |  ('leaves', 'quality.tokens.by_lang, quality.tokens.by_source'),
+      |  ('plan:by_lang', 'Sort <- Aggregate <- Project <- Filter <- Scan')
+      |) t(kind, display) ORDER BY kind""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val graph =
+      Node.where("quality", col("n_chars") >= 100) |
+        Node.transform("tokens")(
+          _.withColumn("n_tok", size(split(col("text"), " ")))) |
+        Seq(
+          Node.batchAll("by_lang")(
+            _.groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")),
+          Node.batchAll("by_source")(
+            _.groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")))
+    val pipe = Pipeline(Tables(spark, dir).documents, graph)
+    val ctx = Node.Ctx()
+    val outs = try pipe.graph.run(pipe.source, ctx) finally ctx.unpersistAll()
+    val chain = outs("quality.tokens.by_lang").queryExecution.analyzed.collect {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => "Scan"
+      case n => n.nodeName
+    }.mkString(" <- ")
+    Seq(
+      ("dag", pipe.describe),
+      ("leaves", outs.keys.toSeq.sorted.mkString(", ")),
+      ("plan:by_lang", chain))
+      .toDF("kind", "display").orderBy("kind")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qPipeChain, qPipeFanout, qPipeTrainingData, qPipeBatch)
+    Seq(qPipeChain, qPipeFanout, qPipeTrainingData, qPipeBatch, qPlanDisplay)
 }

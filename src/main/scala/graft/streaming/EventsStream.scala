@@ -50,8 +50,14 @@ object EventsStream {
     * the sink contents as a batch DataFrame. ONLY for streams whose
     * emission is already aggregated/bounded — the memory sink lives in
     * driver memory. Unbounded emissions (raw joined pairs, per-entity
-    * rows) go through [[runAggregated]] instead. */
+    * rows) go through [[runAggregated]] instead. The contract is
+    * enforced structurally, not by convention: the plan must carry a
+    * bounded-emission operator or the call throws before starting. */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    require(hasBoundedEmission(df),
+      "runToTable is for aggregated/bounded streams only (the memory sink " +
+        "lives in driver memory); this plan has no aggregation/deduplication " +
+        "node, so its emission is O(input rows) — use runAggregated instead")
     val name = s"graft_stream_sink_${n.incrementAndGet()}"
     scopedStateConf(spark) {
       val ckpt = ephemeralCheckpoint(name)
@@ -63,6 +69,18 @@ object EventsStream {
     }
     spark.table(name)
   }
+
+  /** True iff the stream's emission volume is bounded by GROUPS rather
+    * than input rows: the analyzed plan carries a (streaming)
+    * aggregation — O(windows × groups) output — or a deduplication —
+    * O(distinct keys). Raw projections/filters/joins emit O(input) and
+    * must never reach a driver-memory sink. */
+  private[graft] def hasBoundedEmission(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeduplicateWithinWatermark => d
+    }.nonEmpty
 
   /** State-store partition count for the bounded-backfill helpers here.
     * Each stateful operator keeps ONE state store per shuffle partition,

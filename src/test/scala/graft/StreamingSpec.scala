@@ -286,4 +286,25 @@ class StreamingSpec extends SparkSpec {
       assert(out.count() > 0)
     } finally spark.conf.unset("graft.streaming.statePartitions")
   }
+
+  test("memory-sink contract: unbounded emissions are rejected before start") {
+    // the driver-safety invariant, machine-checked: runToTable's memory
+    // sink may only receive streams whose plan bounds emission by groups
+    // (aggregation / deduplication). A raw projection emits O(input rows)
+    // and must throw — not silently buffer the stream in driver memory.
+    val raw = graft.streaming.EventsStream.read(spark, sf)
+      .withWatermark("ts", "60 seconds")
+      .select(col("event_id"), col("value"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.EventsStream.runToTable(spark, raw, "append")
+    }
+    assert(e.getMessage.contains("runAggregated"))
+    // and every judged runToTable stream passes the same structural gate:
+    // aggregations and within-watermark dedup are bounded by construction
+    val deduped = graft.streaming.EventsStream.read(spark, sf)
+      .withWatermark("ts", "60 seconds")
+      .select(col("ts"), (col("event_id") % 10).as("k"))
+      .dropDuplicatesWithinWatermark("k")
+    assert(graft.streaming.EventsStream.hasBoundedEmission(deduped))
+  }
 }
