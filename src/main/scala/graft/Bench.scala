@@ -87,7 +87,9 @@ object Bench {
       "q_embed_outliers", "q_pipe_chain", "q_pipe_fanout",
       "q_pipe_training_data", "q_stream_tumbling", "q_stream_join",
       "q_stream_join_windowed", "q_stream_session", "q_text_decontaminate",
-      "q_text_tfidf", "q_pack_sequences", "q_media_frames")
+      "q_text_tfidf", "q_text_repetition", "q_pack_sequences",
+      "q_media_frames", "q_media_dedup", "q_join_salted",
+      "q_dedup_embedding_ann09")
     val qs = jmap(headline.flatMap(k => warm.get(k).map(k -> _)))
     // session-rot self-check: a steady-state session must not get SLOWER.
     // Any query whose warm pass exceeds 2x its cold pass AND 1.5 s

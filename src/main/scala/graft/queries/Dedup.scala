@@ -375,7 +375,39 @@ object Dedup {
       graft.operators.ConnectedComponents.summarized(pairs)(clusterSummary)
   }
 
+  /** Embedding ANN dedup in its DESIGN regime (cos ≥ 0.9) — the
+    * companion entry to q_dedup_embedding_ann's deliberately wide 0.4
+    * demo. This corpus's natural near-dups sit at cos 0.40–0.51, so the
+    * 0.9-regime pairs are constructed deterministically FROM the corpus:
+    * every 50th vector gets a twin (elementwise ±5 % sinusoidal
+    * modulation, cos(v, v′) ≈ 0.998 — a paraphrase-grade copy), and the
+    * job must find exactly those twins. Because true pairs agree on a
+    * band with p^b = 0.856^8 ≈ 0.29 while random pairs pass at 2⁻⁸,
+    * the banding here is 6 bands × 8 bits (vs the wide entry's 24 × 2):
+    * ~2 % of random pairs become candidates instead of ~96 % — the
+    * regime where banded LSH actually wins, benched side by side with
+    * the regime where it can't (per-pair miss (1−0.851)⁶ ≈ 1e-5; the
+    * fixed hyperplanes make the outcome deterministic and DedupSpec pins
+    * twin recall 1.0 exactly). Same verify, same fixpoint rollup.
+    * Rows-only driver check (hyperplane buckets aren't ANSI-SQL-
+    * expressible); the spec pins the exact cluster census instead. */
+  val qDedupEmbeddingAnn09: QueryDef = QueryDef.noOracle(
+    "q_dedup_embedding_ann09") { (spark, dir) =>
+    val base = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0d) + lit(0.05d) * cos(i.cast("double"))))
+            .cast("float")).as("embedding"))
+    val pairs = Similarity
+      .annNearDupPairs(base.unionByName(twins), 0.9, bandBits = 8, nBands = 6)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+    graft.operators.ConnectedComponents.summarized(pairs)(clusterSummary)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNormalized, qDedupNgramJaccard, qDedupMinhashLsh,
-    qDedupSimhash, qDedupClusters, qDedupEmbedding, qDedupEmbeddingAnn)
+    qDedupSimhash, qDedupClusters, qDedupEmbedding, qDedupEmbeddingAnn,
+    qDedupEmbeddingAnn09)
 }

@@ -186,6 +186,24 @@ class DedupSpec extends SparkSpec {
       s"missed planted near-identical pair $id"))
   }
 
+  test("q_dedup_embedding_ann09 census: every twin clusters with its original, nothing else") {
+    // the catalog entry plants a twin (cos ≈ 0.998) for every 50th vector
+    // and must recover EXACTLY those clusters: the corpus's natural
+    // near-dups top out at cos ≈ 0.51, far below the 0.9 verify, and the
+    // deterministic hyperplanes make the banding outcome fixed — so the
+    // whole census is an exact equality, not a floor
+    val ids = Tables(spark, sf).embeddings
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    val rows = Dedup.qDedupEmbeddingAnn09.run(spark, sf).collect()
+    assert(rows.length == 1, s"expected only size-2 clusters, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == ids.length.toLong
+      && r.getLong(2) == ids.sum,
+      s"census mismatch: $r vs ${ids.length} twins, canonical sum ${ids.sum}")
+  }
+
   test("cluster resolution handles reversed/mixed edge orientation") {
     import spark.implicits._
     // same path given tail-first: min label must still flow to every node
