@@ -52,7 +52,10 @@ object Bench {
       // paying earlier queries' storage-memory pressure
       spark.catalog.clearCache()
       gcByQuery(s"$tag:$name") = (gcMillis - g0) / 1e3
-      cpuByQuery(s"$tag:$name") = (cpuNanos - c0) / 1e9
+      val c1 = cpuNanos
+      // -1 sentinel when the JVM exposes no process-CPU sensor: a reader
+      // must not mistake "no data" for "flat CPU" (the steal evidence)
+      cpuByQuery(s"$tag:$name") = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
       (System.nanoTime() - t0) / 1e9
     }
     def pass(tag: String): Map[String, Double] = SparkEntry.queries.map {

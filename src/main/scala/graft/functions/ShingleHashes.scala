@@ -89,11 +89,21 @@ object ShingleHashes {
     val out = new Array[Long](t - g + 1)
     // open-addressing long set (linear probe, load ≤ 0.5): 0 marks an
     // empty slot and a genuine 0 hash is tracked by the flag — the
-    // per-shingle dedup stays allocation-free (one flat array, no boxing)
-    var cap = 4
-    while (cap < (t - g + 1) * 2) cap <<= 1
-    val seen = new Array[Long](cap)
-    val mask = cap - 1
+    // per-shingle dedup stays allocation-free (one flat array, no boxing).
+    // Power-of-two sizing is only safe while 2×shingles fits an Int; a
+    // pathological single document with ≥2^29 shingles (a multi-GB text
+    // of 1-char tokens) falls back to the boxed set rather than risking
+    // a full table (non-terminating probe) — degrade to slow, never hang.
+    val nShingles = t - g + 1
+    val seen: Array[Long] =
+      if (nShingles < (1 << 29)) {
+        var cap = 4
+        while (cap < nShingles * 2) cap <<= 1
+        new Array[Long](cap)
+      } else null
+    val boxed: java.util.HashSet[java.lang.Long] =
+      if (seen == null) new java.util.HashSet[java.lang.Long]() else null
+    val mask = if (seen != null) seen.length - 1 else 0
     var seenZero = false
     var m = 0
     var j = 0
@@ -113,7 +123,8 @@ object ShingleHashes {
       }
       val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 42L)
       var fresh = false
-      if (h == 0L) { fresh = !seenZero; seenZero = true }
+      if (boxed != null) fresh = boxed.add(h)
+      else if (h == 0L) { fresh = !seenZero; seenZero = true }
       else {
         var slot = (h ^ (h >>> 32)).toInt & mask
         while (seen(slot) != 0L && seen(slot) != h) slot = (slot + 1) & mask

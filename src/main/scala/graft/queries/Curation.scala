@@ -40,8 +40,8 @@ object Curation {
     * Grams join by xxhash64 (8-byte keys, not ~30-byte strings). */
   val qTextDecontaminate: QueryDef = QueryDef.oracle(
     "q_text_decontaminate",
-    """WITH g AS (
-      |  SELECT doc_id, source, (doc_id * 2654435761) % 97 < 5 AS is_eval,
+    s"""WITH g AS (
+      |  SELECT doc_id, source, ${Scramble.sql("doc_id")} % 97 < 5 AS is_eval,
       |    list_distinct(list_transform(range(1, len(ws) - 3),
       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
       |           || ws[i+3] || ' ' || ws[i+4])) AS grams
@@ -60,7 +60,7 @@ object Curation {
       |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     contaminated(Tables(spark, dir).documents,
-      (col("doc_id") * 2654435761L) % 97 < 5)
+      Scramble(col("doc_id")) % 97 < 5)
       .groupBy("source")
       .agg(count(lit(1)).as("n_contaminated"),
         sum(col("doc_id")).cast("long").as("sum_ids"))
@@ -110,9 +110,9 @@ object Curation {
     * oracle replays the same fold as a per-shard recursive CTE. */
   val qPackSequences: QueryDef = QueryDef.oracle(
     "q_pack_sequences",
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, (doc_id * 2654435761) % 8 AS shard, n_tok,
-      |    ROW_NUMBER() OVER (PARTITION BY (doc_id * 2654435761) % 8
+    s"""WITH RECURSIVE t AS (
+      |  SELECT doc_id, ${Scramble.sql("doc_id")} % 8 AS shard, n_tok,
+      |    ROW_NUMBER() OVER (PARTITION BY ${Scramble.sql("doc_id")} % 8
       |                       ORDER BY doc_id) AS rn
       |  FROM (SELECT doc_id,
       |          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
@@ -136,7 +136,7 @@ object Curation {
   ) { (spark, dir) =>
     packSequences(Tables(spark, dir).documents
       .select(col("doc_id"),
-        ((col("doc_id") * 2654435761L) % 8).as("shard"),
+        (Scramble(col("doc_id")) % 8).as("shard"),
         size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
           .as("n_tok")),
       budget = 256)

@@ -395,8 +395,12 @@ object Dedup {
     "q_dedup_embedding_ann09") { (spark, dir) =>
     val base = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
+    // twin ids must never collide with real ids at ANY scale factor:
+    // offset past the observed max (a column-pruned scan, aggregate-sized
+    // result — the same class of scalar the CC convergence check pays)
+    val off = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val twins = base.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + off).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           (x * (lit(1.0d) + lit(0.05d) * cos(i.cast("double"))))
             .cast("float")).as("embedding"))

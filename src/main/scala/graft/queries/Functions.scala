@@ -167,9 +167,9 @@ object Functions {
     * user-facing surface. */
   val qFnBitwise: QueryDef = QueryDef.oracle(
     "q_fn_bitwise",
-    """SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n,
+    s"""SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n,
       |  CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_and,
-      |  CAST(SUM(xor(o_orderkey, o_custkey * 2654435761)) AS BIGINT) AS sum_xor,
+      |  CAST(SUM(xor(o_orderkey, ${Scramble.sql("o_custkey")})) AS BIGINT) AS sum_xor,
       |  CAST(SUM((o_orderkey << 3) | (o_custkey >> 2)) AS BIGINT) AS sum_shifts,
       |  CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS sum_bits
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -178,7 +178,7 @@ object Functions {
       .groupBy((col("o_orderkey") % 8).as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_orderkey").bitwiseAND(255)).as("sum_and"),
-        sum(col("o_orderkey").bitwiseXOR(col("o_custkey") * 2654435761L))
+        sum(col("o_orderkey").bitwiseXOR(Scramble(col("o_custkey"))))
           .as("sum_xor"),
         sum(shiftleft(col("o_orderkey"), 3)
           .bitwiseOR(shiftright(col("o_custkey"), 2))).as("sum_shifts"),

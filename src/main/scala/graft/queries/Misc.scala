@@ -161,7 +161,7 @@ object Misc {
     * 100 TB event store. */
   val qTsGapfill: QueryDef = QueryDef.oracle(
     "q_ts_gapfill",
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT event_type, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS d,
       |    value, event_id
       |  FROM events),
@@ -173,7 +173,7 @@ object Misc {
       |sparse AS (
       |  SELECT event_type, d, COUNT(*) AS n,
       |    SUM(CAST(value AS DECIMAL(30,6))) AS sv
-      |  FROM e WHERE (event_id * 2654435761) % 97 = 0
+      |  FROM e WHERE ${Scramble.sql("event_id")} % 97 = 0
       |  GROUP BY 1, 2)
       |SELECT g.event_type, g.d, COALESCE(s.n, 0) AS n,
       |  CAST(COALESCE(s.sv, 0) AS DOUBLE) AS sum_value
@@ -188,7 +188,7 @@ object Misc {
     val days = bounds.select(explode(
       sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
     val grid = days.join(broadcast(e.select("event_type").distinct()))
-    val sparse = e.filter((col("event_id") * 2654435761L) % 97 === 0)
+    val sparse = e.filter(Scramble(col("event_id")) % 97 === 0)
       .groupBy("event_type", "d")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(30,6)")).as("sv"))

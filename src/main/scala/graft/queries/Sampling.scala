@@ -28,14 +28,14 @@ object Sampling {
     * sampling itself), identical membership at any partition count. */
   val qSampleHash: QueryDef = QueryDef.oracle(
     "q_sample_hash",
-    """SELECT l_returnflag, COUNT(*) AS n,
+    s"""SELECT l_returnflag, COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
       |FROM lineitem
-      |WHERE ((l_orderkey % 1000000007) * 2654435761) % 100 < 7
+      |WHERE ${Scramble.sql("l_orderkey")} % 100 < 7
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     Tables(spark, dir).lineitem
-      .filter(((col("l_orderkey") % 1000000007L) * 2654435761L) % 100 < 7)
+      .filter(Scramble(col("l_orderkey")) % 100 < 7)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
@@ -47,14 +47,14 @@ object Sampling {
     * held-out set held out for the lifetime of a 100 TB corpus). */
   val qSampleSplit: QueryDef = QueryDef.oracle(
     "q_sample_split",
-    """SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM (
-      |  SELECT CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
-      |              WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
+    s"""SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM (
+      |  SELECT CASE WHEN ${Scramble.sql("doc_id")} % 100 < 80 THEN 'train'
+      |              WHEN ${Scramble.sql("doc_id")} % 100 < 90 THEN 'val'
       |              ELSE 'test' END AS split, n_chars
       |  FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val bucket = ((col("doc_id") % 1000000007L) * 2654435761L) % 100
+    val bucket = Scramble(col("doc_id")) % 100
     Tables(spark, dir).documents
       .select(when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"), col("n_chars"))
@@ -73,13 +73,13 @@ object Sampling {
     * sampleBy's at matching fractions. */
   val qSampleStratified: QueryDef = QueryDef.oracle(
     "q_sample_stratified",
-    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
-      |WHERE ((doc_id % 1000000007) * 2654435761) % 100 <
+      |WHERE ${Scramble.sql("doc_id")} % 100 <
       |      CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 30 ELSE 10 END
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val bucket = ((col("doc_id") % 1000000007L) * 2654435761L) % 100
+    val bucket = Scramble(col("doc_id")) % 100
     val rate = when(col("lang") === "en", 60)
       .when(col("lang") === "de", 30).otherwise(10)
     Tables(spark, dir).documents
@@ -101,10 +101,10 @@ object Sampling {
     * attach, the same by-design shape as q_ts_gapfill's grid. */
   val qSampleBalance: QueryDef = QueryDef.oracle(
     "q_sample_balance",
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT lang, n_chars,
       |    ROW_NUMBER() OVER (PARTITION BY lang
-      |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rk
+      |      ORDER BY ${Scramble.sql("doc_id")} % 1000000007, doc_id) AS rk
       |  FROM documents),
       |t AS (SELECT MIN(c) AS target FROM
       |      (SELECT COUNT(*) AS c FROM documents GROUP BY lang) s)
@@ -114,7 +114,7 @@ object Sampling {
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
-    val scr = ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L
+    val scr = Scramble(col("doc_id")) % 1000000007L
     val ranked = docs
       .select(col("lang"), col("n_chars"), col("doc_id"))
       .withColumn("rk", row_number().over(

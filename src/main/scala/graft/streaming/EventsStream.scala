@@ -71,15 +71,21 @@ object EventsStream {
   }
 
   /** True iff the stream's emission volume is bounded by GROUPS rather
-    * than input rows: the analyzed plan carries a (streaming)
-    * aggregation — O(windows × groups) output — or a deduplication —
-    * O(distinct keys). Raw projections/filters/joins emit O(input) and
-    * must never reach a driver-memory sink. */
+    * than input rows: the analyzed plan carries a STREAMING aggregation
+    * — O(windows × groups) output — or a streaming deduplication —
+    * O(distinct keys). The `isStreaming` guard matters: a static
+    * dimension's aggregate (e.g. a broadcast-joined pre-aggregated dim)
+    * sits in the same plan tree but bounds nothing — the stream side
+    * still emits O(input rows) and must never reach a driver-memory
+    * sink. */
   private[graft] def hasBoundedEmission(df: DataFrame): Boolean =
     df.queryExecution.analyzed.collect {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
-      case d: org.apache.spark.sql.catalyst.plans.logical.DeduplicateWithinWatermark => d
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.isStreaming => a
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate
+          if d.isStreaming => d
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeduplicateWithinWatermark
+          if d.isStreaming => d
     }.nonEmpty
 
   /** State-store partition count for the bounded-backfill helpers here.

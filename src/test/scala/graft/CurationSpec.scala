@@ -53,7 +53,7 @@ class CurationSpec extends SparkSpec {
   test("greedy packing never exceeds the budget (except a lone oversized doc)") {
     import spark.implicits._
     val docs = Tables(spark, sf).documents
-      .select(col("doc_id"), ((col("doc_id") * 2654435761L) % 8).as("shard"),
+      .select(col("doc_id"), (graft.queries.Scramble(col("doc_id")) % 8).as("shard"),
         size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
           .as("n_tok"))
     val budget = 256

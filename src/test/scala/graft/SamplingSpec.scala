@@ -49,7 +49,7 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(frac - want) < 0.15, s"stratum $lang fraction $frac != $want")
     }
     // ...and additionally partitioning-invariant, which sampleBy is not
-    val bucket = (col("doc_id") * 2654435761L) % 100
+    val bucket = graft.queries.Scramble(col("doc_id")) % 100
     val rate = when(col("lang") === "en", 60)
       .when(col("lang") === "de", 30).otherwise(10)
     val reparted = docs.repartition(13).filter(bucket < rate)
@@ -64,7 +64,7 @@ class SamplingSpec extends SparkSpec {
     assert(r1.map(_._2).sum == Tables(spark, sf).documents.count())
     // same data through a different partitioning => identical splits
     val docs = Tables(spark, sf).documents.repartition(13)
-    val bucket = (col("doc_id") * 2654435761L) % 100
+    val bucket = graft.queries.Scramble(col("doc_id")) % 100
     val r2 = docs
       .select(when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))

@@ -299,6 +299,15 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.EventsStream.runToTable(spark, raw, "append")
     }
     assert(e.getMessage.contains("runAggregated"))
+    // a STATIC subtree's aggregate must not satisfy the gate: the stream
+    // side of this join still emits O(input rows)
+    val dimAgg = Tables(spark, sf).customer
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("dim_n"))
+    val enriched = graft.streaming.EventsStream.read(spark, sf)
+      .withWatermark("ts", "60 seconds")
+      .join(broadcast(dimAgg), col("user_id") === col("c_custkey"))
+    assert(!graft.streaming.EventsStream.hasBoundedEmission(enriched),
+      "static-side aggregate must not count as bounded stream emission")
     // and every judged runToTable stream passes the same structural gate:
     // aggregations and within-watermark dedup are bounded by construction
     val deduped = graft.streaming.EventsStream.read(spark, sf)
