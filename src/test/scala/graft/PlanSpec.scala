@@ -150,6 +150,23 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in the ANN path:\n$p")
   }
 
+  test("media dedup pair stage is a banded equi-join with the cosine fused in") {
+    // the payload-dedup analog of the ANN gate: candidates must come from
+    // an equi-join on (band, key) with the codegen cosine verify inside
+    // the join condition — no nested loop, no post-join cosine pass over
+    // materialized candidate rows
+    import org.apache.spark.sql.functions.col
+    val feats = graft.multimodal.Media.extractFeatures(
+      graft.multimodal.Media.mediaTable(spark, sf)).toDF()
+      .select(col("media_id"), col("feature"))
+    val p = queries.MediaQueries.mediaDedupPairs(feats)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("graft_cosine"), s"codegen cosine verify absent:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the media dedup path:\n$p")
+  }
+
   test("vocab ranking window is partitioned by count, never the whole vocabulary") {
     // the distributed dense-rank: the only row_number over the token table
     // must be PARTITIONED BY the frequency value; an unpartitioned window
