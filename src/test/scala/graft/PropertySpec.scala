@@ -1,0 +1,108 @@
+package graft
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized structural properties (fixed seeds — the scalatest-
+  * scalacheck bridge isn't resolvable offline, so samples are drawn
+  * manually like PipelineSpec does). These harden invariants the
+  * corpus-based pins can't: the planted fixtures exercise one graph
+  * shape and one text distribution; random inputs exercise the
+  * operator's CONTRACT. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.iterate(Seed(2026L))(_.next).take(n)
+      .flatMap(s => g.apply(Gen.Parameters.default, s)).toSeq
+
+  test("connected components equal driver-side union-find on random graphs") {
+    import spark.implicits._
+    // random multigraphs with self-loop-free edges, both orientations,
+    // duplicates allowed — exactly what a near-dup pair stage emits
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(8, 28)
+      m <- Gen.choose(5, 50)
+      es <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es.filter(e => e._1 != e._2)
+    val cases = samples(genEdges, 4).filter(_.nonEmpty)
+    assert(cases.nonEmpty)
+    for (edges <- cases) {
+      // reference: union-find with union-by-min, so every root is its
+      // component's minimum id — the exact contract minLabel promises
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      for ((a, b) <- edges) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = nodes.map(x => x -> find(x)).toMap
+      val got = graft.operators.ConnectedComponents
+        .minLabel(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect,
+        s"min-label diverged from union-find on edges=$edges")
+    }
+  }
+
+  test("native shingle hashes equal the declarative form on adversarial strings") {
+    // the corpus pin (DedupSpec) covers natural text; this covers the
+    // contract's edges: runs of spaces, empty tokens, multi-byte UTF-8,
+    // strings shorter than the gram size, and embedded single spaces
+    val token = Gen.oneOf("a", "bb", "héllo", "日本語", "x", "emoji🙂", "1",
+      "", " ")
+    val genText: Gen[String] = for {
+      k <- Gen.choose(0, 12)
+      ts <- Gen.listOfN(k, token)
+      sep <- Gen.oneOf(" ", "  ", "   ")
+    } yield ts.mkString(sep)
+    val texts = samples(genText, 60).distinct
+    val df = spark.createDataset(texts)(
+      org.apache.spark.sql.Encoders.STRING).toDF("text")
+    val hof = df
+      .select(col("text"),
+        transform(Dedup.shingles(col("text")), x => xxhash64(x)).as("hs"))
+      .orderBy("text").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
+    val native = df
+      .select(col("text"),
+        graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
+      .orderBy("text").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
+    assert(native.sameElements(hof),
+      "native shingle hashes diverged from the declarative formulation " +
+        "on generated strings")
+  }
+
+  test("salted join equals the plain join on random skewed data") {
+    import spark.implicits._
+    val genRows: Gen[(Int, List[Long])] = for {
+      salts <- Gen.choose(2, 8)
+      keys <- Gen.listOfN(60, Gen.frequency(
+        6 -> Gen.const(1L), // one hot key dominating — salting's use case
+        4 -> Gen.choose(2L, 9L)))
+    } yield (salts, keys)
+    for ((salts, keys) <- samples(genRows, 3)) {
+      val big = keys.zipWithIndex
+        .toDF("k", "line").select(col("k"), col("line").cast("long"))
+      val small = (1L to 9L).map(k => (k, s"v$k")).toDF("sk", "v")
+      val salted = graft.operators.SaltedJoin
+        .inner(big, small, "k", "sk", salts, Seq(col("k"), col("line")))
+        .select(col("k"), col("line"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+      val plain = big.join(small, col("k") === col("sk"))
+        .select(col("k"), col("line"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+      assert(salted == plain, s"salted join diverged at salts=$salts")
+    }
+  }
+}
