@@ -128,6 +128,80 @@ object Sampling {
       .orderBy("lang")
   }
 
-  val all: Seq[QueryDef] =
-    Seq(qSampleHash, qSampleSplit, qSampleStratified, qSampleBalance)
+  /** Corpus MIXING to per-class token budgets — the "data mixing ratios"
+    * pass of an LLM pipeline: each language contributes documents (in
+    * deterministic scramble order) until its share of the global token
+    * budget is filled (en 40 % / zh 20 % / fr 15 % / es 15 % / de 10 %
+    * of 20 k tokens). Selection = "cumulative tokens in scramble order
+    * ≤ budget", a pure function of the data like every sampler here.
+    *
+    * 100 TB shape: the naive form is ONE running-sum window per language
+    * — five whale partitions. Instead the scramble keyspace is cut into
+    * 64 ordered shards and the global prefix decomposes: per-(lang,
+    * shard) token totals (tiny aggregate) → prefix-sum over the 64-row
+    * histogram (tiny window) → broadcast offsets back; each doc then
+    * needs only its WITHIN-SHARD running sum (window parallelism =
+    * langs × shards, no whale partitions). Shards are ranges of the
+    * scramble value, so offset + within-shard cum ≡ the global cum
+    * exactly — the same histogram-offset decomposition q_text_vocab uses
+    * for ranking, applied to prefix sums; the oracle states the naive
+    * global window and the hash match proves the decomposition. */
+  val qMixTokenBudget: QueryDef = QueryDef.oracle(
+    "q_mix_token_budget",
+    s"""WITH d AS (
+      |  SELECT lang, doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+      |    ${Scramble.sql("doc_id")} % 1000000007 AS ord,
+      |    CASE lang WHEN 'en' THEN 8000 WHEN 'zh' THEN 4000
+      |              WHEN 'fr' THEN 3000 WHEN 'es' THEN 3000
+      |              ELSE 2000 END AS budget
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, n_tok, budget,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY ord, doc_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+      |  MAX(budget) AS budget
+      |FROM c WHERE cum <= budget
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 64
+    val shardWidth = 1000000007L / nShards + 1L
+    val budget = when(col("lang") === "en", 8000)
+      .when(col("lang") === "zh", 4000).when(col("lang") === "fr", 3000)
+      .when(col("lang") === "es", 3000).otherwise(2000)
+    val d = Tables(spark, dir).documents
+      .select(col("lang"), col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n_tok"),
+        (Scramble(col("doc_id")) % 1000000007L).as("ord"),
+        budget.as("budget"))
+      .withColumn("shard", (col("ord") / shardWidth).cast("int"))
+    // 64-row-per-lang histogram of shard token totals → exclusive prefix
+    val shardTotals = d.groupBy("lang", "shard")
+      .agg(sum(col("n_tok")).as("shard_tok"))
+    val offsets = shardTotals.withColumn("offset",
+      coalesce(sum(col("shard_tok")).over(
+        Window.partitionBy("lang").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang").as("o_lang"), col("shard").as("o_shard"),
+        col("offset"))
+    val withinShard = Window.partitionBy("lang", "shard")
+      .orderBy(col("ord").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_in_shard", sum(col("n_tok")).over(withinShard))
+      .join(broadcast(offsets),
+        col("lang") === col("o_lang") && col("shard") === col("o_shard"))
+      .filter(col("offset") + col("cum_in_shard") <= col("budget"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        max(col("budget")).as("budget"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qSampleHash, qSampleSplit, qSampleStratified, qSampleBalance,
+    qMixTokenBudget)
 }

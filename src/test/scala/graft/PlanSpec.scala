@@ -179,6 +179,17 @@ class PlanSpec extends SparkSpec {
       s"token ranking window is not partitioned by count:\n$ranks")
   }
 
+  test("token-budget mixing windows are shard-partitioned, never per-language whales") {
+    // the corpus-wide running sum must be partitioned by (lang, shard) —
+    // a window partitioned by lang alone would funnel each language's
+    // entire 100 TB slice through one task; only the 64-row histogram
+    // prefix may ride a lang-partitioned window
+    val p = plan("q_mix_token_budget")
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(wins.contains("shard"), s"no shard-partitioned window:\n$p")
+  }
+
   test("funnel conversion is a semi join — clicks never fan out per purchase") {
     val p = plan("q_events_funnel")
     assert(p.contains("LeftSemi"), s"expected temporal left-semi join:\n$p")
