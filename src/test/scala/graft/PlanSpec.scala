@@ -185,9 +185,18 @@ class PlanSpec extends SparkSpec {
     // entire 100 TB slice through one task; only the 64-row histogram
     // prefix may ride a lang-partitioned window
     val p = plan("q_mix_token_budget")
-    val wins = p.linesIterator.filter(_.contains("windowspecdefinition"))
-      .mkString("\n")
-    assert(wins.contains("shard"), s"no shard-partitioned window:\n$p")
+    // the doc-level running sum is the window whose ORDER BY carries `ord`
+    // — require ITS partition spec to include the shard column (the
+    // histogram-prefix window also mentions shard, so a bare substring
+    // match would stay green through exactly the regression this guards)
+    val docWins = p.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("ord#")).toSeq
+    assert(docWins.nonEmpty, s"no ord-ordered running-sum window:\n$p")
+    assert(docWins.forall(w =>
+      "windowspecdefinition\\([^)]*shard#\\d+[^)]*, ord#"
+        .r.findFirstIn(w).isDefined),
+      s"doc-level running sum not shard-partitioned:\n${docWins.mkString("\n")}")
   }
 
   test("funnel conversion is a semi join — clicks never fan out per purchase") {
