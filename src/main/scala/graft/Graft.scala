@@ -38,6 +38,9 @@ object Graft {
       (graft.functions.ShingleHashes.ident,
         graft.functions.ShingleHashes.info,
         graft.functions.ShingleHashes.builder),
+      (graft.functions.Fingerprint.ident,
+        graft.functions.Fingerprint.info,
+        graft.functions.Fingerprint.builder),
     ).foreach { case (id, info, b) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, b)
     }

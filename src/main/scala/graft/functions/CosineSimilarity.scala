@@ -95,6 +95,10 @@ object GraftFunctions {
     GraftColumnBridge.column(
       ShingleHashes(GraftColumnBridge.expression(a), gramSize))
 
+  /** Column-API entry point: `fingerprint($"text")`. */
+  def fingerprint(a: Column): Column =
+    GraftColumnBridge.column(Fingerprint(GraftColumnBridge.expression(a)))
+
   val cosineIdent: FunctionIdentifier = FunctionIdentifier("graft_cosine")
 
   val cosineInfo: ExpressionInfo = new ExpressionInfo(
@@ -129,5 +133,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSignature.builder))
     ext.injectFunction((ShingleHashes.ident, ShingleHashes.info,
       ShingleHashes.builder))
+    ext.injectFunction((Fingerprint.ident, Fingerprint.info,
+      Fingerprint.builder))
   }
 }

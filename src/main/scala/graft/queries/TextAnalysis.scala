@@ -147,10 +147,12 @@ object TextAnalysis {
   }
 
   /** Document fingerprinting: an order-dependent rolling polynomial hash
-    * over the token stream (h = (h*131 + tokval) mod 1e9+7), folded with a
-    * higher-order `aggregate` — i.e. a true sequential fold expressed as a
-    * Catalyst expression, per row, fully parallel across rows. Identical
-    * bigint arithmetic on both engines. */
+    * over the token stream (h = (h*131 + tokval) mod 1e9+7) — the native
+    * codegen expression [[graft.functions.Fingerprint]], one compiled
+    * pass per row over the UTF-8 bytes. Bit-identical to the declarative
+    * `aggregate` fold (PropertySpec pins equality on the corpus AND on
+    * adversarial generated strings) and to the oracle's `list_reduce`:
+    * identical bigint arithmetic on both engines. */
   val qTextFingerprint: QueryDef = QueryDef.oracle(
     "q_text_fingerprint",
     """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fp,
@@ -164,11 +166,7 @@ object TextAnalysis {
       |  FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val fp = aggregate(
-      transform(toks(col("text")),
-        w => (ascii(w) * 31 + length(w)).cast("long")),
-      lit(0L),
-      (a, x) => (a * 131 + x) % 1000000007L)
+    val fp = graft.functions.GraftFunctions.fingerprint(col("text"))
     Tables(spark, dir).documents
       .select(col("source"), fp.as("fp"))
       .groupBy("source")

@@ -214,6 +214,15 @@ class PlanSpec extends SparkSpec {
       s"extra key shuffles in bigram plan:\n$p")
   }
 
+  test("fingerprint is the native codegen expression, not the HOF fold") {
+    val p = plan("q_text_fingerprint")
+    assert(p.contains("graft_fingerprint"), s"native fingerprint absent:\n$p")
+    val scan = p.linesIterator
+      .filter(_.contains("graft_fingerprint")).mkString("\n")
+    assert(!scan.contains("lambdafunction"),
+      s"interpreted HOF on the fingerprint scan path:\n$scan")
+  }
+
   test("minhash signature is the native codegen expression, not the HOF tower") {
     val p = plan("q_dedup_minhash_lsh")
     assert(p.contains("graft_minhash"), s"native minhash expr absent:\n$p")

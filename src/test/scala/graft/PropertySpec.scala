@@ -52,20 +52,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("native shingle hashes equal the declarative form on adversarial strings") {
-    // the corpus pin (DedupSpec) covers natural text; this covers the
-    // contract's edges: runs of spaces, empty tokens, multi-byte UTF-8,
-    // strings shorter than the gram size, and embedded single spaces
+  // adversarial text: runs of spaces, empty tokens, multi-byte UTF-8
+  // (2/3/4-byte sequences incl. astral emoji), single-char and empty
+  // strings — the edges a byte-scanning native expression must get right
+  private val genText: Gen[String] = {
     val token = Gen.oneOf("a", "bb", "héllo", "日本語", "x", "emoji🙂", "1",
-      "", " ")
-    val genText: Gen[String] = for {
+      "", " ", "🙂", "€uro")
+    for {
       k <- Gen.choose(0, 12)
       ts <- Gen.listOfN(k, token)
       sep <- Gen.oneOf(" ", "  ", "   ")
     } yield ts.mkString(sep)
-    val texts = samples(genText, 60).distinct
-    val df = spark.createDataset(texts)(
+  }
+
+  private def textDf(texts: Seq[String]) =
+    spark.createDataset(texts)(
       org.apache.spark.sql.Encoders.STRING).toDF("text")
+
+  test("native shingle hashes equal the declarative form on adversarial strings") {
+    val texts = samples(genText, 60).distinct
+    val df = textDf(texts)
     val hof = df
       .select(col("text"),
         transform(Dedup.shingles(col("text")), x => xxhash64(x)).as("hs"))
@@ -79,6 +85,25 @@ class PropertySpec extends SparkSpec {
     assert(native.sameElements(hof),
       "native shingle hashes diverged from the declarative formulation " +
         "on generated strings")
+  }
+
+  test("native fingerprint equals the declarative fold on corpus and adversarial strings") {
+    // the HOF tower graft_fingerprint replaced, spelled out — ascii
+    // (first codepoint) and length (codepoint count) semantics included
+    def decl(c: org.apache.spark.sql.Column) = aggregate(
+      transform(filter(split(c, " "), w => w =!= ""),
+        w => (ascii(w) * 31 + length(w)).cast("long")),
+      lit(0L), (a, x) => (a * 131 + x) % 1000000007L)
+    val corpus = Tables(spark, sf).documents.select(col("text"))
+    val gen = textDf(samples(genText, 60).distinct)
+    for (df <- Seq(corpus, gen)) {
+      val rows = df.select(decl(col("text")).as("d"),
+        graft.functions.GraftFunctions.fingerprint(col("text")).as("n"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"fingerprint diverged: declarative ${r.getLong(0)} vs native ${r.getLong(1)}"))
+    }
   }
 
   test("salted join equals the plain join on random skewed data") {
