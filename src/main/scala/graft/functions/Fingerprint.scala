@@ -25,10 +25,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * free: h < 1e9+7, so h·131 + x < 1.4e11 ≪ 2^63, and
   * `ascii·31 + length` tops out near 3.4e7 for U+10FFFF.
   *
-  * This removes the LAST interpreted HOF lambda on a corpus-wide scan
-  * path (the fingerprint fold ran the `aggregate` tower per row); the
-  * spec pins equality with the tower on the corpus and PropertySpec on
-  * adversarial strings. */
+  * This removes the last interpreted HOF FOLD on a corpus-wide scan
+  * path whose semantics a compiled pass can reproduce exactly (the
+  * fingerprint ran an `aggregate`-over-`transform` tower per row).
+  * Deliberate lambda sites remain: the exact-decimal verify towers in
+  * Similarity (they exist precisely because codegen doubles cannot give
+  * decimal-exact results, and they run only after candidate cuts — or,
+  * for the norm columns, as one bounded pass the oracle itself mirrors)
+  * and the single-lambda tokenize filters (`filter(split(...))`, one
+  * cheap predicate, not a fold). PropertySpec pins equality with the
+  * tower on the corpus and on adversarial strings. */
 final case class Fingerprint(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
