@@ -71,28 +71,65 @@ object Fingerprint {
       while (i < n && bytes(i) == ' ') i += 1
       if (i < n) {
         val s0 = i
-        var chars = 0
-        while (i < n && bytes(i) != ' ') {
-          if ((bytes(i) & 0xC0) != 0x80) chars += 1 // leading byte = 1 char
-          i += 1
-        }
-        val b0 = bytes(s0) & 0xFF
-        // first codepoint, standard UTF-8 decode (continuation bytes of a
-        // valid sequence can never be 0x20, so they are inside the token)
-        val cp =
-          if (b0 < 0x80) b0
-          else if ((b0 & 0xE0) == 0xC0)
-            ((b0 & 0x1F) << 6) | (bytes(s0 + 1) & 0x3F)
-          else if ((b0 & 0xF0) == 0xE0)
-            ((b0 & 0x0F) << 12) | ((bytes(s0 + 1) & 0x3F) << 6) |
-              (bytes(s0 + 2) & 0x3F)
-          else
-            ((b0 & 0x07) << 18) | ((bytes(s0 + 1) & 0x3F) << 12) |
-              ((bytes(s0 + 2) & 0x3F) << 6) | (bytes(s0 + 3) & 0x3F)
-        h = (h * 131L + (cp.toLong * 31L + chars)) % 1000000007L
+        while (i < n && bytes(i) != ' ') i += 1
+        h = (h * 131L + tokenValue(bytes, s0, i)) % 1000000007L
       }
     }
     h
+  }
+
+  /** `ascii(tok)·31 + length(tok)` for the token bytes `[s0, end)`.
+    *
+    * Fast path: a single validating decode for strictly-valid UTF-8
+    * (correct continuation bytes, no overlongs, no surrogates, ≤
+    * U+10FFFF) — exactly the inputs on which a raw byte decode matches
+    * Spark. Malformed tokens fall back to the replacement decode the
+    * declarative tower actually sees: `StringSplit` splits on
+    * `toString` (U+FFFD substitution, verified in the Spark 4.1.2
+    * bytecode) and re-encodes each piece, so `ascii`/`length` there
+    * observe the REPLACED string — reproduced below via
+    * `codePointAt(0)` / `codePointCount` on the decoded token. A 0x20
+    * byte can never be consumed into a malformed sequence (maximal
+    * ill-formed subsequences contain only 0x80–0xBF continuations), so
+    * token boundaries are the same under both decodings. */
+  private def tokenValue(bytes: Array[Byte], s0: Int, end: Int): Long = {
+    var chars = 0
+    var cp0 = -1
+    var j = s0
+    var valid = true
+    while (valid && j < end) {
+      val b = bytes(j) & 0xFF
+      var cp = 0
+      var len = 0
+      if (b < 0x80) { cp = b; len = 1 }
+      else if (b >= 0xC2 && b <= 0xDF) { cp = b & 0x1F; len = 2 }
+      else if (b >= 0xE0 && b <= 0xEF) { cp = b & 0x0F; len = 3 }
+      else if (b >= 0xF0 && b <= 0xF4) { cp = b & 0x07; len = 4 }
+      else valid = false // 0x80–0xC1 lead, 0xF5–0xFF: never valid
+      if (valid && j + len <= end) {
+        var k = 1
+        while (valid && k < len) {
+          val c = bytes(j + k) & 0xFF
+          if ((c & 0xC0) != 0x80) valid = false
+          else cp = (cp << 6) | (c & 0x3F)
+          k += 1
+        }
+        if (valid &&
+            ((len == 3 && (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF))) ||
+             (len == 4 && (cp < 0x10000 || cp > 0x10FFFF)))) valid = false
+      } else valid = false
+      if (valid) {
+        if (cp0 < 0) cp0 = cp
+        chars += 1
+        j += len
+      }
+    }
+    if (valid) cp0.toLong * 31L + chars
+    else {
+      val s = UTF8String.fromBytes(bytes, s0, end - s0).toString
+      val cp = if (s.isEmpty) 0 else s.codePointAt(0)
+      cp.toLong * 31L + s.codePointCount(0, s.length)
+    }
   }
 
   val ident: FunctionIdentifier = FunctionIdentifier("graft_fingerprint")

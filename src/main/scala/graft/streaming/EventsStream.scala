@@ -71,22 +71,28 @@ object EventsStream {
   }
 
   /** True iff the stream's emission volume is bounded by GROUPS rather
-    * than input rows: the analyzed plan carries a STREAMING aggregation
-    * — O(windows × groups) output — or a streaming deduplication —
-    * O(distinct keys). The `isStreaming` guard matters: a static
-    * dimension's aggregate (e.g. a broadcast-joined pre-aggregated dim)
-    * sits in the same plan tree but bounds nothing — the stream side
-    * still emits O(input rows) and must never reach a driver-memory
-    * sink. */
-  private[graft] def hasBoundedEmission(df: DataFrame): Boolean =
-    df.queryExecution.analyzed.collect {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-          if a.isStreaming => a
-      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate
-          if d.isStreaming => d
-      case d: org.apache.spark.sql.catalyst.plans.logical.DeduplicateWithinWatermark
-          if d.isStreaming => d
-    }.nonEmpty
+    * than input rows: walking DOWN from the root, every streaming path
+    * must reach a streaming aggregation — O(windows × groups) output —
+    * or a streaming deduplication — O(distinct keys) — BEFORE any
+    * row-multiplying operator (Generate/Join/Expand) and before the
+    * source leaf. Root-down matters: a plan that aggregates and then
+    * re-expands (explode over the groups, a subsequent stream join)
+    * emits O(rows) again, and a mere existence check anywhere in the
+    * tree would wave it through to a driver-memory sink. Static
+    * subtrees pass unconditionally: a broadcast-joined dimension bounds
+    * nothing but also grows nothing over the stream's lifetime — it is
+    * the streaming side's operators that decide. */
+  private[graft] def hasBoundedEmission(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case q if !q.isStreaming => true
+      case _: Aggregate | _: Deduplicate | _: DeduplicateWithinWatermark => true
+      case _: Generate | _: Join | _: Expand => false
+      case leaf if leaf.children.isEmpty => false // streaming source, unbounded
+      case other => other.children.forall(bounded)
+    }
+    bounded(df.queryExecution.analyzed)
+  }
 
   /** State-store partition count for the bounded-backfill helpers here.
     * Each stateful operator keeps ONE state store per shuffle partition,

@@ -104,6 +104,26 @@ class PropertySpec extends SparkSpec {
       rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
         s"fingerprint diverged: declarative ${r.getLong(0)} vs native ${r.getLong(1)}"))
     }
+    // malformed UTF-8 (strings cast from binary): truncated multi-byte
+    // tails, bare continuation bytes, overlong encodings, encoded
+    // surrogates, out-of-range leads — the tower's split() decodes via
+    // toString (U+FFFD replacement), so the native fallback must land on
+    // exactly the replaced string's ascii/length, and never throw on a
+    // sequence cut off at end-of-string
+    val badHex = Seq(
+      "FF", "80", "C2", "E282", "F09F", "F8A0A0A0", "C080", "E080AF",
+      "EDA080", "F4908080", "41C2", "C2A9", "F09F9982",
+      "414220C320414220E28220", "E2824120F0284142", "80414220C2C2")
+    import spark.implicits._
+    val badDf = badHex.toDF("hx")
+      .select(expr("cast(unhex(hx) as string)").as("text"))
+    val badRows = badDf.select(col("text"), decl(col("text")).as("d"),
+      graft.functions.GraftFunctions.fingerprint(col("text")).as("n"))
+      .collect()
+    assert(badRows.length == badHex.length)
+    badRows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"fingerprint diverged on malformed bytes ${r.getString(0)}: " +
+        s"declarative ${r.getLong(1)} vs native ${r.getLong(2)}"))
   }
 
   test("salted join equals the plain join on random skewed data") {

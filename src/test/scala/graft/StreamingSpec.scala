@@ -315,5 +315,16 @@ class StreamingSpec extends SparkSpec {
       .select(col("ts"), (col("event_id") % 10).as("k"))
       .dropDuplicatesWithinWatermark("k")
     assert(graft.streaming.EventsStream.hasBoundedEmission(deduped))
+    // a fan-out ABOVE the bounding aggregate re-expands cardinality to
+    // O(rows): the root-down walk must reject it even though a streaming
+    // Aggregate exists in the tree (an existence check would pass it)
+    val reExpanded = graft.streaming.EventsStream.read(spark, sf)
+      .withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(collect_list(col("event_id")).as("ids"))
+      .select(col("event_type"), explode(col("ids")).as("event_id"))
+    assert(!graft.streaming.EventsStream.hasBoundedEmission(reExpanded),
+      "explode above the streaming aggregate re-expands emission to " +
+        "O(rows) and must fail the root-down gate")
   }
 }
