@@ -38,6 +38,9 @@ object Graft {
       (graft.functions.ShingleHashes.ident,
         graft.functions.ShingleHashes.info,
         graft.functions.ShingleHashes.builder),
+      (graft.functions.GramHashes.ident,
+        graft.functions.GramHashes.info,
+        graft.functions.GramHashes.builder),
       (graft.functions.Fingerprint.ident,
         graft.functions.Fingerprint.info,
         graft.functions.Fingerprint.builder),

@@ -95,6 +95,12 @@ object GraftFunctions {
     GraftColumnBridge.column(
       ShingleHashes(GraftColumnBridge.expression(a), gramSize))
 
+  /** Column-API entry point: `gramHashes($"text", 8)` — positional,
+    * duplicates kept. */
+  def gramHashes(a: Column, gramSize: Int = 3): Column =
+    GraftColumnBridge.column(
+      GramHashes(GraftColumnBridge.expression(a), gramSize))
+
   /** Column-API entry point: `fingerprint($"text")`. */
   def fingerprint(a: Column): Column =
     GraftColumnBridge.column(Fingerprint(GraftColumnBridge.expression(a)))
@@ -133,6 +139,8 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSignature.builder))
     ext.injectFunction((ShingleHashes.ident, ShingleHashes.info,
       ShingleHashes.builder))
+    ext.injectFunction((GramHashes.ident, GramHashes.info,
+      GramHashes.builder))
     ext.injectFunction((Fingerprint.ident, Fingerprint.info,
       Fingerprint.builder))
   }

@@ -59,6 +59,57 @@ final case class ShingleHashes(child: Expression, gramSize: Int)
       newChild: Expression): ShingleHashes = copy(child = newChild)
 }
 
+/** Native expression: POSITIONAL word-n-gram hashes — one hash per gram
+  * position, duplicates kept, document order preserved — the substring-
+  * level dedup primitive (span occurrence `(doc, pos, hash)` tables need
+  * positions; the distinct-set variant above erases them). Same
+  * tokenizer, same per-gram bytes, same `xxhash64` seed as
+  * [[ShingleHashes]], so a gram's hash is identical under both — the two
+  * can join against each other. */
+final case class GramHashes(child: Expression, gramSize: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if gramSize <= 0 => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes gram size must be positive, got $gramSize")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes expects a string column, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.computePositional(input.asInstanceOf[UTF8String], gramSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleHashes.computePositional($a, $gramSize);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramHashes = copy(child = newChild)
+}
+
+object GramHashes {
+
+  val ident: FunctionIdentifier = FunctionIdentifier("graft_gram_hashes")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[GramHashes].getName, null, "graft_gram_hashes",
+    "graft_gram_hashes(text[, n]) - positional xxhash64 values of word-n-grams (duplicates kept, in order)",
+    "", "", "", "", "", "", "built-in")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a) => GramHashes(a, 3)
+    case Seq(a, IntArg(n)) => GramHashes(a, n)
+    case other => throw new IllegalArgumentException(
+      "graft_gram_hashes expects (text[, constant integer gram size]), got " +
+        other.mkString(", "))
+  }
+}
+
 object ShingleHashes {
 
   /** One-pass shingle hashing; static so generated code calls it
@@ -135,6 +186,54 @@ object ShingleHashes {
     }
     UnsafeArrayData.fromPrimitiveArray(
       if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Positional variant: the g-gram hash at EVERY position, duplicates
+    * kept, document order preserved (index k = gram starting at token
+    * k). Same tokenizer, same gram bytes, same seed as [[compute]] —
+    * hash values are interchangeable between the two. No dedup set at
+    * all: the occurrence table this feeds wants the repeats. */
+  def computePositional(text: UTF8String, g: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var t = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        val s0 = i
+        while (i < n && bytes(i) != ' ') i += 1
+        if (t == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, t * 2)
+          ends = java.util.Arrays.copyOf(ends, t * 2)
+        }
+        starts(t) = s0; ends(t) = i; t += 1
+      }
+    }
+    if (t < g) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    var scratch = new Array[Byte](64)
+    val out = new Array[Long](t - g + 1)
+    var j = 0
+    while (j <= t - g) {
+      var len = g - 1
+      var w = j
+      while (w < j + g) { len += ends(w) - starts(w); w += 1 }
+      if (scratch.length < len) scratch = new Array[Byte](len * 2)
+      var p = 0
+      w = j
+      while (w < j + g) {
+        val l = ends(w) - starts(w)
+        System.arraycopy(bytes, starts(w), scratch, p, l)
+        p += l
+        if (w < j + g - 1) { scratch(p) = ' '; p += 1 }
+        w += 1
+      }
+      out(j) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   val ident: FunctionIdentifier = FunctionIdentifier("graft_shingle_hashes")

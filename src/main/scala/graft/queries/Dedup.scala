@@ -145,6 +145,92 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Substring-level exact dedup — the span modality of the family:
+    * document-level passes (exact/MinHash/SimHash/embedding) miss long
+    * REPEATED SPANS shared across otherwise-distinct documents
+    * (boilerplate headers, license blocks, templated text), the thing a
+    * training corpus wants cut at span level, not document level. A span
+    * = g consecutive tokens (g = 8 here). Pipeline, all linear:
+    *   1. positional gram hashes per doc — ONE compiled scan
+    *      (`graft_gram_hashes`: same tokenizer/bytes/seed as the distinct
+    *      variant, duplicates and order kept, so positions survive);
+    *   2. explode to the occurrence table (doc_id, pos, h);
+    *   3. spans in >1 distinct doc = duplicated; owner = min(doc_id) —
+    *      a hash aggregate on 8-byte keys, the substring analogue of the
+    *      inverted-index suffix approaches, no pairwise join anywhere;
+    *   4. per-doc stats: total spans, duplicated spans, owned spans, and
+    *      the TRIM MASS — distinct token positions covered by non-owned
+    *      duplicated-span occurrences (overlapping spans counted once:
+    *      explode each occurrence to its g token indices and distinct) —
+    *      i.e. exactly how many tokens a span-level trim pass would cut.
+    * Candidate volume is occurrences-of-duplicated-spans, linear in the
+    * duplication mass; the token-coverage explode multiplies only that.
+    * Oracle: identical algebra on the gram STRINGS (hash vs string
+    * grouping — same counts modulo 64-bit collisions, the documented
+    * tolerance of every shingle stage). */
+  val qDedupSubstring: QueryDef = QueryDef.oracle(
+    "q_dedup_substring",
+    """WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS s
+      |  FROM ws, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM occ GROUP BY 1),
+      |dup AS (
+      |  SELECT s, MIN(doc_id) AS owner
+      |  FROM (SELECT DISTINCT s, doc_id FROM occ)
+      |  GROUP BY s HAVING COUNT(*) > 1),
+      |docdup AS (
+      |  SELECT o.doc_id, COUNT(DISTINCT o.s) AS n_dup_spans,
+      |    COUNT(DISTINCT CASE WHEN d.owner = o.doc_id THEN o.s END) AS n_owned_spans
+      |  FROM occ o JOIN dup d ON o.s = d.s GROUP BY 1),
+      |trim AS (
+      |  SELECT o.doc_id, COUNT(DISTINCT u.ti) AS n_tokens_trimmed
+      |  FROM occ o JOIN dup d ON o.s = d.s AND o.doc_id <> d.owner,
+      |    UNNEST(range(o.pos, o.pos + 8)) AS u(ti)
+      |  GROUP BY 1)
+      |SELECT dd.doc_id, t.n_spans, dd.n_dup_spans, dd.n_owned_spans,
+      |  COALESCE(tr.n_tokens_trimmed, 0) AS n_tokens_trimmed
+      |FROM docdup dd JOIN tot t USING (doc_id) LEFT JOIN trim tr USING (doc_id)
+      |ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    substringStats(Tables(spark, dir).documents.select("doc_id", "text"), 8)
+  }
+
+  /** The span-dedup pipeline behind q_dedup_substring, on any
+    * (doc_id, text) frame — shared with the planted-boilerplate spec. */
+  private[graft] def substringStats(input: DataFrame, g: Int): DataFrame = {
+    val docs = input.select(col("doc_id"),
+      graft.functions.GraftFunctions.gramHashes(col("text"), g).as("hs"))
+    // occurrence table, reused by the dup aggregate and both per-doc
+    // rollups — cache so the corpus scan + gram hashing runs once
+    val occ = docs
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .cache()
+    val tot = docs.select(col("doc_id"), size(col("hs")).cast("long").as("n_spans"))
+    val dup = occ.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") > 1)
+    val dupOcc = occ.join(dup, "h")
+    val docdup = dupOcc.groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_dup_spans"),
+        countDistinct(when(col("owner") === col("doc_id"), col("h")))
+          .as("n_owned_spans"))
+    val trim = dupOcc.filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + g - 1)).as("ti"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens_trimmed"))
+    docdup.join(tot, "doc_id").join(trim, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        col("n_owned_spans"),
+        coalesce(col("n_tokens_trimmed"), lit(0L)).as("n_tokens_trimmed"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash + LSH fuzzy dedup — the full shingle → minhash → band →
     * bucket-join pipeline, hand-rolled in DataFrame ops so every stage is
     * a Catalyst plan:
@@ -411,7 +497,7 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupNormalized, qDedupNgramJaccard, qDedupMinhashLsh,
-    qDedupSimhash, qDedupClusters, qDedupEmbedding, qDedupEmbeddingAnn,
-    qDedupEmbeddingAnn09)
+    qDedupExact, qDedupNormalized, qDedupSubstring, qDedupNgramJaccard,
+    qDedupMinhashLsh, qDedupSimhash, qDedupClusters, qDedupEmbedding,
+    qDedupEmbeddingAnn, qDedupEmbeddingAnn09)
 }

@@ -54,6 +54,29 @@ class DedupSpec extends SparkSpec {
     assert(h0.nonEmpty)
   }
 
+  test("substring dedup detects planted boilerplate and trims it exactly once") {
+    import spark.implicits._
+    // a 12-token license header shared by three docs over unique bodies:
+    // with g=8 each doc carries 5 license-only spans (positions 0..4);
+    // every header/body straddling span is unique to its doc. The owner
+    // (min doc_id) keeps the spans; the other two trim exactly the 12
+    // header tokens — overlapping spans must not double-count.
+    val lic = (1 to 12).map(i => s"lic$i").mkString(" ")
+    def body(d: Int) = (1 to 20).map(i => s"d${d}w$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$lic ${body(1)}"), (20L, s"$lic ${body(2)}"),
+      (30L, s"$lic ${body(3)}"), (40L, body(4))) // doc 40: no boilerplate
+      .toDF("doc_id", "text")
+    val rows = Dedup.substringStats(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // 32 tokens → 25 span positions for docs with the header; doc 40 absent
+    assert(rows.keySet == Set(10L, 20L, 30L), s"wrong docs: ${rows.keySet}")
+    assert(rows(10L) == ((25L, 5L, 5L, 0L)), s"owner row: ${rows(10L)}")
+    assert(rows(20L) == ((25L, 5L, 0L, 12L)), s"trimmed row: ${rows(20L)}")
+    assert(rows(30L) == ((25L, 5L, 0L, 12L)), s"trimmed row: ${rows(30L)}")
+  }
+
   test("exact dedup removes nothing on a duplicate-free corpus") {
     val removed = Dedup.qDedupExact.run(spark, sf)
       .select("n_removed").collect().map(_.getLong(0)).sum
@@ -94,6 +117,29 @@ class DedupSpec extends SparkSpec {
     val labels = graft.operators.ConnectedComponents.minLabel(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
     assert(labels.count() == 0)
+  }
+
+  test("positional gram hashes dedupe to exactly the shingle-hash set") {
+    // graft_gram_hashes is the order/duplicate-preserving sibling of
+    // graft_shingle_hashes: same tokenizer, gram bytes, and seed — so
+    // array_distinct over the positional stream must reproduce the
+    // distinct variant element-for-element (first-occurrence order),
+    // and the array length must be exactly tokens − g + 1
+    val docs = Tables(spark, sf).documents
+    val rows = docs.select(
+      graft.functions.GraftFunctions.shingleHashes(col("text")).as("s"),
+      array_distinct(graft.functions.GraftFunctions.gramHashes(col("text"), 3))
+        .as("p"),
+      size(graft.functions.GraftFunctions.gramHashes(col("text"), 3)).as("np"),
+      size(filter(split(col("text"), " "), w => w =!= "")).as("nt"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "positional grams dedupe differently from the distinct variant")
+      assert(r.getInt(2) == math.max(0, r.getInt(3) - 2),
+        s"positional gram count ${r.getInt(2)} != tokens ${r.getInt(3)} - 2")
+    }
   }
 
   test("native shingle hashes equal the declarative formulation exactly") {

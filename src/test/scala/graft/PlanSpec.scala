@@ -235,6 +235,20 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF on the signature scan path:\n$sigScan")
   }
 
+  test("substring dedup scans with the native gram expression, joins only on hashes") {
+    val p = plan("q_dedup_substring")
+    assert(p.contains("graft_gram_hashes"), s"native gram expr absent:\n$p")
+    val scan = p.linesIterator
+      .filter(_.contains("graft_gram_hashes")).mkString("\n")
+    assert(!scan.contains("lambdafunction"),
+      s"interpreted HOF on the gram scan path:\n$scan")
+    // candidate volume = occurrences of duplicated spans (a hash-agg +
+    // equi-join on 8-byte keys) — never a pairwise document join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the substring dedup plan:\n$p")
+  }
+
   test("bloom probe is the built-in codegen expression, not a ScalaUDF") {
     // the probe runs once per fact row on the pre-shuffle scan — a ScalaUDF
     // there would break whole-stage codegen on the hottest path of the query

@@ -27,6 +27,7 @@ class RegistrySmokeSpec extends SparkSpec {
       "SELECT graft_lsh_bucket(array(1.0f, 0.0f), 6)",
       "SELECT graft_minhash(array('a b c'), 4)",
       "SELECT graft_shingle_hashes('a b c d', 3)",
+      "SELECT graft_gram_hashes('a b c d', 3)",
       "SELECT graft_fingerprint('a b c')")
     probes.foreach(sql => assert(spark.sql(sql).collect().length == 1, sql))
   }
