@@ -10,17 +10,27 @@ import org.apache.spark.sql.functions._
   * pins its values instead. */
 object MediaQueries {
 
-  /** Storage-schema sanity over the binary payload + typed metadata. */
+  /** Storage-schema sanity over the binary payload + typed metadata.
+    * The oracle states image payload sizes in CLOSED FORM — PPM header
+    * (`P6\n<w> <h>\n255\n` = 9 + digits(w) + digits(h) bytes) plus the
+    * 3·w·h raster — which only works because the image payloads are a
+    * real, fully-specified format rather than an opaque stub. */
   val qMediaMetadata: QueryDef = QueryDef.oracle(
     "q_media_metadata",
-    """SELECT kind, COUNT(*) AS n, CAST(SUM(octet_length(payload)) AS BIGINT) AS sum_bytes,
+    """SELECT kind, COUNT(*) AS n, CAST(SUM(n_payload) AS BIGINT) AS sum_bytes,
       |  MIN(width) AS min_w, MAX(height) AS max_h,
       |  CAST(SUM(sample_rate) AS BIGINT) AS sum_sr
       |FROM (
       |  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |    encode(text) AS payload,
-      |    CAST(n_chars % 640 + 16 AS INT) AS width,
-      |    CAST(n_chars % 480 + 16 AS INT) AS height,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |        9 + strlen(CAST(n_chars % 24 + 8 AS VARCHAR))
+      |          + strlen(CAST(n_chars % 16 + 8 AS VARCHAR))
+      |          + 3 * (n_chars % 24 + 8) * (n_chars % 16 + 8)
+      |      ELSE octet_length(encode(text)) END AS n_payload,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 24 + 8
+      |         ELSE n_chars % 640 + 16 END AS INT) AS width,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 16 + 8
+      |         ELSE n_chars % 480 + 16 END AS INT) AS height,
       |    CAST(8000 + (doc_id % 5) * 8000 AS INT) AS sample_rate
       |  FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -46,8 +56,12 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
-  /** Stubbed decode → 16-bin byte-histogram features, folded per kind
-    * with exact-decimal sums (deterministic under any partitioning). */
+  /** Decode → 16-bin histogram features, folded per kind with
+    * exact-decimal sums (deterministic under any partitioning). Image
+    * rows run a REAL PPM pixel decode (MediaSpec pins the raster
+    * histogram against an independently-computed closed form);
+    * audio/video keep the byte-histogram stub. Rows-only because the
+    * histogram isn't reasonably expressible in ANSI SQL. */
   val qMediaFeatures: QueryDef = QueryDef.noOracle("q_media_features") {
     (spark, dir) =>
       Media.extractFeatures(Media.mediaTable(spark, dir)).toDF()

@@ -29,8 +29,77 @@ class MediaSpec extends SparkSpec {
 
   test("resize rewrites payload and metadata in lockstep") {
     val r = Media.resize(media, 32, 8).collect()
-    assert(r.forall(m => m.payload.length == 32 * 8 && m.width == 32
-      && m.height == 8))
+    assert(r.forall(m => m.width == 32 && m.height == 8))
+    // PPM images get a real resample: decoded dims = target, raster full
+    r.filter(_.kind == "image").foreach { m =>
+      val Some((w, h, px)) = Media.decodePpm(m.payload)
+      assert(w == 32 && h == 8 && px.length == 32 * 8 * 3)
+    }
+    // codec-format payloads keep the stub byte-budget truncation
+    assert(r.filter(_.kind != "image").forall(_.payload.length == 32 * 8))
+  }
+
+  test("corpus image payloads are well-formed PPM matching their metadata") {
+    val imgs = media.filter(_.kind == "image").collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { m =>
+      val dec = Media.decodePpm(m.payload)
+      assert(dec.isDefined, s"media ${m.media_id} payload not decodable")
+      val Some((w, h, px)) = dec
+      assert(w == m.width && h == m.height && px.length == w * h * 3,
+        s"media ${m.media_id}: decoded ${w}x$h vs metadata ${m.width}x${m.height}")
+    }
+  }
+
+  test("PPM codec: encode/decode roundtrip, header grammar, malformed rejection") {
+    val px = Array.tabulate(4 * 2 * 3)(i => (i * 7 % 251).toByte)
+    val enc = Media.encodePpm(4, 2, px)
+    assert(Media.decodePpm(enc).exists { case (w, h, p) =>
+      w == 4 && h == 2 && p.sameElements(px) })
+    // header grammar: comments and arbitrary whitespace runs
+    val fancy = ("P6\n# a comment\n 4\t2 # inline\n255\n").getBytes("US-ASCII") ++ px
+    assert(Media.decodePpm(fancy).exists { case (w, h, p) =>
+      w == 4 && h == 2 && p.sameElements(px) })
+    // malformed: wrong magic, short raster, maxval != 255, zero dims
+    assert(Media.decodePpm("P5\n4 2\n255\n".getBytes ++ px).isEmpty)
+    assert(Media.decodePpm("P6\n4 2\n255\n".getBytes ++ px.take(5)).isEmpty)
+    assert(Media.decodePpm("P6\n4 2\n65535\n".getBytes ++ px).isEmpty)
+    assert(Media.decodePpm("P6\n0 2\n255\n".getBytes).isEmpty)
+  }
+
+  test("image features are the decoded-raster histogram, not the payload bytes") {
+    import graft.multimodal.Media.MediaRow
+    import spark.implicits._
+    // raster with a known histogram; the header bytes would pollute bins
+    // ('P','6','\n','2','5', digits…) if the decode were skipped
+    val px = (Array.fill(9)(0x10.toByte) ++ Array.fill(3)(0x21.toByte))
+    val row = MediaRow(1L, "image", Media.encodePpm(2, 2, px), 2, 2, 8000)
+    val f = Media.extractFeatures(spark.createDataset(Seq(row)))
+      .collect().head.feature
+    val expected = Array.tabulate(16)(b =>
+      (if (b == 0) 9f else if (b == 1) 3f else 0f) / 12f)
+    assert(f.toSeq == expected.toSeq,
+      s"raster histogram ${f.toSeq} != closed form ${expected.toSeq}")
+    // an undecodable image payload must fall back to the byte histogram
+    val junk = MediaRow(2L, "image", Array.fill(10)(0x30.toByte), 2, 2, 8000)
+    val g = Media.extractFeatures(spark.createDataset(Seq(junk)))
+      .collect().head.feature
+    assert(g(0) == 1f && g.sum == 1f)
+  }
+
+  test("nearest-neighbor resize samples the expected source pixels") {
+    // 4x2 raster with per-pixel distinct values; downsample to 2x1:
+    // target (x,y) reads source (x*4/2, y*2/1) = (0,0) and (2,0)
+    val px = Array.tabulate(4 * 2 * 3)(i => i.toByte)
+    import graft.multimodal.Media.MediaRow
+    import spark.implicits._
+    val row = MediaRow(1L, "image", Media.encodePpm(4, 2, px), 4, 2, 8000)
+    val out = Media.resize(spark.createDataset(Seq(row)), 2, 1)
+      .collect().head
+    val Some((w, h, rp)) = Media.decodePpm(out.payload)
+    assert(w == 2 && h == 1)
+    assert(rp.toSeq == Seq(0, 1, 2, 6, 7, 8).map(_.toByte),
+      s"resampled pixels ${rp.toSeq}")
   }
 
   test("media dedup: planted duplicate payloads recall 1.0, no false pairs") {
