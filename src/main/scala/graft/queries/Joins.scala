@@ -250,6 +250,179 @@ object Joins {
       .orderBy("user_id")
   }
 
+  /** FORWARD as-of join (events → EARLIEST order at-or-after event time
+    * per user) — the backfill-facing sibling of q_join_asof's backward
+    * lookup ("what order did this event lead to" vs "what order preceded
+    * it"). Same scalable formulation, time-reversed: tag both sides,
+    * union, one shuffle on the user key, scan DESCENDING so `last(_,
+    * ignoreNulls)` holds the nearest FUTURE order; orders sort before
+    * events at identical t (src 0 < 1 ascending ⇒ still first under
+    * `t desc, src asc`... see below) giving the inclusive `ts <=
+    * o_orderdate` boundary. Oracle: the identical union-window algebra in
+    * SQL (`LAST_VALUE IGNORE NULLS` over the reversed frame) — stated
+    * structurally rather than via ASOF so the variant semantics are pinned
+    * by construction on both engines. */
+  val qJoinAsofForward: QueryDef = QueryDef.oracle(
+    "q_join_asof_forward",
+    """WITH ord AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t, MAX(o_totalprice) AS price
+      |  FROM orders GROUP BY 1, 2),
+      |u AS (
+      |  SELECT k, CAST(t AS TIMESTAMP) AS t, 0 AS src, price FROM ord
+      |  UNION ALL
+      |  SELECT user_id, make_timestamp(epoch_us(ts)), 1, NULL FROM events),
+      |m AS (
+      |  SELECT k, src,
+      |    LAST_VALUE(price IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY t DESC, src ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched
+      |  FROM u)
+      |SELECT k AS user_id, COUNT(*) AS n_events, COUNT(matched) AS n_matched,
+      |  CAST(SUM(CAST(COALESCE(matched, 0) AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM m WHERE src = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val ord = t.orders
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+      .agg(max(col("o_totalprice")).as("price"))
+      .select(col("k"), col("t").cast("timestamp").as("t"), col("price"))
+    val ev = t.events.select(col("user_id").as("k"), col("ts").as("t"))
+    asofForwardMatched(ord, ev)
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("matched")).as("n_matched"),
+        dsum(coalesce(col("matched"), lit(0))).as("sum_price"))
+      .orderBy("user_id")
+  }
+
+  /** Per-event forward as-of matches on arbitrary (k, t, price) orders
+    * and (k, t) events — the query core, exposed for the boundary-
+    * semantics spec. Descending time scan: at identical t the order row
+    * (src 0) is seen BEFORE the event row for the inclusive
+    * "order time >= event time" boundary, hence src ASC in the tie. */
+  private[graft] def asofForwardMatched(
+      ord: org.apache.spark.sql.DataFrame,
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val o = ord.select(col("k"), col("t"), lit(0).as("src"), col("price"))
+    val e = ev.select(col("k"), col("t"), lit(1).as("src"),
+      lit(null).cast("double").as("price"))
+    val w = Window.partitionBy("k").orderBy(col("t").desc, col("src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("matched", last(col("price"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("k"), col("t"), col("matched"))
+  }
+
+  /** NEAREST as-of join with tolerance (events → the time-closest order
+    * per user within ±30 days; ties to the EARLIER order — the
+    * deterministic rule the oracle states too). Both directional
+    * candidates come from the same union + ONE exchange on the user key:
+    * the ascending pass holds the latest past order, the descending pass
+    * the earliest future one (Catalyst reuses the hash partitioning; the
+    * second window pays only a sort), then a codegen-friendly distance
+    * pick chooses per event. Matched time and price ride as two
+    * same-row `last(…, ignoreNulls)` columns (both null exactly on
+    * event rows, so they cannot desynchronize). All distance arithmetic
+    * is exact integer microseconds. */
+  val qJoinAsofNearest: QueryDef = QueryDef.oracle(
+    "q_join_asof_nearest",
+    """WITH ord AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t, MAX(o_totalprice) AS price
+      |  FROM orders GROUP BY 1, 2),
+      |u AS (
+      |  SELECT k, CAST(t AS TIMESTAMP) AS t, 0 AS src, price FROM ord
+      |  UNION ALL
+      |  SELECT user_id, make_timestamp(epoch_us(ts)), 1, NULL FROM events),
+      |m AS (
+      |  SELECT k, t, src,
+      |    LAST_VALUE(CASE WHEN src = 0 THEN epoch_us(t) END IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY t ASC, src ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |    LAST_VALUE(CASE WHEN src = 0 THEN price END IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY t ASC, src ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+      |    LAST_VALUE(CASE WHEN src = 0 THEN epoch_us(t) END IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY t DESC, src ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt,
+      |    LAST_VALUE(CASE WHEN src = 0 THEN price END IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY t DESC, src ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS np
+      |  FROM u),
+      |chosen AS (
+      |  SELECT k,
+      |    CASE
+      |      WHEN pt IS NOT NULL AND epoch_us(t) - pt <= 2592000000000
+      |       AND (nt IS NULL OR epoch_us(t) - pt <= nt - epoch_us(t)
+      |            OR nt - epoch_us(t) > 2592000000000) THEN pp
+      |      WHEN nt IS NOT NULL AND nt - epoch_us(t) <= 2592000000000 THEN np
+      |    END AS price,
+      |    CASE
+      |      WHEN pt IS NOT NULL AND epoch_us(t) - pt <= 2592000000000
+      |       AND (nt IS NULL OR epoch_us(t) - pt <= nt - epoch_us(t)
+      |            OR nt - epoch_us(t) > 2592000000000) THEN 'back'
+      |      WHEN nt IS NOT NULL AND nt - epoch_us(t) <= 2592000000000 THEN 'fwd'
+      |    END AS dirn
+      |  FROM m WHERE src = 1)
+      |SELECT k AS user_id, COUNT(*) AS n_events, COUNT(price) AS n_matched,
+      |  CAST(SUM(CASE WHEN dirn = 'back' THEN 1 ELSE 0 END) AS BIGINT) AS n_back,
+      |  CAST(SUM(CASE WHEN dirn = 'fwd' THEN 1 ELSE 0 END) AS BIGINT) AS n_fwd,
+      |  CAST(SUM(CAST(COALESCE(price, 0) AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM chosen GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val ord = t.orders
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+      .agg(max(col("o_totalprice")).as("price"))
+      .select(col("k"), col("t").cast("timestamp").as("t"), col("price"))
+    val ev = t.events.select(col("user_id").as("k"), col("ts").as("t"))
+    asofNearestSelected(ord, ev, 2592000000000L) // 30 days, exact µs
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("sel.price")).as("n_matched"),
+        sum(when(col("sel.dirn") === "back", 1L).otherwise(0L)).as("n_back"),
+        sum(when(col("sel.dirn") === "fwd", 1L).otherwise(0L)).as("n_fwd"),
+        dsum(coalesce(col("sel.price"), lit(0))).as("sum_price"))
+      .orderBy("user_id")
+  }
+
+  /** Per-event nearest-with-tolerance selection on arbitrary (k, t,
+    * price) orders and (k, t) events — the query core, exposed for the
+    * boundary-semantics spec. Emits (k, t, sel{price, dirn}) with sel
+    * null when no order lies within ±tolUs. Ties go backward (<= on the
+    * distance compare), and a forward candidate beyond tolerance never
+    * vetoes an in-tolerance backward one. */
+  private[graft] def asofNearestSelected(
+      ord: org.apache.spark.sql.DataFrame,
+      ev: org.apache.spark.sql.DataFrame,
+      tolUs: Long): org.apache.spark.sql.DataFrame = {
+    val o = ord.select(col("k"), col("t"), lit(0).as("src"), col("price"))
+    val e = ev.select(col("k"), col("t"), lit(1).as("src"),
+      lit(null).cast("double").as("price"))
+    val ordUs = when(col("src") === 0, unix_micros(col("t")))
+    val ordPrice = when(col("src") === 0, col("price"))
+    val wAsc = Window.partitionBy("k").orderBy(col("t").asc, col("src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy("k").orderBy(col("t").desc, col("src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val evUs = unix_micros(col("t"))
+    val backOk = col("pt").isNotNull && (evUs - col("pt") <= tolUs)
+    val fwdOk = col("nt").isNotNull && (col("nt") - evUs <= tolUs)
+    val pickBack = backOk &&
+      (col("nt").isNull || (evUs - col("pt") <= col("nt") - evUs) || !fwdOk)
+    o.unionByName(e)
+      .withColumn("pt", last(ordUs, ignoreNulls = true).over(wAsc))
+      .withColumn("pp", last(ordPrice, ignoreNulls = true).over(wAsc))
+      .withColumn("nt", last(ordUs, ignoreNulls = true).over(wDesc))
+      .withColumn("np", last(ordPrice, ignoreNulls = true).over(wDesc))
+      .filter(col("src") === 1)
+      .withColumn("sel",
+        when(pickBack, struct(col("pp").as("price"), lit("back").as("dirn")))
+          .when(fwdOk, struct(col("np").as("price"), lit("fwd").as("dirn"))))
+      .select(col("k"), col("t"), col("sel"))
+  }
+
   /** Bloom-prefiltered fact-fact join — the manual runtime-filter
     * pattern. A selective predicate keeps ~20 % of orders; a Bloom
     * filter of the surviving keys (a KB-scale sketch, the one thing here
@@ -416,5 +589,6 @@ object Joins {
   val all: Seq[QueryDef] = Seq(
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinRightOuter, qJoinFullOuter, qJoinTheta, qJoinRange, qJoinAsof,
-    qJoinBloom, qJoinSalted, qJoinIntervalBucketed, qEventsFunnel)
+    qJoinAsofForward, qJoinAsofNearest, qJoinBloom, qJoinSalted,
+    qJoinIntervalBucketed, qEventsFunnel)
 }
