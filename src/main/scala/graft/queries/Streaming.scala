@@ -16,7 +16,13 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * (window end ≤ max event time − delay once AvailableNow's final no-data
   * batch advances it), so each oracle SQL applies the identical eviction
   * predicate — the watermark rule is *part of the tested semantics*, not
-  * noise to avoid.
+  * noise to avoid. Spark tracks event-time stats at MILLISECOND
+  * precision, so every oracle watermark floors the max event time to ms
+  * (`// 1000 * 1000`) before subtracting the delay: a window ending
+  * inside the sub-ms remainder is still open in the stream, and the
+  * exact-µs horizon would evict it one row too early (found by the
+  * StreamingSpec batch-twin equality case, which hits the boundary at
+  * sf0.001).
   */
 object Streaming {
 
@@ -31,7 +37,7 @@ object Streaming {
       |FROM events
       |GROUP BY 1, 2
       |HAVING epoch_us(CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP)) + 86400000000
-      |       <= (SELECT MAX(epoch_us(ts)) - 60000000 FROM events)
+      |       <= (SELECT MAX(epoch_us(ts)) // 1000 * 1000 - 60000000 FROM events)
       |ORDER BY 1, 2""".stripMargin,
   ) { (spark, dir) =>
     val out = EventsStream.read(spark, dir)
@@ -57,7 +63,7 @@ object Streaming {
       |  FROM events, unnest([0, 1, 2, 3]) AS t(k))
       |GROUP BY 1
       |HAVING epoch_us(w_start) + 86400000000
-      |       <= (SELECT MAX(epoch_us(ts)) - 60000000 FROM events)
+      |       <= (SELECT MAX(epoch_us(ts)) // 1000 * 1000 - 60000000 FROM events)
       |ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     val out = EventsStream.read(spark, dir)
@@ -96,7 +102,7 @@ object Streaming {
       |  MAX(n) AS max_session_events
       |FROM sessions
       |WHERE epoch_us(s_last) + 21600000000
-      |      <= (SELECT MAX(epoch_us(ts)) - 60000000 FROM events)
+      |      <= (SELECT MAX(epoch_us(ts)) // 1000 * 1000 - 60000000 FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     val sessions = EventsStream.read(spark, dir)
@@ -276,8 +282,9 @@ object Streaming {
       |  FROM events),
       |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
       |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase'),
-      |wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
-      |              - INTERVAL 60 SECOND AS w),
+      |wm AS (SELECT make_timestamp(
+      |          epoch_us(LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p)))
+      |          // 1000 * 1000) - INTERVAL 60 SECOND AS w),
       |m AS (
       |  SELECT c.user_id, p.value FROM c JOIN p
       |    ON c.user_id = p.user_id
@@ -344,8 +351,9 @@ object Streaming {
       |  FROM events),
       |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
       |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase'),
-      |wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
-      |              - INTERVAL 60 SECOND AS w),
+      |wm AS (SELECT make_timestamp(
+      |          epoch_us(LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p)))
+      |          // 1000 * 1000) - INTERVAL 60 SECOND AS w),
       |m AS (
       |  SELECT CAST(time_bucket(INTERVAL 1 DAY, c.ts) AS TIMESTAMP) AS w_start,
       |    c.user_id % 16 AS bucket, p.value
@@ -394,7 +402,7 @@ object Streaming {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2
       |HAVING epoch_us(CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP)) + 86400000000
-      |       <= (SELECT MAX(epoch_us(ts)) - 60000000 FROM events)
+      |       <= (SELECT MAX(epoch_us(ts)) // 1000 * 1000 - 60000000 FROM events)
       |ORDER BY 1, 2""".stripMargin,
   ) { (spark, dir) =>
     val dim = graft.Tables(spark, dir).customer

@@ -287,6 +287,64 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.streaming.statePartitions")
   }
 
+  test("streaming sessionization equals the batch twin on the watermark-closed domain") {
+    // q_stream_session and q_win_sessionize are documented as the SAME
+    // operator (session_window, 6 h gap) run live vs as a backfill; this
+    // pins the non-drift claim mechanically. The streaming run's append
+    // mode emits only sessions the watermark closed (end = last event +
+    // gap <= max ts - delay), so the batch side applies that exact
+    // predicate — the shared domain, not a weakening: on it the two
+    // rollups must agree row-for-row.
+    val events = Tables(spark, sf).events
+    // Spark tracks the watermark at MILLISECOND precision (max event
+    // time floored to ms, minus the delay) — a session ending inside
+    // the sub-ms remainder stays open in the stream, so the batch twin
+    // must apply the floored horizon, not the exact-µs one
+    val horizonUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = horizonUs / 1000L * 1000L - 60000000L
+    // The eviction filter runs DRIVER-SIDE over the collected sessions,
+    // deliberately: `filter(session_window.end <= wm)` in-plan is a
+    // predicate on a GROUP KEY, which Catalyst pushes below the
+    // session-merge — partial sessions whose end exceeds the horizon are
+    // dropped BEFORE merging, manufacturing a shorter "closed" ghost of
+    // a genuinely open session (observed here: a 6-event open session
+    // reappearing as a 5-event closed one). Session windows are the one
+    // group key for which that standard rewrite is unsound.
+    val sess = events
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.end")).as("end_us"),
+        col("n")).collect()
+    val batch = sess.filter(_.getLong(1) <= wmUs)
+      .groupBy(_.getLong(0)).view
+      .mapValues { rs =>
+        val ns = rs.map(_.getLong(2))
+        (ns.length.toLong, ns.sum, ns.max)
+      }.toMap
+    val streamed = Streaming.qStreamSession.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch sessionization drifted: stream=$streamed batch=$batch")
+  }
+
+  test("streaming tumbling windows equal the date_trunc batch twin") {
+    val events = Tables(spark, sf).events
+    val horizonUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = horizonUs / 1000L * 1000L - 60000000L // ms-floored watermark
+    val batch = events
+      .groupBy(date_trunc("day", col("ts")).as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .filter(unix_micros(col("w_start")) + 86400000000L <= wmUs)
+      .orderBy("w_start", "event_type").collect().toSeq
+    val streamed = Streaming.qStreamTumbling.run(spark, sf).collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch tumbling drifted: stream=$streamed batch=$batch")
+  }
+
   test("memory-sink contract: unbounded emissions are rejected before start") {
     // the driver-safety invariant, machine-checked: runToTable's memory
     // sink may only receive streams whose plan bounds emission by groups
