@@ -95,13 +95,17 @@ object Bench {
       "q_dedup_embedding_ann09")
     val qs = jmap(headline.flatMap(k => warm.get(k).map(k -> _)))
     // session-rot self-check: a steady-state session must not get SLOWER.
-    // Any query whose warm pass exceeds 2x its cold pass AND 1.5 s
+    // Any query whose warm pass exceeds 1.5x its cold pass AND 1.5 s
     // absolute is a candidate — round 4's /dev/shm checkpoint
     // accumulation was exactly this pattern (every degraded query
     // reached >= 1.6 s warm) and was only visible by diffing per-query
     // maps by hand. The 1.5 s floor keeps the list from flapping on
     // sub-second queries at the start of pass 2, which absorb pass 1's
-    // asynchronous shuffle/broadcast cleanup.
+    // asynchronous shuffle/broadcast cleanup. (The ratio was 2x through
+    // round 6, which left sub-2x warm-slow blocks — a contiguous
+    // five-join run at ~1.8x that round — exonerated only by manual
+    // GC/CPU forensics; at 1.5x such blocks get an in-session retry and
+    // a recorded verdict instead of an argument.)
     //
     // Candidates are then RE-RUN once, in this same session, even later
     // in its lifetime: genuine session rot (accumulated state slowing the
@@ -113,13 +117,13 @@ object Bench {
     // BENCH_FULL.json so the evidence is auditable.
     val candidates = cold.keys.toSeq.sorted.filter { k =>
       val c = cold(k); val w = warm.getOrElse(k, 0.0)
-      w > 2 * c && w > 1.5
+      w > 1.5 * c && w > 1.5
     }
     val retry = candidates.map { k =>
       k -> timed("retry", k, SparkEntry.queries(k))
     }.toMap
     val warmRegressions = candidates.filter { k =>
-      val r = retry(k); r > 2 * cold(k) && r > 1.5
+      val r = retry(k); r > 1.5 * cold(k) && r > 1.5
     }
     val wr = warmRegressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
