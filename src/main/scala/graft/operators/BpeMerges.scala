@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative byte-pair-encoding merge learning — the tokenizer-training
+  * loop driven as a distributed fixpoint, the same pattern as
+  * [[ConnectedComponents]]: per round one aggregation over a compact
+  * state table, one driver-side aggregate scalar (the winning pair)
+  * steering the next round, lazy localCheckpoints truncating lineage.
+  *
+  * Scale shape: the corpus is shuffled ONCE, up front, into the distinct
+  * word-frequency table (the standard BPE reduction — pair counts within
+  * a word, weighted by the word's corpus frequency, equal the corpus
+  * pair counts). Every subsequent round touches only that vocabulary
+  * table: at 100 TB of text the corpus has billions of rows but the
+  * [a-z]+ vocabulary is millions, so the k merge rounds cost k scans of
+  * a table ~1000× smaller than the input. Per round: split each word's
+  * symbol string, zip-shift into adjacent pairs (linear, no index
+  * lambdas), hash-aggregate SUM(cnt) by pair with map-side partials,
+  * take the global top-1, and rewrite the symbol strings with one
+  * codegen `replace` — no UDF, no driver iteration over rows.
+  *
+  * Symbol-sequence representation: one delimited string per word,
+  * every symbol wrapped in separators — "cat" → ",c,,a,,t,". The merge
+  * rewrite for winning pair (a, b) is then the literal replacement
+  * ",a,,b," → ",ab,", and leftmost-non-overlapping `replace` semantics
+  * (identical in the JVM and every SQL engine) implement exactly BPE's
+  * greedy left-to-right single-pass merge: "aaa" with pair (a,a)
+  * becomes (aa)(a), "aaaa" becomes (aa)(aa). The full wrapping makes a
+  * cross-boundary false match impossible — a match needs ",a," and
+  * ",b," to be complete wrapped symbols. Input words are restricted to
+  * ^[a-z]+$ (BPE training pre-tokenizes anyway), which keeps the
+  * separator out of the alphabet and makes the tie-break string compare
+  * plain ASCII binary order on both engines.
+  *
+  * Winner selection is deterministic: highest summed count, ties to the
+  * lexicographically smallest (left, right) pair — a total order, since
+  * pairs are distinct after aggregation.
+  */
+object BpeMerges {
+
+  val Sep = ","
+
+  /** Wrap a whitespace-token column (already filtered to ^[a-z]+$) into
+    * the initial character-level symbol string: "cat" → ",c,,a,,t,". */
+  def initialSymbols(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(Sep),
+      concat_ws(Sep + Sep, filter(split(word, ""), c => c =!= "")),
+      lit(Sep))
+
+  /** Learn `k` merges over a word-frequency table.
+    *
+    * @param words (cnt: bigint, s: string) — corpus frequency and the
+    *              wrapped symbol string per distinct word.
+    * @return (rank, left_sym, right_sym, merged, n) — the ordered merge
+    *         table, n being the pair's corpus count at merge time. */
+  def learn(words: DataFrame, k: Int): DataFrame = {
+    val spark = words.sparkSession
+    // The vocabulary table is ~10^6 rows even at a 100 TB corpus; like
+    // the CC fixpoint, each round's plan restarts from a checkpoint RDD
+    // so AQE can't right-size the per-round shuffle — pin it to the
+    // measured vocabulary volume (restored after the loop; same
+    // single-threaded-session assumption as ConnectedComponents).
+    val key = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(key)
+    val sessionParts = scala.util.Try(prevParts.toLong).getOrElse(32L)
+    var state = words.select(col("cnt").cast("long").as("cnt"), col("s"))
+      .localCheckpoint(eager = false)
+    val parts = math.max(1L, math.min(sessionParts,
+      state.count() / 2000000L + 1L)) // materializes the init checkpoint
+    spark.conf.set(key, parts.toString)
+    try {
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      // the PREVIOUS round's state: its checkpoint blocks feed the
+      // current state's lazy materialization, so (as in the CC fixpoint)
+      // it stays alive until the argmax action has run and is freed only
+      // then — dropping it eagerly truncates lineage out from under an
+      // unmaterialized checkpoint
+      var superseded: DataFrame = null
+      var rank = 1
+      var exhausted = false
+      while (rank <= k && !exhausted) {
+        // adjacent symbol pairs, weighted by word frequency; the argmax
+        // head() is the round's one action and materializes the
+        // incoming state's lazy checkpoint
+        val ts = split(substring(col("s"), lit(2), length(col("s")) - 2),
+          Sep + Sep)
+        val top = state
+          .select(col("cnt"), ts.as("ts"))
+          .select(col("cnt"), explode(when(size(col("ts")) >= 2,
+              zip_with(
+                slice(col("ts"), lit(1), size(col("ts")) - 1),
+                slice(col("ts"), lit(2), size(col("ts")) - 1),
+                (x, y) => struct(x.as("a"), y.as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>")))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).collect()
+        // state is materialized now; the round before it can be freed
+        if (superseded != null) { unpersistCheckpoint(superseded); superseded = null }
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank, a, b, a + b, n))
+          // leftmost-non-overlapping replace = BPE's greedy single pass;
+          // literals ride through call_function so no quoting of
+          // data-derived strings ever touches a SQL string
+          val next = state.withColumn("s",
+              call_function("replace", col("s"),
+                lit(Sep + a + Sep + Sep + b + Sep),
+                lit(Sep + a + b + Sep)))
+            .localCheckpoint(eager = false)
+          superseded = state
+          state = next
+          rank += 1
+        }
+      }
+      if (superseded != null) unpersistCheckpoint(superseded)
+      unpersistCheckpoint(state)
+      import spark.implicits._
+      merges.result()
+        .toDF("rank", "left_sym", "right_sym", "merged", "n")
+        .orderBy("rank")
+    } finally spark.conf.set(key, prevParts)
+  }
+
+  /** Drop the storage blocks behind a lazy localCheckpoint (same
+    * mechanics as ConnectedComponents.unpersistCheckpoint — the blocks
+    * live under the LogicalRDD leaf, out of clearCache()'s reach). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+}

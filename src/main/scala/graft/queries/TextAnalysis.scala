@@ -326,7 +326,62 @@ object TextAnalysis {
       .limit(15)
   }
 
+  /** Learned BPE merge table — k=20 rounds of the iterative byte-pair
+    * merge loop ([[graft.operators.BpeMerges]]): corpus → [a-z]+
+    * word-frequency table (one shuffle, once), then per round an
+    * aggregate-scalar argmax over weighted adjacent symbol pairs and a
+    * codegen `replace` rewrite, the CC-style fixpoint pattern. The
+    * oracle UNROLLS the same 20 rounds as a chain of MATERIALIZED CTEs
+    * (w0 → p_i/m_i/w_i → merge union): both engines run the identical
+    * deterministic algorithm — greedy leftmost-non-overlapping merge via
+    * wrapped-separator string replace, winner = (max count, then
+    * lexicographically smallest pair) — so the 20-row merge table
+    * hash-matches exactly. MATERIALIZED is load-bearing: each w_i is
+    * referenced twice (pair count + rewrite), and DuckDB would otherwise
+    * inline and re-evaluate the whole chain exponentially. */
+  val qTextBpe: QueryDef = {
+    val k = 20
+    val sep = graft.operators.BpeMerges.Sep
+    val rounds = (1 to k).map { i =>
+      s"""|p$i AS MATERIALIZED (
+          |  SELECT ts[j] AS a, ts[j+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+          |  FROM (SELECT cnt, string_split(substr(s, 2, length(s)-2), '$sep$sep') AS ts
+          |        FROM w${i - 1}),
+          |       unnest(range(1, len(ts))) t(j)
+          |  GROUP BY 1, 2),
+          |m$i AS MATERIALIZED (
+          |  SELECT $i AS rank, a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+          |w$i AS MATERIALIZED (
+          |  SELECT cnt, replace(s, '$sep' || a || '$sep$sep' || b || '$sep',
+          |                         '$sep' || a || b || '$sep') AS s
+          |  FROM w${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    QueryDef.oracle(
+      "q_text_bpe",
+      s"""|WITH w0 AS MATERIALIZED (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          |    '$sep' || array_to_string(string_split(word, ''), '$sep$sep') || '$sep' AS s
+          |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+          |        FROM documents)
+          |  WHERE regexp_matches(word, '^[a-z]+$$')
+          |  GROUP BY word),
+          |$rounds
+          |SELECT rank, a AS left_sym, b AS right_sym, a || b AS merged, n
+          |FROM ($union)
+          |ORDER BY rank""".stripMargin,
+    ) { (spark, dir) =>
+      val words = Tables(spark, dir).documents
+        .select(explode(toks(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          graft.operators.BpeMerges.initialSymbols(col("word")).as("s"))
+      graft.operators.BpeMerges.learn(words, k)
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qTextChunk,
-      qTextVocab, qTextBigrams)
+      qTextVocab, qTextBigrams, qTextBpe)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import scala.collection.mutable
+
+import graft.operators.BpeMerges
+import org.apache.spark.sql.functions._
+
+/** The distributed BPE merge loop against an independent sequential
+  * reference (the textbook algorithm on collected word counts), plus
+  * planted fixtures for the two boundary rules the oracle also states:
+  * greedy leftmost-non-overlapping merging within a word, and the
+  * (max count, then lexicographically smallest pair) tie-break. */
+class BpeSpec extends SparkSpec {
+
+  /** Textbook BPE on a word-frequency map: symbol tuples per word,
+    * argmax pair by (count desc, pair asc), greedy left-to-right merge.
+    * Deliberately shares no code or representation with BpeMerges. */
+  private def referenceBpe(
+      words: Map[String, Long], k: Int): Seq[(Int, String, String, String, Long)] = {
+    val syms = mutable.Map[String, Vector[String]]() ++
+      words.keys.map(w => w -> w.map(_.toString).toVector)
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val pc = mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((w, cnt) <- words; Seq(x, y) <- syms(w).sliding(2))
+        pc((x, y)) += cnt
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), n) = pc.minBy { case ((x, y), m) => (-m, x, y) }
+        out += ((r, a, b, a + b, n))
+        for (w <- words.keys) {
+          val s = syms(w)
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += s(i); i += 1 }
+          }
+          syms(w) = merged.result()
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def learned(words: Map[String, Long], k: Int) = {
+    import spark.implicits._
+    val df = words.toSeq.toDF("word", "cnt")
+      .select(col("cnt"), BpeMerges.initialSymbols(col("word")).as("s"))
+    BpeMerges.learn(df, k).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+  }
+
+  test("merge table equals the sequential reference on the corpus") {
+    val words = Tables(spark, sf).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = referenceBpe(words, 20)
+    assert(ref.length == 20, "corpus must sustain 20 merges")
+    val got = learned(words, 20)
+    assert(got == ref,
+      s"distributed merges drifted from the sequential reference:\n$got\nvs\n$ref")
+  }
+
+  test("greedy leftmost merge: aaa -> (aa)(a), aaaa -> (aa)(aa)") {
+    // round 1 must merge (a,a) everywhere leftmost-non-overlapping; the
+    // counts pin the pass shape: "aaa" contributes ONE (a,a) occurrence
+    // post-merge view... pre-merge it counts 2 adjacent pairs, and the
+    // rewrite leaves (aa, a) / (aa, aa) — round 2's counts see exactly
+    // the post-greedy sequences.
+    val m = learned(Map("aaa" -> 1L, "aaaa" -> 1L), 2)
+    assert(m.head == ((1, "a", "a", "aa", 5L)))
+    // after greedy: aaa=(aa,a), aaaa=(aa,aa) -> pairs (aa,a)=1, (aa,aa)=1
+    // tie at n=1 -> lexicographically smallest pair is (aa,a)
+    assert(m(1) == ((2, "aa", "a", "aaa", 1L)),
+      s"post-merge sequences must reflect greedy non-overlapping merging: $m")
+  }
+
+  test("ties break to the lexicographically smallest pair") {
+    // zq and ab both occur exactly twice; (a,b) < (z,q)
+    val m = learned(Map("zq" -> 2L, "ab" -> 2L), 1)
+    assert(m == Seq((1, "a", "b", "ab", 2L)))
+  }
+
+  test("loop stops early when no pairs remain") {
+    val m = learned(Map("ab" -> 3L, "c" -> 9L), 5)
+    assert(m == Seq((1, "a", "b", "ab", 3L)),
+      "after the only merge every word is a single symbol; later rounds must emit nothing")
+  }
+}
