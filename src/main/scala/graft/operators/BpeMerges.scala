@@ -49,6 +49,19 @@ object BpeMerges {
       concat_ws(Sep + Sep, filter(split(word, ""), c => c =!= "")),
       lit(Sep))
 
+  /** Apply an ordered learned merge table to a wrapped symbol-string
+    * column — tokenizer ENCODING. Each merge is the same literal
+    * leftmost-non-overlapping `replace` the training loop used, so
+    * encoding a word replays exactly the greedy passes training applied
+    * to it. The fold stays one codegen expression chain; merge literals
+    * ride through `call_function`, never through SQL text. */
+  def applyMerges(s: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(s) { case (c, (a, b)) =>
+      call_function("replace", c,
+        lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))
+    }
+
   /** Learn `k` merges over a word-frequency table.
     *
     * @param words (cnt: bigint, s: string) — corpus frequency and the

@@ -258,6 +258,110 @@ object Curation {
       .orderBy("source")
   }
 
+  /** PII patterns shared by the Spark columns and the DuckDB oracle —
+    * one definition, engine/oracle parity (the [[Scramble]] discipline).
+    * Restricted to the regex subset where java.util.regex and RE2 agree
+    * exactly: literal classes, bounded repetition, `\b` word boundaries
+    * — no backreferences, no lookaround, no possessives. */
+  private[graft] val EmailPat = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private[graft] val PhonePat = """\b555-[0-9]{3}-[0-9]{4}\b"""
+  private[graft] val IpPat =
+    """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  /** Redact all three PII classes, email → phone → IP (fixed order so
+    * engines agree even where patterns could interact). */
+  private[graft] def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), IpPat, "<IP>")
+
+  /** PII detection + redaction — the scrub pass every training corpus
+    * runs before anything else. The synthetic documents are letters-only
+    * word salad, so deterministic PII (email/phone/IPv4 derived from
+    * doc_id, moduli 3/11/7 — coprime to the 20-source round-robin so
+    * every source sees a mix) is planted identically on both engines,
+    * then genuinely found and redacted by regex. Scale shape: one scan,
+    * three codegen'd regex passes per row, a per-source hash aggregate —
+    * embarrassingly parallel, zero pre-aggregation shuffle. Redaction
+    * order (email → phone → IP) is fixed so engines agree even where
+    * patterns could interact. `min_tail`/`max_tail` hash-pin the actual
+    * redacted TEXT (not just counts): the planted suffix starts at
+    * length(text)+1 and redaction never touches the digit-free body. */
+  val qTextPiiRedact: QueryDef = QueryDef.oracle(
+    "q_text_pii_redact",
+    s"""WITH p AS (
+      |  SELECT doc_id, source, length(text) AS tlen, text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user' ||
+      |         CAST(doc_id AS VARCHAR) || '@mail' ||
+      |         CAST(doc_id % 7 AS VARCHAR) || '.example dept' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' ||
+      |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' ||
+      |         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |         CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+      |         CAST((doc_id * 13) % 256 AS VARCHAR) || ' up' ELSE '' END
+      |    AS pii
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, pii, tlen,
+      |    len(regexp_extract_all(pii, '$EmailPat')) AS n_e,
+      |    len(regexp_extract_all(pii, '$PhonePat')) AS n_p,
+      |    len(regexp_extract_all(pii, '$IpPat')) AS n_i,
+      |    regexp_replace(regexp_replace(regexp_replace(pii,
+      |      '$EmailPat', '<EMAIL>', 'g'),
+      |      '$PhonePat', '<PHONE>', 'g'),
+      |      '$IpPat', '<IP>', 'g') AS red
+      |  FROM p)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_e + n_p + n_i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_with_pii,
+      |  CAST(SUM(n_e) AS BIGINT) AS n_emails,
+      |  CAST(SUM(n_p) AS BIGINT) AS n_phones,
+      |  CAST(SUM(n_i) AS BIGINT) AS n_ips,
+      |  CAST(SUM(length(pii) - length(red)) AS BIGINT) AS chars_removed,
+      |  MIN(CASE WHEN n_e + n_p + n_i > 0 THEN substr(red, tlen + 1) END)
+      |    AS min_tail,
+      |  MAX(CASE WHEN n_e + n_p + n_i > 0 THEN substr(red, tlen + 1) END)
+      |    AS max_tail
+      |FROM r GROUP BY source ORDER BY source""".stripMargin,
+  ) { (spark, dir) =>
+    val id = col("doc_id")
+    val pii = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" reach user"), id.cast("string"),
+        lit("@mail"), (id % 7).cast("string"), lit(".example dept")))
+        .otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" call 555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((id % 10000).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" host 10."), (id % 256).cast("string"),
+        lit("."), ((id * 7) % 256).cast("string"),
+        lit("."), ((id * 13) % 256).cast("string"), lit(" up")))
+        .otherwise(lit("")))
+    val scanned = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), length(col("text")).as("tlen"),
+        pii.as("pii"))
+      .select(col("source"), col("pii"), col("tlen"),
+        regexp_count(col("pii"), lit(EmailPat)).as("n_e"),
+        regexp_count(col("pii"), lit(PhonePat)).as("n_p"),
+        regexp_count(col("pii"), lit(IpPat)).as("n_i"),
+        redactPii(col("pii")).as("red"))
+    val hasPii = col("n_e") + col("n_p") + col("n_i") > 0
+    val tail = col("red").substr(col("tlen") + 1, length(col("red")))
+    scanned.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(hasPii, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum(col("n_e")).cast("long").as("n_emails"),
+        sum(col("n_p")).cast("long").as("n_phones"),
+        sum(col("n_i")).cast("long").as("n_ips"),
+        sum(length(col("pii")) - length(col("red"))).cast("long")
+          .as("chars_removed"),
+        min(when(hasPii, tail)).as("min_tail"),
+        max(when(hasPii, tail)).as("max_tail"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qTextDecontaminate, qPackSequences, qTextRepetition)
+    Seq(qTextDecontaminate, qPackSequences, qTextRepetition, qTextPiiRedact)
 }

@@ -200,9 +200,45 @@ object Misc {
       .orderBy("event_type", "d")
   }
 
+  /** Data profiling — the first pass anyone runs on a new corpus:
+    * per-column row/null/distinct counts and min/max. Spark side is ONE
+    * scan: cast-to-string, `unpivot` to (col_name, value), then a 5-key
+    * hash aggregate — at 100 TB that's a single map stage plus a shuffle
+    * of pre-aggregated partials, vs the naive one-scan-per-column
+    * profile (which the oracle deliberately states, column by column).
+    * Exact COUNT(DISTINCT) here because the table is judged; the 100 TB
+    * profile swaps in approx_count_distinct (q_agg_approx_distinct is
+    * that path's judged entry) without changing the shape. */
+  val qProfile: QueryDef = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    QueryDef.oracle(
+      "q_profile",
+      cols.map { c =>
+        s"""|SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+            |  COUNT($c) AS n_non_null,
+            |  COUNT(DISTINCT $c) AS n_distinct,
+            |  MIN(CAST($c AS VARCHAR)) AS min_val,
+            |  MAX(CAST($c AS VARCHAR)) AS max_val
+            |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(cols.map(c => col(c).cast("string").as(c)): _*)
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          cols.map(col).toArray, "col_name", "value")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_non_null"),
+          countDistinct(col("value")).as("n_distinct"),
+          min(col("value")).as("min_val"),
+          max(col("value")).as("max_val"))
+        .orderBy("col_name")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(qFilterPredicates, qTextTfidf, qTypedDataset, qFnMap, qObserveMetrics,
-      qTsGapfill)
+      qTsGapfill, qProfile)
 }
 
 final case class Customer(c_custkey: Long, c_mktsegment: String, c_acctbal: Double)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the LLM-training-pipeline
@@ -339,8 +339,15 @@ object TextAnalysis {
     * hash-matches exactly. MATERIALIZED is load-bearing: each w_i is
     * referenced twice (pair count + rewrite), and DuckDB would otherwise
     * inline and re-evaluate the whole chain exponentially. */
-  val qTextBpe: QueryDef = {
-    val k = 20
+  /** The unrolled-CTE oracle chain shared by q_text_bpe and
+    * q_text_bpe_encode: w0 = the [a-z]+ word-frequency table with
+    * character-level wrapped symbol strings, then per round i a pair
+    * count (p_i), the argmax merge (m_i), and the rewritten vocabulary
+    * (w_i). `word` rides along untouched so the final w_k doubles as the
+    * word → encoded-symbols map. MATERIALIZED is load-bearing: each w_i
+    * is referenced twice (pair count + rewrite), and DuckDB would
+    * otherwise inline and re-evaluate the whole chain exponentially. */
+  private def bpeCtes(k: Int): String = {
     val sep = graft.operators.BpeMerges.Sep
     val rounds = (1 to k).map { i =>
       s"""|p$i AS MATERIALIZED (
@@ -352,36 +359,164 @@ object TextAnalysis {
           |m$i AS MATERIALIZED (
           |  SELECT $i AS rank, a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
           |w$i AS MATERIALIZED (
-          |  SELECT cnt, replace(s, '$sep' || a || '$sep$sep' || b || '$sep',
-          |                         '$sep' || a || b || '$sep') AS s
+          |  SELECT word, cnt, replace(s, '$sep' || a || '$sep$sep' || b || '$sep',
+          |                               '$sep' || a || b || '$sep') AS s
           |  FROM w${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
+    s"""|w0 AS MATERIALIZED (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    '$sep' || array_to_string(string_split(word, ''), '$sep$sep') || '$sep' AS s
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |        FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$$')
+        |  GROUP BY word),
+        |$rounds""".stripMargin
+  }
+
+  /** The [a-z]+ word-frequency table with wrapped symbol strings — the
+    * Spark twin of the oracle's w0. */
+  private def bpeWords(spark: SparkSession, dir: String) =
+    Tables(spark, dir).documents
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        graft.operators.BpeMerges.initialSymbols(col("word")).as("s"))
+
+  val qTextBpe: QueryDef = {
+    val k = 20
     val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
     QueryDef.oracle(
       "q_text_bpe",
-      s"""|WITH w0 AS MATERIALIZED (
-          |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-          |    '$sep' || array_to_string(string_split(word, ''), '$sep$sep') || '$sep' AS s
-          |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-          |        FROM documents)
-          |  WHERE regexp_matches(word, '^[a-z]+$$')
-          |  GROUP BY word),
-          |$rounds
+      s"""|WITH ${bpeCtes(k)}
           |SELECT rank, a AS left_sym, b AS right_sym, a || b AS merged, n
           |FROM ($union)
           |ORDER BY rank""".stripMargin,
     ) { (spark, dir) =>
-      val words = Tables(spark, dir).documents
-        .select(explode(toks(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"),
-          graft.operators.BpeMerges.initialSymbols(col("word")).as("s"))
-      graft.operators.BpeMerges.learn(words, k)
+      graft.operators.BpeMerges.learn(
+        bpeWords(spark, dir).select(col("cnt"), col("s")), k)
     }
+  }
+
+  /** Tokenizer APPLICATION — encode the corpus with a learned BPE merge
+    * table and report per-source token statistics, the counting pass a
+    * pipeline runs before packing/mixing. Two-level 100 TB shape: the
+    * k-merge replace chain (the learned model, a k-row driver artifact
+    * collected like the CC convergence scalar) is applied ONCE PER
+    * DISTINCT WORD on the vocabulary table, never per corpus token; the
+    * corpus side is only a broadcast hash join word → token-count
+    * (vocabulary ≪ corpus, same shape as TF-IDF's document-frequency
+    * attach). The oracle needs no separate encode step: the training
+    * chain's final w_k IS the encoded vocabulary. k=12 (vs q_text_bpe's
+    * 20) keeps the second fixpoint run's bench weight modest — the
+    * application machinery is identical for any k. */
+  val qTextBpeEncode: QueryDef = {
+    val k = 12
+    val sep = graft.operators.BpeMerges.Sep
+    QueryDef.oracle(
+      "q_text_bpe_encode",
+      s"""|WITH ${bpeCtes(k)},
+          |v AS (
+          |  SELECT word, len(string_split(substr(s, 2, length(s)-2), '$sep$sep'))
+          |    AS n_tok
+          |  FROM w$k),
+          |dw AS (
+          |  SELECT source, unnest(list_filter(string_split(text, ' '),
+          |    x -> x <> '')) AS word
+          |  FROM documents)
+          |SELECT source, COUNT(*) AS n_words,
+          |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+          |  CAST(SUM(length(word)) AS BIGINT) AS n_chars
+          |FROM dw JOIN v USING (word)
+          |GROUP BY source ORDER BY source""".stripMargin,
+    ) { (spark, dir) =>
+      val vocab = bpeWords(spark, dir)
+      // the learned model is a k-row driver artifact (collected like the
+      // CC convergence scalar), folded into one codegen replace chain
+      val merges = graft.operators.BpeMerges.learn(
+        vocab.select(col("cnt"), col("s")), k).collect()
+        .map(m => (m.getString(1), m.getString(2))).toSeq
+      val enc = graft.operators.BpeMerges.applyMerges(col("s"), merges)
+      val tokCounts = vocab
+        .select(col("word"),
+          size(split(enc.substr(lit(2), length(enc) - 2), sep + sep))
+            .as("n_tok"))
+      val docWords = Tables(spark, dir).documents
+        .select(col("source"), explode(toks(col("text"))).as("word"))
+      docWords.join(broadcast(tokCounts), "word")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          sum(length(col("word"))).cast("long").as("n_chars"))
+        .orderBy("source")
+    }
+  }
+
+  /** N-gram language-model quality scoring — the statistical filter that
+    * catches what rule-based quality metrics miss: per-token SURPRISE
+    * under a Laplace-smoothed corpus bigram model. Kept integer-exact
+    * (the TF-IDF discipline): surprise(a,b) = (c(a)+V)·10⁶ div
+    * (c(a,b)+1), a monotone transform of 1/P(b|a) with no libm — both
+    * engines truncate identically on non-negative longs. Headroom: at
+    * 10¹² corpus tokens the scaled numerator peaks ~10¹⁸, inside int64.
+    * Shape: the corpus shuffles ONCE into the bigram/left-unigram count
+    * tables (vocabulary-sized, broadcast back), the token count rides as
+    * a 1-row broadcast cross; scoring itself is scan-local, then per-doc
+    * and per-source hash aggregates. */
+  val qTextLmScore: QueryDef = QueryDef.oracle(
+    "q_text_lm_score",
+    """WITH w AS (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '),
+      |    x -> x <> '') AS ws
+      |  FROM documents),
+      |big AS (SELECT doc_id, source, ws[i] AS a, ws[i+1] AS b
+      |        FROM w, unnest(range(1, len(ws))) t(i)),
+      |bc AS (SELECT a, b, COUNT(*) AS nab FROM big GROUP BY 1, 2),
+      |ac AS (SELECT a, COUNT(*) AS na FROM big GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS nv
+      |      FROM (SELECT unnest(ws) AS tok FROM w)),
+      |occ AS (
+      |  SELECT doc_id, source, ((na + nv) * 1000000) // (nab + 1) AS s
+      |  FROM big JOIN bc USING (a, b) JOIN ac USING (a) CROSS JOIN v),
+      |d AS (
+      |  SELECT doc_id, source, COUNT(*) AS nb,
+      |    CAST(SUM(s) AS BIGINT) AS tot
+      |  FROM occ GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs_scored,
+      |  CAST(SUM(tot) AS BIGINT) AS sum_surprise,
+      |  MIN(tot // nb) AS min_avg_surprise,
+      |  MAX(tot // nb) AS max_avg_surprise
+      |FROM d GROUP BY source ORDER BY source""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val ws = toks(col("text"))
+    val big = docs.select(col("doc_id"), col("source"),
+        explode(when(size(ws) >= 2,
+          zip_with(slice(ws, lit(1), size(ws) - 1),
+            slice(ws, lit(2), size(ws) - 1),
+            (a, b) => struct(a.as("a"), b.as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("doc_id"), col("source"), col("p.a"), col("p.b"))
+    val bc = big.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val ac = big.groupBy("a").agg(count(lit(1)).as("na"))
+    val nv = docs.select(explode(ws).as("tok"))
+      .agg(countDistinct(col("tok")).as("nv"))
+    big.join(broadcast(bc), Seq("a", "b"))
+      .join(broadcast(ac), Seq("a"))
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"), col("source"),
+        expr("((na + nv) * 1000000) div (nab + 1)").as("s"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("nb"), sum(col("s")).cast("long").as("tot"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_scored"),
+        sum(col("tot")).cast("long").as("sum_surprise"),
+        min(expr("tot div nb")).as("min_avg_surprise"),
+        max(expr("tot div nb")).as("max_avg_surprise"))
+      .orderBy("source")
   }
 
   val all: Seq[QueryDef] =
     Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qTextChunk,
-      qTextVocab, qTextBigrams, qTextBpe)
+      qTextVocab, qTextBigrams, qTextBpe, qTextBpeEncode, qTextLmScore)
 }

@@ -89,6 +89,43 @@ class BpeSpec extends SparkSpec {
     assert(m == Seq((1, "a", "b", "ab", 2L)))
   }
 
+  test("applyMerges encoding equals the sequential reference's final state") {
+    import spark.implicits._
+    // encode must replay training exactly: the expression chain applied
+    // to fresh character-level words yields the same symbol sequences as
+    // the reference's in-place merge replay
+    val words = Map("lower" -> 5L, "lowest" -> 2L, "newer" -> 6L,
+      "wider" -> 3L, "new" -> 8L, "low" -> 7L)
+    val k = 6
+    val ref = referenceBpe(words, k)
+    val refSyms = {
+      val syms = scala.collection.mutable.Map[String, Vector[String]]() ++
+        words.keys.map(w => w -> w.map(_.toString).toVector)
+      for ((_, a, b, _, _) <- ref; w <- words.keys) {
+        val s = syms(w)
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += s(i); i += 1 }
+        }
+        syms(w) = merged.result()
+      }
+      syms.toMap
+    }
+    val enc = BpeMerges.applyMerges(
+      BpeMerges.initialSymbols(col("word")),
+      ref.map(m => (m._2, m._3)))
+    val got = words.keys.toSeq.toDF("word")
+      .select(col("word"), enc.as("s")).collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).stripPrefix(",").stripSuffix(",").split(",,").toVector)
+      .toMap
+    assert(got == refSyms,
+      s"expression-chain encode drifted from the reference replay:\n$got\nvs\n$refSyms")
+  }
+
   test("loop stops early when no pairs remain") {
     val m = learned(Map("ab" -> 3L, "c" -> 9L), 5)
     assert(m == Seq((1, "a", "b", "ab", 3L)),

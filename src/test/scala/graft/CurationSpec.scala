@@ -88,6 +88,30 @@ class CurationSpec extends SparkSpec {
       s"got $bins")
   }
 
+  test("PII redaction scrubs emails/phones/IPs and leaves look-alikes alone") {
+    import spark.implicits._
+    val cases = Seq(
+      // each class mid-text, including a subdomained email
+      ("mail me at jo.ann_x%9@dev.mail.example today",
+       "mail me at <EMAIL> today"),
+      ("dial 555-867-5309 or 555-000-1234 twice",
+       "dial <PHONE> or <PHONE> twice"),
+      ("node 192.168.0.1 and 10.0.255.42 are up",
+       "node <IP> and <IP> are up"),
+      // all three classes in one string, adjacent punctuation-free
+      ("a@b.co 555-111-2222 1.2.3.4", "<EMAIL> <PHONE> <IP>"),
+      // look-alikes that must survive: no-TLD at-sign, 3-octet version,
+      // non-555 number shape, word-boundary-violating digit runs
+      ("v1.2.3 of a@b stays; call 444-123-4567; id 1555-123-45678",
+       "v1.2.3 of a@b stays; call 444-123-4567; id 1555-123-45678"),
+      ("plain text with no pii at all", "plain text with no pii at all"),
+    ).toDF("s", "expected")
+    val bad = cases
+      .withColumn("got", graft.queries.Curation.redactPii(col("s")))
+      .filter(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, s"redaction drift:\n${bad.mkString("\n")}")
+  }
+
   test("native 5-gram hashes equal the declarative grams5 formulation") {
     // graft_shingle_hashes(text, 5) must reproduce
     // transform(grams5(text), xxhash64) as a set, or decontamination's

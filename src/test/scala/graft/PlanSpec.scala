@@ -27,7 +27,8 @@ class PlanSpec extends SparkSpec {
     "q_dedup_embedding", // pair stage = q_sim_cosine_pairs' all-pairs scan
     "q_ts_gapfill", // dimension-grid generation: 30-day × 5-type broadcast cross
     "q_sample_balance", // 1-row broadcast target-count scalar attach
-    "q_text_bigrams") // two 1-row broadcast corpus-total scalar attaches
+    "q_text_bigrams", // two 1-row broadcast corpus-total scalar attaches
+    "q_text_lm_score") // 1-row broadcast vocabulary-size scalar attach
 
   for (q <- Registry.all if !q.name.startsWith("q_stream_")) {
     test(s"${q.name}: no cartesian product; nested-loop only by design") {
@@ -283,5 +284,36 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("graft_lsh_bucket")).mkString("\n")
     assert(!bucketScan.contains("lambdafunction"),
       s"interpreted HOF on the full-scan path:\n$bucketScan")
+  }
+
+  test("PII redaction is one scan + one aggregate exchange, no join") {
+    val p = plan("q_text_pii_redact")
+    assert("Exchange".r.findAllIn(p).size <= 2, // partial->final agg + sort
+      s"pii scrub added a shuffle beyond agg/sort:\n$p")
+    assert(!p.contains("Join"), s"pii scrub must not join:\n$p")
+    assert("FileScan|BatchScan".r.findAllIn(p).size == 1,
+      s"pii scrub must read the corpus once:\n$p")
+  }
+
+  test("profile reads the table once — unpivot, not a scan per column") {
+    val p = plan("q_profile")
+    assert("FileScan|BatchScan".r.findAllIn(p).size == 1,
+      s"profile must be one scan, got:\n$p")
+  }
+
+  test("LM scoring attaches count tables via broadcast — corpus rows never shuffle unaggregated") {
+    val p = plan("q_text_lm_score")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"bigram/unigram count attach must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in lm scoring:\n$p")
+  }
+
+  test("BPE encode attaches token counts via broadcast, corpus never shuffles for the join") {
+    val p = plan("q_text_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab token-count attach must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in encode:\n$p")
   }
 }
