@@ -274,6 +274,51 @@ object Curation {
     regexp_replace(regexp_replace(regexp_replace(c,
       EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), IpPat, "<IP>")
 
+  /** The oracle-SQL twin of [[redactPii]], from the same pattern
+    * constants. DuckDB regexp_replace is first-match-only by default —
+    * the 'g' flag is what makes it mirror Spark's replace-all. Rendered
+    * single-line: these fragments are interpolated into stripMargin SQL,
+    * where a continuation line starting with `|` (e.g. the `||` concat
+    * operator) would lose its first char to the margin strip. */
+  private[graft] def redactPiiSql(inner: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($inner, " +
+      s"'$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'), " +
+      s"'$IpPat', '<IP>', 'g')"
+
+  /** Deterministic planted PII: the synthetic corpus is letters-only
+    * word salad, so email/phone/IPv4 are derived from doc_id (moduli
+    * 3/11/7 — coprime to the 20-source round-robin so every source sees
+    * a mix) and appended identically on both engines. One definition,
+    * two renderings. */
+  private[graft] def plantedPiiCol: Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 3 === 0, concat(lit(" reach user"), id.cast("string"),
+        lit("@mail"), (id % 7).cast("string"), lit(".example dept")))
+        .otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" call 555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((id % 10000).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" host 10."), (id % 256).cast("string"),
+        lit("."), ((id * 7) % 256).cast("string"),
+        lit("."), ((id * 13) % 256).cast("string"), lit(" up")))
+        .otherwise(lit("")))
+  }
+
+  private[graft] val plantedPiiSql: String =
+    "text " +
+      "|| CASE WHEN doc_id % 3 = 0 THEN ' reach user' || " +
+      "CAST(doc_id AS VARCHAR) || '@mail' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.example dept' ELSE '' END " +
+      "|| CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || " +
+      "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END " +
+      "|| CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+      "CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || " +
+      "CAST((doc_id * 13) % 256 AS VARCHAR) || ' up' ELSE '' END"
+
   /** PII detection + redaction — the scrub pass every training corpus
     * runs before anything else. The synthetic documents are letters-only
     * word salad, so deterministic PII (email/phone/IPv4 derived from
@@ -289,18 +334,7 @@ object Curation {
   val qTextPiiRedact: QueryDef = QueryDef.oracle(
     "q_text_pii_redact",
     s"""WITH p AS (
-      |  SELECT doc_id, source, length(text) AS tlen, text
-      |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user' ||
-      |         CAST(doc_id AS VARCHAR) || '@mail' ||
-      |         CAST(doc_id % 7 AS VARCHAR) || '.example dept' ELSE '' END
-      |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' ||
-      |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
-      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
-      |       ELSE '' END
-      |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' ||
-      |         CAST(doc_id % 256 AS VARCHAR) || '.' ||
-      |         CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
-      |         CAST((doc_id * 13) % 256 AS VARCHAR) || ' up' ELSE '' END
+      |  SELECT doc_id, source, length(text) AS tlen, $plantedPiiSql
       |    AS pii
       |  FROM documents),
       |r AS (
@@ -308,10 +342,7 @@ object Curation {
       |    len(regexp_extract_all(pii, '$EmailPat')) AS n_e,
       |    len(regexp_extract_all(pii, '$PhonePat')) AS n_p,
       |    len(regexp_extract_all(pii, '$IpPat')) AS n_i,
-      |    regexp_replace(regexp_replace(regexp_replace(pii,
-      |      '$EmailPat', '<EMAIL>', 'g'),
-      |      '$PhonePat', '<PHONE>', 'g'),
-      |      '$IpPat', '<IP>', 'g') AS red
+      |    ${redactPiiSql("pii")} AS red
       |  FROM p)
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN n_e + n_p + n_i > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -326,22 +357,9 @@ object Curation {
       |    AS max_tail
       |FROM r GROUP BY source ORDER BY source""".stripMargin,
   ) { (spark, dir) =>
-    val id = col("doc_id")
-    val pii = concat(col("text"),
-      when(id % 3 === 0, concat(lit(" reach user"), id.cast("string"),
-        lit("@mail"), (id % 7).cast("string"), lit(".example dept")))
-        .otherwise(lit("")),
-      when(id % 11 === 0, concat(lit(" call 555-"),
-        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
-        lpad((id % 10000).cast("string"), 4, "0"), lit(" now")))
-        .otherwise(lit("")),
-      when(id % 7 === 0, concat(lit(" host 10."), (id % 256).cast("string"),
-        lit("."), ((id * 7) % 256).cast("string"),
-        lit("."), ((id * 13) % 256).cast("string"), lit(" up")))
-        .otherwise(lit("")))
     val scanned = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"), length(col("text")).as("tlen"),
-        pii.as("pii"))
+        plantedPiiCol.as("pii"))
       .select(col("source"), col("pii"), col("tlen"),
         regexp_count(col("pii"), lit(EmailPat)).as("n_e"),
         regexp_count(col("pii"), lit(PhonePat)).as("n_p"),

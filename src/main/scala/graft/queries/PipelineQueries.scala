@@ -176,6 +176,67 @@ object PipelineQueries {
       .toDF("kind", "display").orderBy("kind")
   }
 
+  /** Round-7 composition: the NEW curation operators chained through the
+    * facade — PII redaction → token stats on the CLEAN text → keep-first
+    * exact dedup → offset sequence packing → per-source rollup. One
+    * facade graph, one Catalyst plan: a single scan (three codegen regex
+    * passes ride on it), a dedup window on text, a per-source
+    * prefix-sum window for packing, one final rollup shuffle. The
+    * planted-PII construction and the redaction chain are the SAME
+    * shared definitions q_text_pii_redact uses, rendered once for Spark
+    * and once for DuckDB. Packing uses the streaming-friendly closed
+    * form (bin = tokens-before div budget — see packSequencesByOffset),
+    * which is window algebra both engines state identically. */
+  val qPipeCurate: QueryDef = QueryDef.oracle(
+    "q_pipe_curate",
+    s"""WITH c AS (
+      |  SELECT doc_id, source,
+      |    ${Curation.redactPiiSql(s"(${Curation.plantedPiiSql})")} AS text2
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, source, text2,
+      |    len(list_filter(string_split(text2, ' '), x -> x <> '')) AS n_tok
+      |  FROM c),
+      |d AS (SELECT * FROM t
+      |      QUALIFY row_number() OVER (PARTITION BY text2 ORDER BY doc_id) = 1),
+      |k AS (
+      |  SELECT doc_id, source, n_tok,
+      |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) // 256 AS bin
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+      |  CAST(MAX(bin) + 1 AS BIGINT) AS n_seqs
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks2 = filter(split(col("text2"), " "), w => w =!= "")
+    val packW = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val graph =
+      Node.transform("redact_pii")(_
+        .select(col("doc_id"), col("source"),
+          Curation.redactPii(Curation.plantedPiiCol).as("text2"))) |
+      Node.transform("tok_stats")(_
+        .withColumn("n_tok", size(toks2).cast("long"))) |
+      Node.transform("dedup_keep_first")(_
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("text2").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")) |
+      Node.transform("pack_offsets")(_
+        .withColumn("before", coalesce(sum(col("n_tok")).over(packW), lit(0L)))
+        .withColumn("bin", expr("before div 256"))
+        .drop("before")) |
+      Node.batchAll("by_source")(_
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+          (max(col("bin")) + 1).as("n_seqs"))
+        .orderBy("source"))
+    Pipeline(Tables(spark, dir).documents, graph)
+      .outputs("redact_pii.tok_stats.dedup_keep_first.pack_offsets.by_source")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qPipeChain, qPipeFanout, qPipeTrainingData, qPipeBatch, qPlanDisplay)
+    Seq(qPipeChain, qPipeFanout, qPipeTrainingData, qPipeBatch, qPlanDisplay,
+      qPipeCurate)
 }
