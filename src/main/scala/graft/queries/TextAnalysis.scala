@@ -459,10 +459,12 @@ object TextAnalysis {
     * (c(a,b)+1), a monotone transform of 1/P(b|a) with no libm — both
     * engines truncate identically on non-negative longs. Headroom: at
     * 10¹² corpus tokens the scaled numerator peaks ~10¹⁸, inside int64.
-    * Shape: the corpus shuffles ONCE into the bigram/left-unigram count
-    * tables (vocabulary-sized, broadcast back), the token count rides as
-    * a 1-row broadcast cross; scoring itself is scan-local, then per-doc
-    * and per-source hash aggregates. */
+    * Shape: the corpus pair stream aggregates ONCE into the
+    * vocabulary-sized bigram table (map-side partials, broadcast back);
+    * the left-unigram table is a rollup of THAT table (c(a) = Σ_b
+    * c(a,b)), never a second corpus aggregation; the vocabulary size
+    * rides as a 1-row broadcast cross. Scoring itself is scan-local,
+    * then per-doc and per-source hash aggregates. */
   val qTextLmScore: QueryDef = QueryDef.oracle(
     "q_text_lm_score",
     """WITH w AS (
@@ -472,7 +474,7 @@ object TextAnalysis {
       |big AS (SELECT doc_id, source, ws[i] AS a, ws[i+1] AS b
       |        FROM w, unnest(range(1, len(ws))) t(i)),
       |bc AS (SELECT a, b, COUNT(*) AS nab FROM big GROUP BY 1, 2),
-      |ac AS (SELECT a, COUNT(*) AS na FROM big GROUP BY 1),
+      |ac AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM bc GROUP BY 1),
       |v AS (SELECT COUNT(DISTINCT tok) AS nv
       |      FROM (SELECT unnest(ws) AS tok FROM w)),
       |occ AS (
@@ -498,7 +500,10 @@ object TextAnalysis {
         .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
       .select(col("doc_id"), col("source"), col("p.a"), col("p.b"))
     val bc = big.groupBy("a", "b").agg(count(lit(1)).as("nab"))
-    val ac = big.groupBy("a").agg(count(lit(1)).as("na"))
+    // c(a) = Σ_b c(a,b): roll up the already-aggregated vocabulary-sized
+    // bigram table instead of re-scanning the corpus-sized pair stream —
+    // one fewer corpus pass, same counts by construction
+    val ac = bc.groupBy("a").agg(sum(col("nab")).cast("long").as("na"))
     val nv = docs.select(explode(ws).as("tok"))
       .agg(countDistinct(col("tok")).as("nv"))
     big.join(broadcast(bc), Seq("a", "b"))
