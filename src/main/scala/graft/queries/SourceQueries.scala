@@ -55,5 +55,29 @@ object SourceQueries {
       .orderBy("r_name")
   }
 
-  val all: Seq[QueryDef] = Seq(qSourceCsvJson)
+  /** ORC scan with predicate pushdown — the third columnar lake format
+    * (parquet everywhere else, csv/json above). The filter must reach
+    * the ORC reader as a pushed predicate (PlanSpec pins PushedFilters
+    * on the orc scan), exactly as it would on parquet; a hash match
+    * against the parquet-reading oracle proves the format roundtrip is
+    * lossless. */
+  val qSourceOrc: QueryDef = QueryDef.oracle(
+    "q_source_orc",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+      |FROM customer WHERE c_acctbal > 1000
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val customerOrc = spark.read
+      .schema(t.customer.schema)
+      .orc(stage(spark, dir, "customer", "orc", t.customer))
+    customerOrc.filter(col("c_acctbal") > 1000)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).cast("long").as("sum_keys"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Seq[QueryDef] = Seq(qSourceCsvJson, qSourceOrc)
 }

@@ -286,6 +286,14 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF on the full-scan path:\n$bucketScan")
   }
 
+  test("ORC scan pushes the filter into the reader like parquet would") {
+    val p = plan("q_source_orc")
+    val scan = p.linesIterator.filter(_.contains("Format: ORC")).mkString("\n")
+    assert(scan.nonEmpty, s"no orc scan in plan:\n$p")
+    assert(p.contains("GreaterThan(c_acctbal"),
+      s"acctbal predicate not pushed to the orc reader:\n$p")
+  }
+
   test("PII redaction is one scan + one aggregate exchange, no join") {
     val p = plan("q_text_pii_redact")
     assert("Exchange".r.findAllIn(p).size <= 2, // partial->final agg + sort
