@@ -79,5 +79,44 @@ object SourceQueries {
       .orderBy("c_mktsegment")
   }
 
-  val all: Seq[QueryDef] = Seq(qSourceCsvJson, qSourceOrc)
+  /** Dynamic partition pruning over a month-partitioned fact — THE scan
+    * optimization a date-partitioned 100 TB lake lives on: the dim-side
+    * filter (Q1 months) prunes fact PARTITIONS at runtime via the
+    * reused broadcast, so the scan never touches the other three
+    * quarters' files. The fact table is staged once per sf dir as a
+    * hive-partitioned parquet layout (partition column = yyyy-MM month);
+    * PlanSpec pins the `dynamicpruning` expression in the fact scan's
+    * PartitionFilters. The oracle states the same aggregate as a plain
+    * quarter filter over the unpartitioned parquet — a hash match proves
+    * pruning changed the I/O, not the answer. */
+  val qJoinDpp: QueryDef = QueryDef.oracle(
+    "q_join_dpp",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM orders WHERE quarter(o_orderdate) = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_src_orders_part_${dir.hashCode.toHexString}")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+      t.orders
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month")
+        .parquet(out.toString)
+    val fact = spark.read.parquet(out.toString)
+    // dim: month → quarter, built from the orders DATES (dim-side work is
+    // dim-sized); the Q1 filter on it is what DPP pushes into the fact scan
+    val dim = t.orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        quarter(col("o_orderdate")).as("q"))
+      .distinct()
+      .filter(col("q") === 1)
+    fact.join(broadcast(dim), fact("o_month") === dim("m"))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_month")
+  }
+
+  val all: Seq[QueryDef] = Seq(qSourceCsvJson, qSourceOrc, qJoinDpp)
 }

@@ -294,6 +294,12 @@ class PlanSpec extends SparkSpec {
       s"acctbal predicate not pushed to the orc reader:\n$p")
   }
 
+  test("DPP join prunes fact partitions at runtime from the dim filter") {
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
   test("PII redaction is one scan + one aggregate exchange, no join") {
     val p = plan("q_text_pii_redact")
     assert("Exchange".r.findAllIn(p).size <= 2, // partial->final agg + sort
