@@ -121,6 +121,54 @@ object SqlQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** CDC upsert / SCD1 snapshot maintenance — the merge every nightly
+    * pipeline runs against its snapshot. With no transactional table
+    * format in play, the Spark-native shape IS the rewrite MERGE
+    * compiles to: survivors = base LEFT ANTI upserts on the key, then
+    * UNION ALL the upsert batch — one shuffle per side on the join key
+    * (bucket both by the key at 100 TB and the anti join is
+    * exchange-free). The upsert batch is derived deterministically from
+    * the base (scrambled ~10 % price-bumped updates + a disjoint-key
+    * insert slice), so both engines construct the identical batch; the
+    * post-merge per-status rollup hash-pins the result. Update rows are
+    * verifiably CHANGED (price × 1.1 — one IEEE multiply, identical on
+    * both engines) and insert keys are offset beyond the key domain. */
+  val qUpsertSnapshot: QueryDef = QueryDef.oracle(
+    "q_upsert_snapshot",
+    s"""WITH upd AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE ${Scramble.sql("o_orderkey")} % 10 = 0),
+      |ins AS (
+      |  SELECT o_orderkey + 10000000000 AS o_orderkey,
+      |    'N' AS o_orderstatus, o_totalprice
+      |  FROM orders WHERE ${Scramble.sql("o_orderkey")} % 97 = 7),
+      |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |survivors AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM batch b
+      |                    WHERE b.o_orderkey = o.o_orderkey)),
+      |merged AS (SELECT * FROM survivors UNION ALL SELECT * FROM batch)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val base = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val upd = base.filter(Scramble(col("o_orderkey")) % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+    val ins = base.filter(Scramble(col("o_orderkey")) % 97 === 7)
+      .select((col("o_orderkey") + 10000000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val batch = upd.unionByName(ins)
+    base.join(batch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(batch)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qAggPivot, qScalarSubquery, qExistsSubquery, qSqlCteLateral)
+    Seq(qAggPivot, qScalarSubquery, qExistsSubquery, qSqlCteLateral,
+      qUpsertSnapshot)
 }
