@@ -112,6 +112,29 @@ class CurationSpec extends SparkSpec {
     assert(bad.isEmpty, s"redaction drift:\n${bad.mkString("\n")}")
   }
 
+  test("PII redaction is idempotent and counts match inserted placeholders") {
+    // over the real planted corpus: redact(redact(x)) == redact(x) (the
+    // placeholders contain no PII shapes), and each pattern's match
+    // count equals the number of its placeholders in the redacted text
+    // (replacement neither merges nor drops matches)
+    val docs = Tables(spark, sf).documents
+      .select(graft.queries.Curation.plantedPiiCol.as("pii"))
+      .select(col("pii"),
+        graft.queries.Curation.redactPii(col("pii")).as("red"))
+    val bad = docs.filter(
+      graft.queries.Curation.redactPii(col("red")) =!= col("red")).count()
+    assert(bad == 0, s"$bad rows not idempotent under redaction")
+    val drift = docs.select(
+      (regexp_count(col("pii"), lit(graft.queries.Curation.EmailPat)) =!=
+        size(split(col("red"), "<EMAIL>", -1)) - 1).as("e"),
+      (regexp_count(col("pii"), lit(graft.queries.Curation.PhonePat)) =!=
+        size(split(col("red"), "<PHONE>", -1)) - 1).as("p"),
+      (regexp_count(col("pii"), lit(graft.queries.Curation.IpPat)) =!=
+        size(split(col("red"), "<IP>", -1)) - 1).as("i"))
+      .filter(col("e") || col("p") || col("i")).count()
+    assert(drift == 0, s"$drift rows where match counts != placeholder counts")
+  }
+
   test("native 5-gram hashes equal the declarative grams5 formulation") {
     // graft_shingle_hashes(text, 5) must reproduce
     // transform(grams5(text), xxhash64) as a set, or decontamination's
