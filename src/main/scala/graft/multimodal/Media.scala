@@ -119,9 +119,13 @@ object Media {
         if (m.kind == "image") {
           val need = m.width * m.height * 3
           val px = new Array[Byte](need)
+          val plen = m.payload.length
           var i = 0
-          while (i < need) { // cycle the text bytes through the raster
-            px(i) = m.payload(i % m.payload.length); i += 1
+          // cycle the text bytes through the raster; an empty document
+          // leaves a zero raster (malformed media is data, not an
+          // exception, at corpus scale — same principle as the decoder)
+          while (plen > 0 && i < need) {
+            px(i) = m.payload(i % plen); i += 1
           }
           m.copy(payload = encodePpm(m.width, m.height, px))
         } else m

@@ -209,7 +209,11 @@ object Dedup {
     val occ = docs
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
       .cache()
-    val tot = docs.select(col("doc_id"), size(col("hs")).cast("long").as("n_spans"))
+    // per-doc totals from the CACHED occurrence table (the oracle's own
+    // formulation) — deriving them from `docs` would re-run the corpus
+    // scan + gram hashing a second time; docs with zero grams drop out
+    // here, but the final inner join on docdup discards them anyway
+    val tot = occ.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
     val dup = occ.select(col("h"), col("doc_id")).distinct()
       .groupBy("h")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))

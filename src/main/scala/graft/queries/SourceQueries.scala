@@ -16,16 +16,20 @@ import org.apache.spark.sql.functions._
   * everything once before the real scan — never at scale). */
 object SourceQueries {
 
-  /** Stage `df` under /tmp in `fmt`, once per (table, sf dir). */
+  /** Stage `df` under /tmp in `fmt`, once per (table, sf dir);
+    * `partitionCols` stages a hive-partitioned layout instead of a flat
+    * one. */
   private def stage(spark: SparkSession, dir: String, table: String,
-      fmt: String, df: => DataFrame): String = {
+      fmt: String, df: => DataFrame,
+      partitionCols: Seq[String] = Nil): String = {
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_src_${table}_${fmt}_${dir.hashCode.toHexString}")
     // key on _SUCCESS, not the directory: a crashed partial write must
     // be overwritten, not trusted
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
       df.coalesce(1).write.mode("overwrite").format(fmt)
-        .option("header", "true").save(out.toString)
+        .option("header", "true").partitionBy(partitionCols: _*)
+        .save(out.toString)
     out.toString
   }
 
@@ -97,14 +101,10 @@ object SourceQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     val t = Tables(spark, dir)
-    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_src_orders_part_${dir.hashCode.toHexString}")
-    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
-      t.orders
-        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-        .write.mode("overwrite").partitionBy("o_month")
-        .parquet(out.toString)
-    val fact = spark.read.parquet(out.toString)
+    val fact = spark.read.parquet(stage(spark, dir, "orders_part", "parquet",
+      t.orders.withColumn("o_month",
+        date_format(col("o_orderdate"), "yyyy-MM")),
+      partitionCols = Seq("o_month")))
     // dim: month → quarter, built from the orders DATES (dim-side work is
     // dim-sized); the Q1 filter on it is what DPP pushes into the fact scan
     val dim = t.orders

@@ -326,27 +326,19 @@ object TextAnalysis {
       .limit(15)
   }
 
-  /** Learned BPE merge table — k=20 rounds of the iterative byte-pair
-    * merge loop ([[graft.operators.BpeMerges]]): corpus → [a-z]+
-    * word-frequency table (one shuffle, once), then per round an
-    * aggregate-scalar argmax over weighted adjacent symbol pairs and a
-    * codegen `replace` rewrite, the CC-style fixpoint pattern. The
-    * oracle UNROLLS the same 20 rounds as a chain of MATERIALIZED CTEs
-    * (w0 → p_i/m_i/w_i → merge union): both engines run the identical
-    * deterministic algorithm — greedy leftmost-non-overlapping merge via
-    * wrapped-separator string replace, winner = (max count, then
-    * lexicographically smallest pair) — so the 20-row merge table
-    * hash-matches exactly. MATERIALIZED is load-bearing: each w_i is
-    * referenced twice (pair count + rewrite), and DuckDB would otherwise
-    * inline and re-evaluate the whole chain exponentially. */
   /** The unrolled-CTE oracle chain shared by q_text_bpe and
     * q_text_bpe_encode: w0 = the [a-z]+ word-frequency table with
     * character-level wrapped symbol strings, then per round i a pair
     * count (p_i), the argmax merge (m_i), and the rewritten vocabulary
     * (w_i). `word` rides along untouched so the final w_k doubles as the
-    * word → encoded-symbols map. MATERIALIZED is load-bearing: each w_i
-    * is referenced twice (pair count + rewrite), and DuckDB would
-    * otherwise inline and re-evaluate the whole chain exponentially. */
+    * word → encoded-symbols map. The rewrite is a LEFT JOIN ON TRUE with
+    * COALESCE so an EMPTY m_i (pairs exhausted before round k on a tiny
+    * corpus) passes w_{i-1} through unchanged — mirroring
+    * BpeMerges.learn's early stop — rather than a cross join with an
+    * empty CTE wiping every later w_i. MATERIALIZED is load-bearing:
+    * each w_i is referenced twice (pair count + rewrite), and DuckDB
+    * would otherwise inline and re-evaluate the whole chain
+    * exponentially. */
   private def bpeCtes(k: Int): String = {
     val sep = graft.operators.BpeMerges.Sep
     val rounds = (1 to k).map { i =>
@@ -359,9 +351,10 @@ object TextAnalysis {
           |m$i AS MATERIALIZED (
           |  SELECT $i AS rank, a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
           |w$i AS MATERIALIZED (
-          |  SELECT word, cnt, replace(s, '$sep' || a || '$sep$sep' || b || '$sep',
-          |                               '$sep' || a || b || '$sep') AS s
-          |  FROM w${i - 1}, m$i)""".stripMargin
+          |  SELECT word, cnt,
+          |    COALESCE(replace(s, '$sep' || a || '$sep$sep' || b || '$sep',
+          |                        '$sep' || a || b || '$sep'), s) AS s
+          |  FROM w${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""|w0 AS MATERIALIZED (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -383,6 +376,16 @@ object TextAnalysis {
       .select(col("word"), col("cnt"),
         graft.operators.BpeMerges.initialSymbols(col("word")).as("s"))
 
+  /** Learned BPE merge table — k=20 rounds of the iterative byte-pair
+    * merge loop ([[graft.operators.BpeMerges]]): corpus → [a-z]+
+    * word-frequency table (one shuffle, once), then per round an
+    * aggregate-scalar argmax over weighted adjacent symbol pairs and a
+    * codegen `replace` rewrite, the CC-style fixpoint pattern. The
+    * oracle unrolls the same 20 rounds via [[bpeCtes]]: both engines run
+    * the identical deterministic algorithm — greedy
+    * leftmost-non-overlapping merge via wrapped-separator string
+    * replace, winner = (max count, then lexicographically smallest
+    * pair) — so the 20-row merge table hash-matches exactly. */
   val qTextBpe: QueryDef = {
     val k = 20
     val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")

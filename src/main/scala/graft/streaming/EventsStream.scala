@@ -81,13 +81,20 @@ object EventsStream {
     * tree would wave it through to a driver-memory sink. Static
     * subtrees pass unconditionally: a broadcast-joined dimension bounds
     * nothing but also grows nothing over the stream's lifetime — it is
-    * the streaming side's operators that decide. */
+    * the streaming side's operators that decide. A Join recurses rather
+    * than failing outright: joining an ALREADY-BOUNDED stream with a
+    * static dimension (aggregate → enrich) stays bounded, while any
+    * join touching a raw streaming side still fails through the
+    * streaming child's own walk. Generate/Expand stay hard failures at
+    * any position above the bound: exploding a per-group collect_list
+    * re-expands to O(input rows) no matter what bounded it below. */
   private[graft] def hasBoundedEmission(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def bounded(p: LogicalPlan): Boolean = p match {
       case q if !q.isStreaming => true
       case _: Aggregate | _: Deduplicate | _: DeduplicateWithinWatermark => true
-      case _: Generate | _: Join | _: Expand => false
+      case _: Generate | _: Expand => false
+      case j: Join => j.children.forall(bounded)
       case leaf if leaf.children.isEmpty => false // streaming source, unbounded
       case other => other.children.forall(bounded)
     }

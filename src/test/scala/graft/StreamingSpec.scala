@@ -384,5 +384,15 @@ class StreamingSpec extends SparkSpec {
     assert(!graft.streaming.EventsStream.hasBoundedEmission(reExpanded),
       "explode above the streaming aggregate re-expands emission to " +
         "O(rows) and must fail the root-down gate")
+    // the converse: enriching an ALREADY-AGGREGATED stream against a
+    // static dimension emits O(groups) and must pass — the Join arm
+    // recurses instead of failing outright
+    val boundedEnrich = graft.streaming.EventsStream.read(spark, sf)
+      .withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(dimAgg), col("user_id") === col("c_custkey"))
+    assert(graft.streaming.EventsStream.hasBoundedEmission(boundedEnrich),
+      "static enrich of a bounded stream stays O(groups) and must pass")
   }
 }
