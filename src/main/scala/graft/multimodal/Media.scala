@@ -60,14 +60,17 @@ object Media {
     if (n < 2 || payload(0) != 'P' || payload(1) != '6') return None
     var i = 2
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
-    // whitespace runs + # comments between header fields
+    // whitespace runs + # comments between header fields; per the netpbm
+    // grammar a comment may stand wherever whitespace may (including
+    // directly after the magic) and itself acts as a separator
     def skipWs(): Boolean = {
       var any = false
       var go = true
       while (go && i < n) {
         if (isWs(payload(i))) { any = true; i += 1 }
-        else if (payload(i) == '#' && any) {
+        else if (payload(i) == '#') {
           while (i < n && payload(i) != '\n') i += 1
+          any = true
         } else go = false
       }
       any

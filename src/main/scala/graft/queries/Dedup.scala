@@ -205,7 +205,10 @@ object Dedup {
     val docs = input.select(col("doc_id"),
       graft.functions.GraftFunctions.gramHashes(col("text"), g).as("hs"))
     // occurrence table, reused by the dup aggregate and both per-doc
-    // rollups — cache so the corpus scan + gram hashing runs once
+    // rollups — cache so the corpus scan + gram hashing runs once per
+    // execution; lifetime is bounded by the harness, not this function:
+    // Verify and Bench clearCache() between queries, so successive runs
+    // (cold/warm/retry) never stack copies
     val occ = docs
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
       .cache()

@@ -433,7 +433,11 @@ object TextAnalysis {
           |FROM dw JOIN v USING (word)
           |GROUP BY source ORDER BY source""".stripMargin,
     ) { (spark, dir) =>
-      val vocab = bpeWords(spark, dir)
+      // cache the vocabulary so the corpus aggregates ONCE: learn()'s
+      // init checkpoint and the encode side's broadcast both read the
+      // cached table instead of each re-running the corpus scan+shuffle
+      // (freed by the harness clearCache between queries)
+      val vocab = bpeWords(spark, dir).cache()
       // the learned model is a k-row driver artifact (collected like the
       // CC convergence scalar), folded into one codegen replace chain
       val merges = graft.operators.BpeMerges.learn(

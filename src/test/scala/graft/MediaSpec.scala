@@ -60,6 +60,11 @@ class MediaSpec extends SparkSpec {
     val fancy = ("P6\n# a comment\n 4\t2 # inline\n255\n").getBytes("US-ASCII") ++ px
     assert(Media.decodePpm(fancy).exists { case (w, h, p) =>
       w == 4 && h == 2 && p.sameElements(px) })
+    // a comment may stand directly after the magic, no whitespace first —
+    // the netpbm grammar lets comments appear wherever whitespace may
+    val magicComment = ("P6# tight\n4 2\n255\n").getBytes("US-ASCII") ++ px
+    assert(Media.decodePpm(magicComment).exists { case (w, h, p) =>
+      w == 4 && h == 2 && p.sameElements(px) })
     // malformed: wrong magic, short raster, maxval != 255, zero dims
     assert(Media.decodePpm("P5\n4 2\n255\n".getBytes ++ px).isEmpty)
     assert(Media.decodePpm("P6\n4 2\n255\n".getBytes ++ px.take(5)).isEmpty)
