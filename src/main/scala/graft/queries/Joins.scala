@@ -586,9 +586,48 @@ object Joins {
       .orderBy("bucket")
   }
 
+  /** Co-located (bucketed) join as a JUDGED query — the storage-layout
+    * answer to the repeated-join shuffle: both sides are written
+    * bucketed+sorted on the join key (external-path tables under /tmp,
+    * re-staged per execution — the bucketed WRITE is part of the judged
+    * surface), after which the join needs no key exchange at any scale;
+    * at 100 TB this is the difference between re-shuffling the fact
+    * table per query and never shuffling it. The no-exchange plan shape
+    * is pinned by PlanSpec/BucketingSpec (which force SMJ past the
+    * broadcast heuristic); this entry hash-pins the RESULT against the
+    * plain parquet oracle, closing the one capability row that was
+    * previously spec-only. */
+  val qJoinBucketed: QueryDef = QueryDef.oracle(
+    "q_join_bucketed",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_bucket_${dir.hashCode.toHexString}")
+    spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    t.lineitem.select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/li").mode("overwrite")
+      .saveAsTable("graft_li_bucketed")
+    t.orders.select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/ord").mode("overwrite")
+      .saveAsTable("graft_ord_bucketed")
+    spark.table("graft_li_bucketed")
+      .join(spark.table("graft_ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinRightOuter, qJoinFullOuter, qJoinTheta, qJoinRange, qJoinAsof,
     qJoinAsofForward, qJoinAsofNearest, qJoinBloom, qJoinSalted,
-    qJoinIntervalBucketed, qEventsFunnel)
+    qJoinIntervalBucketed, qEventsFunnel, qJoinBucketed)
 }

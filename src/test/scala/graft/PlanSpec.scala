@@ -294,6 +294,21 @@ class PlanSpec extends SparkSpec {
       s"acctbal predicate not pushed to the orc reader:\n$p")
   }
 
+  test("bucketed join never exchanges its keys, even as a merge join") {
+    // past the broadcast heuristic (which would hide the layout win at
+    // fixture scale), the co-bucketed layout must carry the join with
+    // zero key shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_join_bucketed")
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("hashpartitioning(l_orderkey")
+        && !p.contains("hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle its keys:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+  }
+
   test("DPP join prunes fact partitions at runtime from the dim filter") {
     val p = plan("q_join_dpp")
     assert(p.contains("dynamicpruning"),
