@@ -605,8 +605,13 @@ object Joins {
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     val t = Tables(spark, dir)
+    // PID-scoped path: the layout is REWRITTEN every execution (unlike
+    // the write-once stage() staging), so a shared path would let a
+    // concurrent process's overwrite race this one's scan; per-process
+    // the rewrites are sequential and safe
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_bucket_${dir.hashCode.toHexString}")
+      s"graft_bucket_${dir.hashCode.toHexString}_" +
+        ProcessHandle.current().pid())
     spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
     spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
     t.lineitem.select("l_orderkey", "l_quantity")

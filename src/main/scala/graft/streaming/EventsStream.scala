@@ -81,20 +81,25 @@ object EventsStream {
     * tree would wave it through to a driver-memory sink. Static
     * subtrees pass unconditionally: a broadcast-joined dimension bounds
     * nothing but also grows nothing over the stream's lifetime — it is
-    * the streaming side's operators that decide. A Join recurses rather
-    * than failing outright: joining an ALREADY-BOUNDED stream with a
-    * static dimension (aggregate → enrich) stays bounded, while any
-    * join touching a raw streaming side still fails through the
-    * streaming child's own walk. Generate/Expand stay hard failures at
-    * any position above the bound: exploding a per-group collect_list
-    * re-expands to O(input rows) no matter what bounded it below. */
+    * the streaming side's operators that decide. A CONDITIONED Join
+    * recurses rather than failing outright: joining an ALREADY-BOUNDED
+    * stream with a static dimension on a key (aggregate → enrich) stays
+    * bounded, while any join touching a raw streaming side still fails
+    * through the streaming child's own walk. A join WITHOUT a condition
+    * (cross / ON TRUE) is a hard failure even over bounded children —
+    * its emission is the product groups × static rows, the blowup the
+    * gate exists to reject. Generate/Expand likewise stay hard failures
+    * at any position above the bound: exploding a per-group
+    * collect_list re-expands to O(input rows) no matter what bounded it
+    * below. */
   private[graft] def hasBoundedEmission(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def bounded(p: LogicalPlan): Boolean = p match {
       case q if !q.isStreaming => true
       case _: Aggregate | _: Deduplicate | _: DeduplicateWithinWatermark => true
       case _: Generate | _: Expand => false
-      case j: Join => j.children.forall(bounded)
+      case j: Join =>
+        j.condition.isDefined && j.children.forall(bounded)
       case leaf if leaf.children.isEmpty => false // streaming source, unbounded
       case other => other.children.forall(bounded)
     }

@@ -33,13 +33,13 @@ class BucketingSpec extends SparkSpec {
       .groupBy("o_orderpriority").agg(sum(col("l_quantity")).as("q"))
     // force the merge join so bucketing (not broadcast) carries the day,
     // then assert the JOIN keys need no exchange (the aggregation's own
-    // exchange on o_orderpriority is expected)
-    val plan = spark.conf.get("spark.sql.autoBroadcastJoinThreshold") match {
-      case _ =>
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try joined.queryExecution.executedPlan.toString
-        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
-    }
+    // exchange on o_orderpriority is expected); restore the SAVED
+    // threshold — the session is shared across every suite
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try joined.queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert(!plan.contains("hashpartitioning(l_orderkey")
       && !plan.contains("hashpartitioning(o_orderkey"),
       s"bucketed join must not shuffle its keys:\n$plan")

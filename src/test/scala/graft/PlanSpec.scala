@@ -297,7 +297,9 @@ class PlanSpec extends SparkSpec {
   test("bucketed join never exchanges its keys, even as a merge join") {
     // past the broadcast heuristic (which would hide the layout win at
     // fixture scale), the co-bucketed layout must carry the join with
-    // zero key shuffles
+    // zero key shuffles; restore the SAVED threshold, not a hardcoded
+    // default — the session is shared across every suite
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = plan("q_join_bucketed")
@@ -306,7 +308,7 @@ class PlanSpec extends SparkSpec {
         && !p.contains("hashpartitioning(o_orderkey"),
         s"bucketed join must not shuffle its keys:\n$p")
     } finally
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("DPP join prunes fact partitions at runtime from the dim filter") {

@@ -394,5 +394,15 @@ class StreamingSpec extends SparkSpec {
       .join(broadcast(dimAgg), col("user_id") === col("c_custkey"))
     assert(graft.streaming.EventsStream.hasBoundedEmission(boundedEnrich),
       "static enrich of a bounded stream stays O(groups) and must pass")
+    // but a CONDITIONLESS join above the bound is groups x static-rows —
+    // the Join arm must require a condition, not just bounded children
+    val crossBlowup = graft.streaming.EventsStream.read(spark, sf)
+      .withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(Tables(spark, sf).customer)
+    assert(!graft.streaming.EventsStream.hasBoundedEmission(crossBlowup),
+      "cross join above the bound multiplies emission by the static " +
+        "table and must fail the gate")
   }
 }
