@@ -18,6 +18,24 @@ import org.apache.spark.sql.expressions.Window
 object Joins {
   import Num._
 
+  /** Staging dirs registered for end-of-JVM removal (bucketed-join
+    * layouts are rewritten per execution, so unlike the _SUCCESS-keyed
+    * stage() dirs they'd otherwise accumulate one copy per process). */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private def registerCleanup(dir: java.nio.file.Path): Unit =
+    if (cleanupRegistered.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          if (Files.exists(dir))
+            Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+    }
+
   /** Star-schema join with explicit broadcast of the small dims.
     * orders⋈customer shuffles on custkey; nation/region ride along as
     * broadcast hash joins (no shuffle, no skew exposure). */
@@ -608,26 +626,39 @@ object Joins {
     // PID-scoped path: the layout is REWRITTEN every execution (unlike
     // the write-once stage() staging), so a shared path would let a
     // concurrent process's overwrite race this one's scan; per-process
-    // the rewrites are sequential and safe
+    // the rewrites are sequential and safe. A one-shot shutdown hook
+    // removes the directory so repeated runs don't accumulate in /tmp.
+    val scope = s"${dir.hashCode.toHexString}_${ProcessHandle.current().pid()}"
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_bucket_${dir.hashCode.toHexString}_" +
-        ProcessHandle.current().pid())
-    spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
-    t.lineitem.select("l_orderkey", "l_quantity")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$tmp/li").mode("overwrite")
-      .saveAsTable("graft_li_bucketed")
-    t.orders.select("o_orderkey", "o_orderpriority")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$tmp/ord").mode("overwrite")
-      .saveAsTable("graft_ord_bucketed")
-    spark.table("graft_li_bucketed")
-      .join(spark.table("graft_ord_bucketed"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
-      .orderBy("o_orderpriority")
+      s"graft_bucket_$scope")
+    registerCleanup(tmp)
+    // Catalog names carry the same scope as the path: concurrent
+    // processes (and any later unrelated saveAsTable) never share a
+    // mutable table name, and the finally below leaves no registration
+    // behind. DROP TABLE on these external tables removes only the
+    // catalog entry — the resolved relations below (captured eagerly by
+    // spark.table, bucketing spec included) keep reading the files.
+    val liName = s"graft_li_bucketed_$scope"
+    val ordName = s"graft_ord_bucketed_$scope"
+    try {
+      t.lineitem.select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").mode("overwrite")
+        .saveAsTable(liName)
+      t.orders.select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/ord").mode("overwrite")
+        .saveAsTable(ordName)
+      spark.table(liName)
+        .join(spark.table(ordName),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $liName")
+      spark.sql(s"DROP TABLE IF EXISTS $ordName")
+    }
   }
 
   val all: Seq[QueryDef] = Seq(
