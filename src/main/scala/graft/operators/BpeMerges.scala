@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * a word, weighted by the word's corpus frequency, equal the corpus
   * pair counts). Every subsequent round touches only that vocabulary
   * table: at 100 TB of text the corpus has billions of rows but the
-  * [a-z]+ vocabulary is millions, so the k merge rounds cost k scans of
+  * vocabulary is millions, so the k merge rounds cost k scans of
   * a table ~1000× smaller than the input. Per round: split each word's
   * symbol string, zip-shift into adjacent pairs (linear, no index
   * lambdas), hash-aggregate SUM(cnt) by pair with map-side partials,
@@ -22,17 +22,23 @@ import org.apache.spark.sql.functions._
   * codegen `replace` — no UDF, no driver iteration over rows.
   *
   * Symbol-sequence representation: one delimited string per word,
-  * every symbol wrapped in separators — "cat" → ",c,,a,,t,". The merge
-  * rewrite for winning pair (a, b) is then the literal replacement
-  * ",a,,b," → ",ab,", and leftmost-non-overlapping `replace` semantics
-  * (identical in the JVM and every SQL engine) implement exactly BPE's
-  * greedy left-to-right single-pass merge: "aaa" with pair (a,a)
-  * becomes (aa)(a), "aaaa" becomes (aa)(aa). The full wrapping makes a
-  * cross-boundary false match impossible — a match needs ",a," and
-  * ",b," to be complete wrapped symbols. Input words are restricted to
-  * ^[a-z]+$ (BPE training pre-tokenizes anyway), which keeps the
-  * separator out of the alphabet and makes the tie-break string compare
-  * plain ASCII binary order on both engines.
+  * every symbol wrapped in separators — "cat" → "␁c␁␁a␁␁t␁" (␁ =
+  * U+0001, the sentinel). The merge rewrite for winning pair (a, b) is
+  * then the literal replacement "␁a␁␁b␁" → "␁ab␁", and
+  * leftmost-non-overlapping `replace` semantics (identical in the JVM
+  * and every SQL engine) implement exactly BPE's greedy left-to-right
+  * single-pass merge: "aaa" with pair (a,a) becomes (aa)(a), "aaaa"
+  * becomes (aa)(aa). The full wrapping makes a cross-boundary false
+  * match impossible — a match needs "␁a␁" and "␁b␁" to be complete
+  * wrapped symbols. The separator is OUT-OF-ALPHABET by construction:
+  * U+0001 is a control character no tokenizer emits, and callers drop
+  * the (in practice empty) set of tokens containing it — so digits,
+  * punctuation, mixed case, and multi-byte UTF-8 all train and encode
+  * with no escaping and no change to the replace algebra. The tie-break
+  * string compare is unsigned UTF-8 byte order on both engines (Spark
+  * UTF8String.compareTo; DuckDB's default binary collation — verified
+  * to order '!' < '1' < 'Z' < 'a' < 'é' < 'α' identically), which for
+  * any alphabet is codepoint order.
   *
   * Winner selection is deterministic: highest summed count, ties to the
   * lexicographically smallest (left, right) pair — a total order, since
@@ -40,10 +46,13 @@ import org.apache.spark.sql.functions._
   */
 object BpeMerges {
 
-  val Sep = ","
+  val Sep = "\u0001"
 
-  /** Wrap a whitespace-token column (already filtered to ^[a-z]+$) into
-    * the initial character-level symbol string: "cat" → ",c,,a,,t,". */
+  /** Wrap a whitespace-token column (already filtered to Sep-free
+    * tokens) into the initial character-level symbol string:
+    * "cat" → "␁c␁␁a␁␁t␁". Split by codepoint on both engines (Java
+    * regex "" split keeps surrogate pairs whole; DuckDB
+    * string_split(w, '') is per-codepoint). */
   def initialSymbols(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(lit(Sep),
       concat_ws(Sep + Sep, filter(split(word, ""), c => c =!= "")),

@@ -238,6 +238,146 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Single-line oracle fragment for the rolling document fingerprint —
+    * the exact DuckDB twin of [[graft.functions.Fingerprint]] (see that
+    * file's header for the cross-engine exactness argument). Rendered
+    * single-line because interpolating multi-line fragments into
+    * stripMargin strings corrupts lines starting with `|`. */
+  private val fpSql: String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(list_filter(string_split(text, ' '), x -> x <> ''), " +
+      "w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))), " +
+      "(a, x) -> (a * 131 + x) % 1000000007)"
+
+  /** INCREMENTAL cross-snapshot dedup — the nightly-pipeline shape: dedup
+    * an incoming batch against the existing corpus snapshot WITHOUT
+    * reprocessing the base, then merge survivors so the output IS the
+    * updated snapshot (the q_upsert_snapshot composition).
+    *
+    * The batch is derived deterministically from the corpus so both
+    * engines construct the identical workload: genuinely-new docs (a
+    * scrambled-key 1/4 slice held out of the snapshot) plus planted
+    * CROSS-BATCH DUPLICATES (re-keyed literal copies of a 1/9 slice of
+    * snapshot docs — their text, hence fingerprint, already exists in
+    * the base).
+    *
+    * Scale design (100 TB base, GB-scale batch): the base side is never
+    * shuffled and never joined as a build side —
+    *   1. a distributed BloomFilterAggregate over base fingerprints
+    *      (scan + partial/final agg; only the KB-scale sketch crosses
+    *      the driver — at scale this sketch is maintained incrementally
+    *      night-over-night instead of rebuilt);
+    *   2. batch rows probe the bloom PRE-shuffle (codegen
+    *      might_contain) — false-positive candidates only, typically
+    *      ~the true-dup mass;
+    *   3. exact confirmation: ONE more base scan, semi-joined against
+    *      the BROADCAST candidate fingerprints (BroadcastHashJoin —
+    *      the base side streams, no exchange anywhere on it);
+    *   4. batch survivors = batch ANTI broadcast(confirmed fps), then
+    *      in-batch dedup (min doc_id per fp — a batch-side-only window
+    *      shuffle, the ONLY key shuffle in the query);
+    *   5. merged snapshot = base ∪ survivors; per-source rollup pins
+    *      kept ids, batch-kept and dup-removed counts.
+    * The fingerprint is bit-identical cross-engine (mod 1e9+7 collisions
+    * included), so the oracle match is exact — no collision tolerance
+    * needed. PlanSpec pins the bloom probe + no exchange/SMJ on the
+    * base-side subtrees; DedupSpec plants a cross-batch duplicate and
+    * asserts it is dropped while the in-batch and genuinely-new rows
+    * survive. */
+  val qDedupIncremental: QueryDef = QueryDef.oracle(
+    "q_dedup_incremental",
+    s"""WITH docs AS (SELECT doc_id, text, source FROM documents),
+      |base AS (SELECT * FROM docs WHERE ${Scramble.sql("doc_id")} % 4 <> 0),
+      |batch AS (
+      |  SELECT doc_id, text, source FROM docs
+      |  WHERE ${Scramble.sql("doc_id")} % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text, source FROM base
+      |  WHERE ${Scramble.sql("doc_id")} % 9 = 1),
+      |basefp AS (SELECT DISTINCT $fpSql AS fp FROM base),
+      |bfp AS (SELECT doc_id, source, $fpSql AS fp FROM batch),
+      |surv AS (
+      |  SELECT source, doc_id FROM (
+      |    SELECT source, doc_id, fp,
+      |      MIN(doc_id) OVER (PARTITION BY fp) AS min_id
+      |    FROM bfp WHERE fp NOT IN (SELECT fp FROM basefp))
+      |  WHERE doc_id = min_id),
+      |merged AS (
+      |  SELECT source, doc_id, 0 AS is_batch FROM base
+      |  UNION ALL SELECT source, doc_id, 1 FROM surv),
+      |bcnt AS (SELECT source, COUNT(*) AS n_batch FROM batch GROUP BY 1)
+      |SELECT m.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(is_batch) AS BIGINT) AS n_from_batch,
+      |  CAST(MAX(b.n_batch) - SUM(is_batch) AS BIGINT) AS n_removed,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+      |FROM merged m JOIN bcnt b USING (source)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents.select("doc_id", "text", "source")
+    val base = docs.filter(Scramble(col("doc_id")) % 4 =!= 0)
+    val batch = docs.filter(Scramble(col("doc_id")) % 4 === 0)
+      .unionByName(base.filter(Scramble(col("doc_id")) % 9 === 1)
+        .withColumn("doc_id", col("doc_id") + 1000000000L))
+    val surv = incrementalSurvivors(base, batch)
+    // merged snapshot + per-source pin
+    val merged = base.select(col("source"), col("doc_id"),
+        lit(0).as("is_batch"))
+      .unionByName(surv.withColumn("is_batch", lit(1)))
+    val bcnt = batch.groupBy("source").agg(count(lit(1)).as("n_batch"))
+    merged.join(bcnt, "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_batch")).as("n_from_batch"),
+        (max(col("n_batch")) - sum(col("is_batch"))).as("n_removed"),
+        sum(col("doc_id")).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
+  /** The incremental-dedup core behind q_dedup_incremental, on any
+    * (doc_id, text, source) base/batch pair — shared with the planted
+    * cross-batch-duplicate spec. Returns the batch survivors
+    * (source, doc_id): rows whose text fingerprint is NOT in the base
+    * snapshot, deduplicated within the batch to min doc_id per
+    * fingerprint. The base side is scanned twice (bloom build + exact
+    * confirm) and never exchanged. */
+  private[graft] def incrementalSurvivors(
+      base: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.classic.GraftColumnBridge.{column => exprCol, expression => colExpr}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.BinaryType
+    val fp = graft.functions.GraftFunctions.fingerprint(col("text"))
+    val baseFp = base.select(fp.as("fp"))
+    // 1. distributed bloom build over base fingerprints — the one base
+    //    pass that at scale becomes an incrementally-maintained artifact
+    val bfBytes = baseFp
+      .select(exprCol(new BloomFilterAggregate(
+          new XxHash64(Seq(colExpr(col("fp")))), 300000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // empty base → null sketch → null probe → filter keeps nothing:
+    // zero candidates, every batch fingerprint is genuinely new
+    val probe = exprCol(new BloomFilterMightContain(
+      Literal(bfBytes, BinaryType),
+      new XxHash64(Seq(colExpr(col("fp"))))))
+    // 2. pre-shuffle candidate cut on the batch
+    val batchFp = batch.select(col("doc_id"), col("source"), fp.as("fp"))
+    val candidates = batchFp.filter(probe).select("fp").distinct()
+    // 3. exact confirmation: base streams past the broadcast candidates
+    val confirmed = baseFp
+      .join(broadcast(candidates), Seq("fp"), "left_semi").distinct()
+    // 4. survivors: cross-batch anti (whole fp-groups drop, so the
+    //    in-batch min-per-fp over survivors equals the min over the
+    //    full batch — the oracle's formulation)
+    batchFp
+      .join(broadcast(confirmed), Seq("fp"), "left_anti")
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("min_id"))
+      .select(col("source"), col("doc_id"))
+  }
+
   /** MinHash + LSH fuzzy dedup — the full shingle → minhash → band →
     * bucket-join pipeline, hand-rolled in DataFrame ops so every stage is
     * a Catalyst plan:
@@ -515,5 +655,5 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNormalized, qDedupSubstring, qDedupNgramJaccard,
     qDedupMinhashLsh, qDedupSimhash, qDedupClusters, qDedupEmbedding,
-    qDedupEmbeddingAnn, qDedupEmbeddingAnn09)
+    qDedupEmbeddingAnn, qDedupEmbeddingAnn09, qDedupIncremental)
 }

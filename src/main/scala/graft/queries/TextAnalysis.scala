@@ -327,7 +327,10 @@ object TextAnalysis {
   }
 
   /** The unrolled-CTE oracle chain shared by q_text_bpe and
-    * q_text_bpe_encode: w0 = the [a-z]+ word-frequency table with
+    * q_text_bpe_encode: w0 = the full word-frequency table (every
+    * whitespace token except the structurally-excluded sentinel-bearing
+    * ones — digits, punctuation, mixed case, and multi-byte UTF-8 all
+    * included since the round-8 out-of-alphabet separator) with
     * character-level wrapped symbol strings, then per round i a pair
     * count (p_i), the argmax merge (m_i), and the rewritten vocabulary
     * (w_i). `word` rides along untouched so the final w_k doubles as the
@@ -361,17 +364,20 @@ object TextAnalysis {
         |    '$sep' || array_to_string(string_split(word, ''), '$sep$sep') || '$sep' AS s
         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
         |        FROM documents)
-        |  WHERE regexp_matches(word, '^[a-z]+$$')
+        |  WHERE NOT contains(word, '$sep')
         |  GROUP BY word),
         |$rounds""".stripMargin
   }
 
-  /** The [a-z]+ word-frequency table with wrapped symbol strings — the
-    * Spark twin of the oracle's w0. */
+  /** The word-frequency table with wrapped symbol strings — the Spark
+    * twin of the oracle's w0. The only exclusion is tokens containing
+    * the U+0001 sentinel separator itself (an empty set on any real
+    * corpus) — see the BpeMerges header for the out-of-alphabet
+    * argument. */
   private def bpeWords(spark: SparkSession, dir: String) =
     Tables(spark, dir).documents
       .select(explode(toks(col("text"))).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
+      .filter(!col("word").contains(graft.operators.BpeMerges.Sep))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"),
         graft.operators.BpeMerges.initialSymbols(col("word")).as("s"))

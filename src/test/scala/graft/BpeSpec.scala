@@ -14,11 +14,16 @@ class BpeSpec extends SparkSpec {
 
   /** Textbook BPE on a word-frequency map: symbol tuples per word,
     * argmax pair by (count desc, pair asc), greedy left-to-right merge.
-    * Deliberately shares no code or representation with BpeMerges. */
+    * Deliberately shares no code or representation with BpeMerges.
+    * Codepoint-level initial symbols (not UTF-16 units), matching the
+    * engine's split-by-codepoint — astral fixtures stay whole. */
+  private def chars(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
   private def referenceBpe(
       words: Map[String, Long], k: Int): Seq[(Int, String, String, String, Long)] = {
     val syms = mutable.Map[String, Vector[String]]() ++
-      words.keys.map(w => w -> w.map(_.toString).toVector)
+      words.keys.map(w => w -> chars(w))
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
     var done = false
@@ -57,9 +62,11 @@ class BpeSpec extends SparkSpec {
   }
 
   test("merge table equals the sequential reference on the corpus") {
+    // same vocabulary predicate as the judged bpeWords: every token
+    // except sentinel-bearing ones (none on this corpus)
     val words = Tables(spark, sf).documents
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      .filter(col("w") =!= "" && !col("w").contains(BpeMerges.Sep))
       .groupBy("w").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val ref = referenceBpe(words, 20)
@@ -100,7 +107,7 @@ class BpeSpec extends SparkSpec {
     val ref = referenceBpe(words, k)
     val refSyms = {
       val syms = scala.collection.mutable.Map[String, Vector[String]]() ++
-        words.keys.map(w => w -> w.map(_.toString).toVector)
+        words.keys.map(w => w -> chars(w))
       for ((_, a, b, _, _) <- ref; w <- words.keys) {
         val s = syms(w)
         val merged = Vector.newBuilder[String]
@@ -117,13 +124,42 @@ class BpeSpec extends SparkSpec {
     val enc = BpeMerges.applyMerges(
       BpeMerges.initialSymbols(col("word")),
       ref.map(m => (m._2, m._3)))
+    val S = BpeMerges.Sep
     val got = words.keys.toSeq.toDF("word")
       .select(col("word"), enc.as("s")).collect()
       .map(r => r.getString(0) ->
-        r.getString(1).stripPrefix(",").stripSuffix(",").split(",,").toVector)
+        r.getString(1).stripPrefix(S).stripSuffix(S).split(S + S).toVector)
       .toMap
     assert(got == refSyms,
       s"expression-chain encode drifted from the reference replay:\n$got\nvs\n$refSyms")
+  }
+
+  test("full alphabet: digits, punctuation, case, and the pre-round-8 ',' separator") {
+    // ',' is an ordinary alphabet symbol since the U+0001 sentinel took
+    // over as separator — words containing it train unescaped, and the
+    // non-letter symbols tie-break in plain binary order: (a,',')=7 and
+    // ('1','!')=7 tie, '1' (0x31) < 'a' (0x61) picks ('1','!').
+    val words = Map("a,b" -> 4L, "a,c" -> 3L, "x1!" -> 5L, "X1!" -> 2L)
+    val ref = referenceBpe(words, 4)
+    val got = learned(words, 4)
+    assert(got.head == ((1, "1", "!", "1!", 7L)),
+      s"binary-order tie-break across digit/punct symbols broke: $got")
+    assert(got == ref,
+      s"full-alphabet merges drifted from the sequential reference:\n$got\nvs\n$ref")
+  }
+
+  test("multi-byte UTF-8 symbols: 2/3/4-byte codepoints merge whole") {
+    // é (2-byte), ζ/ω (2-byte), 日/本 (3-byte), 😀 (4-byte astral — must
+    // survive both engines' codepoint split without surrogate tearing);
+    // (ζ,ω)=4 ties (日,本)=4 and UTF-8 byte order (CE B6 < E6 97 A5)
+    // picks (ζ,ω)
+    val words = Map("héé" -> 3L, "ζωζω" -> 2L, "日本" -> 4L, "x😀😀y" -> 1L)
+    val ref = referenceBpe(words, 5)
+    val got = learned(words, 5)
+    assert(got.head._2 == "ζ" && got.head._3 == "ω",
+      s"codepoint-order tie-break across multi-byte symbols broke: $got")
+    assert(got == ref,
+      s"multi-byte merges drifted from the sequential reference:\n$got\nvs\n$ref")
   }
 
   test("loop stops early when no pairs remain") {

@@ -77,6 +77,25 @@ class DedupSpec extends SparkSpec {
     assert(rows(30L) == ((25L, 5L, 0L, 12L)), s"trimmed row: ${rows(30L)}")
   }
 
+  test("incremental dedup drops planted cross-batch duplicates, keeps new and in-batch-min rows") {
+    import spark.implicits._
+    // base snapshot holds two docs; the batch plants every case:
+    //  - 100: literal copy of base doc 1's text  → cross-batch dup, dropped
+    //  - 101/102: same NEW text twice            → in-batch dup, min id kept
+    //  - 103: genuinely new text                 → kept
+    val base = Seq((1L, "alpha beta gamma", "s1"), (2L, "delta epsilon", "s2"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (100L, "alpha beta gamma", "s1"),
+      (101L, "zeta eta theta", "s2"), (102L, "zeta eta theta", "s2"),
+      (103L, "iota kappa", "s1"))
+      .toDF("doc_id", "text", "source")
+    val surv = Dedup.incrementalSurvivors(base, batch).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(surv == Set(("s2", 101L), ("s1", 103L)),
+      s"survivors must be the in-batch min and the new doc, got $surv")
+  }
+
   test("exact dedup removes nothing on a duplicate-free corpus") {
     val removed = Dedup.qDedupExact.run(spark, sf)
       .select("n_removed").collect().map(_.getLong(0)).sum

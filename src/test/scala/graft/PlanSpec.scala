@@ -311,6 +311,23 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("incremental dedup: bloom probe, broadcast-only joins — the base snapshot never key-exchanges") {
+    // the 100 TB contract of q_dedup_incremental: the base side is only
+    // ever scanned (bloom build, exact confirm) — every join is a
+    // BroadcastHashJoin with the SMALL side as build, so no exchange
+    // anywhere carries base-volume rows keyed for a join; the one
+    // full-row shuffle in the query is the batch-side in-batch-dedup
+    // window. executedPlan (not sparkPlan) so exchanges are visible.
+    val q = Registry.all.find(_.name == "q_dedup_incremental").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"codegen bloom probe absent from the batch scan:\n${p.take(4000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a join shuffled its inputs — the base side must stay exchange-free:\n${p.take(4000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected broadcast confirm/anti/rollup joins:\n${p.take(4000)}")
+  }
+
   test("DPP join prunes fact partitions at runtime from the dim filter") {
     val p = plan("q_join_dpp")
     assert(p.contains("dynamicpruning"),
