@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The image path is REAL: image payloads are binary PPM (P6) — an
-  * uncompressed format whose decode is pure byte arithmetic, no codec
-  * library needed — and [[decodePpm]]/[[encodePpm]] below are a genuine
-  * parser/writer pair (header grammar incl. comments, dimension/maxval
-  * validation, truncation checks). Feature extraction and resize operate
-  * on DECODED PIXELS for any payload that parses as P6. Codec formats
-  * (JPEG/PNG/audio/video) keep the deterministic STUB fallback — no
-  * codec libraries exist in this environment — with the honest seam: a
-  * real JNI/codec call replaces only the decode function. Everything
+  * The image AND audio paths are REAL: image payloads are binary PPM
+  * (P6) and audio payloads are WAV (RIFF/PCM16 mono) — both
+  * uncompressed formats whose decode is pure byte arithmetic, no codec
+  * library needed — and [[decodePpm]]/[[encodePpm]] /
+  * [[decodeWavPcm16]]/[[encodeWavPcm16]] below are genuine
+  * parser/writer pairs (header grammars, chunk walking, validation,
+  * truncation checks). Feature extraction operates on DECODED PIXELS /
+  * DECODED PCM SAMPLES for any payload that parses. Compressed codec
+  * formats (JPEG/PNG/MP3/video) keep the deterministic STUB fallback —
+  * no codec libraries exist in this environment — with the honest seam:
+  * a real JNI/codec call replaces only the decode function. Everything
   * around the decode is the part that matters at 100 TB: the schema
   * (binary payload + metadata struct), the partition-parallel batched
   * execution (`mapPartitions` over a typed Dataset — the JVM analog of
@@ -98,13 +100,105 @@ object Media {
     Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + need.toInt)))
   }
 
+  /** WAV (RIFF/PCM16 mono) writer: the canonical 44-byte header —
+    * RIFF size WAVE, a 16-byte PCM fmt chunk (format 1, 1 channel,
+    * 16 bits), a data chunk — then little-endian samples. Like PPM,
+    * the format is public and uncompressed, which is why the audio
+    * decode path can be real in this environment. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val ds = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + ds)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + ds)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(ds)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** WAV parser: walks the RIFF chunk list (any chunk order, unknown
+    * chunks skipped with odd-size padding per the RIFF spec), requires
+    * an uncompressed PCM (format 1) mono 16-bit fmt chunk and a
+    * complete data chunk, and returns (sampleRate, samples). None for
+    * anything else — malformed media is data, not an exception, at
+    * corpus scale. */
+  def decodeWavPcm16(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    val n = payload.length
+    def tag(i: Int): String =
+      if (i + 4 > n) "" else new String(payload, i, 4, "US-ASCII")
+    def le32(i: Int): Long =
+      (payload(i) & 0xffL) | (payload(i + 1) & 0xffL) << 8 |
+        (payload(i + 2) & 0xffL) << 16 | (payload(i + 3) & 0xffL) << 24
+    def le16(i: Int): Int =
+      (payload(i) & 0xff) | (payload(i + 1) & 0xff) << 8
+    if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var sampleRate = -1
+    var fmtOk = false
+    var data: Array[Short] = null
+    while (i + 8 <= n) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      val body = i + 8
+      if (size < 0 || body + size > n) return None
+      if (id == "fmt " && size >= 16) {
+        // format 1 = uncompressed PCM; mono; 16-bit — the one layout
+        // this decoder claims. Anything else is a codec format and
+        // falls back to the documented stub seam.
+        fmtOk = le16(body) == 1 && le16(body + 2) == 1 &&
+          le16(body + 14) == 16
+        sampleRate = le32(body + 4).toInt
+      } else if (id == "data") {
+        if (size % 2 != 0) return None
+        val out = new Array[Short]((size / 2).toInt)
+        var j = 0
+        while (j < out.length) {
+          out(j) = le16(body + 2 * j).toShort; j += 1
+        }
+        data = out
+      }
+      i = body + size.toInt + (size.toInt & 1) // odd chunks pad one byte
+    }
+    if (fmtOk && sampleRate > 0 && data != null) Some((sampleRate, data))
+    else None
+  }
+
+  /** Integer-exact features of a PCM16 clip: (peak |amplitude|,
+    * zero-crossing count — strict sign flips, v·prev < 0, so zero
+    * samples are sign-less — and sum of squares, the integer core of
+    * RMS). Shared by q_media_audio and MediaSpec's exact fixtures. */
+  def pcmFeatures(samples: Array[Short]): (Long, Long, Long) = {
+    var peak = 0L
+    var zcr = 0L
+    var ss = 0L
+    var prev = 0
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toInt
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && v.toLong * prev < 0) zcr += 1
+      ss += v.toLong * v
+      prev = v
+      i += 1
+    }
+    (peak, zcr, ss)
+  }
+
   /** Deterministic synthetic media table derived from `documents`.
     * IMAGE rows carry REAL binary-PPM payloads (small w×h frames whose
-    * pixel bytes cycle the document's text bytes — deterministic and
-    * closed-form, so the metadata oracle can state the exact payload
-    * length); audio/video rows keep opaque UTF-8 text bytes standing in
-    * for codec formats. Kind cycles image/audio/video; image metadata
-    * matches the encoded dimensions exactly. */
+    * pixel bytes cycle the document's text bytes); AUDIO rows carry
+    * REAL WAV/PCM16 payloads (sample i = ((cp(i mod L)·(i+1)) mod 256
+    * − 128)·256 over the text's L codepoints, n = n_chars mod 800 + 64
+    * — closed-form, so both the metadata oracle (payload length
+    * 44 + 2n) and the q_media_audio feature oracle can state exact
+    * values without ever parsing WAV). Video rows keep opaque UTF-8
+    * text bytes standing in for codec formats. Kind cycles
+    * image/audio/video; image/audio metadata matches the encoding
+    * exactly. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables(spark, dir).documents
@@ -131,17 +225,34 @@ object Media {
             px(i) = m.payload(i % plen); i += 1
           }
           m.copy(payload = encodePpm(m.width, m.height, px))
+        } else if (m.kind == "audio") {
+          // closed-form PCM16 from the text's codepoints (matches the
+          // q_media_audio oracle's ascii(substr(..)) formulation; Spark
+          // and DuckDB both index by codepoint). cp·(i+1) ≤ 1.1M·864 —
+          // long arithmetic, no overflow. Empty text → silence.
+          val cps = new String(m.payload,
+            java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray
+          val l = cps.length
+          val n = l % 800 + 64
+          val samples = Array.tabulate(n) { i =>
+            val cp = if (l == 0) 0L else cps(i % l).toLong
+            // (0..255 − 128)·256 ∈ [−32768, 32512] — exact in a Short
+            (((cp * (i + 1)) % 256 - 128) * 256).toShort
+          }
+          m.copy(payload = encodeWavPcm16(m.sample_rate, samples))
         } else m
       }
   }
 
   /** Decode + feature extraction, batched per partition. Image payloads
     * that parse as binary PPM are DECODED and the 16-bin histogram runs
-    * over the RASTER PIXELS — a real decode→featurize pass. Payloads in
-    * codec formats this environment can't decode (and any malformed
-    * image) fall back to the deterministic byte histogram over the raw
-    * payload — the documented stub seam, shaped exactly like a real
-    * embedding extraction (fixed-dim float vector per item). */
+    * over the RASTER PIXELS; audio payloads that parse as WAV/PCM16 run
+    * it over the DECODED SAMPLE bytes (data chunk, header excluded) —
+    * real decode→featurize passes for both. Payloads in codec formats
+    * this environment can't decode (and any malformed media) fall back
+    * to the deterministic byte histogram over the raw payload — the
+    * documented stub seam, shaped exactly like a real embedding
+    * extraction (fixed-dim float vector per item). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[Feature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -152,6 +263,18 @@ object Media {
         val bytes =
           if (m.kind == "image") decodePpm(m.payload) match {
             case Some((_, _, px)) => px
+            case None => m.payload
+          } else if (m.kind == "audio") decodeWavPcm16(m.payload) match {
+            case Some((_, samples)) =>
+              // little-endian sample bytes, = the data-chunk raster
+              val b = new Array[Byte](samples.length * 2)
+              var j = 0
+              while (j < samples.length) {
+                b(2 * j) = (samples(j) & 0xff).toByte
+                b(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+                j += 1
+              }
+              b
             case None => m.payload
           } else m.payload
         val hist = new Array[Float](dim)

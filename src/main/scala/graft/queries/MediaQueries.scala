@@ -26,6 +26,7 @@ object MediaQueries {
       |        9 + strlen(CAST(n_chars % 24 + 8 AS VARCHAR))
       |          + strlen(CAST(n_chars % 16 + 8 AS VARCHAR))
       |          + 3 * (n_chars % 24 + 8) * (n_chars % 16 + 8)
+      |      WHEN doc_id % 3 = 1 THEN 44 + 2 * (n_chars % 800 + 64)
       |      ELSE octet_length(encode(text)) END AS n_payload,
       |    CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 24 + 8
       |         ELSE n_chars % 640 + 16 END AS INT) AS width,
@@ -72,6 +73,60 @@ object MediaQueries {
           sum(element_at(col("feature"), 16).cast("decimal(30,9)"))
             .cast("double").as("sum_f15"))
         .orderBy("kind")
+  }
+
+  /** Audio decode → feature extraction over REAL WAV/PCM16 payloads —
+    * the first ORACLE-CHECKED media decode: per clip, integer-exact
+    * features of the decoded samples (peak |amplitude|, zero-crossing
+    * count, sum of squares — the integer core of RMS — and the
+    * sample-count/duration pair). The oracle never parses WAV: it
+    * states the same features directly from the closed-form sample
+    * derivation (see Media.mediaTable), so the Spark side matches ONLY
+    * if its RIFF encode→decode roundtrip is lossless — the roundtrip IS
+    * the thing under test. Scale shape: decode + featurize are
+    * scan-local per-row work (no shuffle until the output sort);
+    * payloads never ride a shuffle. RMS itself = sqrt(sum_sq/n) is one
+    * deterministic double op away and deliberately left to the consumer
+    * to keep the oracle float-free. */
+  val qMediaAudio: QueryDef = QueryDef.oracle(
+    "q_media_audio",
+    """WITH a AS (
+      |  SELECT doc_id, text, n_chars,
+      |    CAST(8000 + (doc_id % 5) * 8000 AS INT) AS sr,
+      |    n_chars % 800 + 64 AS ns
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT doc_id, i,
+      |    ((ascii(substr(text, CAST(i % n_chars AS INT) + 1, 1)) * (i + 1))
+      |      % 256 - 128) * 256 AS v
+      |  FROM a, UNNEST(range(0, ns)) t(i)),
+      |w AS (
+      |  SELECT doc_id, v,
+      |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT a.doc_id AS media_id, a.sr AS sample_rate,
+      |  CAST(a.ns AS BIGINT) AS n_samples,
+      |  CAST(a.ns * 1000000 // a.sr AS BIGINT) AS duration_us,
+      |  CAST(MAX(ABS(w.v)) AS BIGINT) AS peak,
+      |  CAST(COUNT(*) FILTER (w.v * w.pv < 0) AS BIGINT) AS zcr,
+      |  CAST(SUM(CAST(w.v AS BIGINT) * w.v) AS BIGINT) AS sum_sq
+      |FROM a JOIN w ON a.doc_id = w.doc_id
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Media.mediaTable(spark, dir).filter(_.kind == "audio")
+      .map { m =>
+        Media.decodeWavPcm16(m.payload) match {
+          case Some((sr, samples)) =>
+            val (peak, zcr, ss) = Media.pcmFeatures(samples)
+            (m.media_id, sr, samples.length.toLong,
+              samples.length.toLong * 1000000L / sr, peak, zcr, ss)
+          case None => (m.media_id, m.sample_rate, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "duration_us",
+        "peak", "zcr", "sum_sq")
+      .orderBy("media_id")
   }
 
   /** Multimodal near-dup DEDUP — the payload-level member of the dedup
@@ -139,5 +194,6 @@ object MediaQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(qMediaMetadata, qMediaFrames, qMediaFeatures, qMediaDedup)
+    Seq(qMediaMetadata, qMediaFrames, qMediaFeatures, qMediaAudio,
+      qMediaDedup)
 }

@@ -107,6 +107,60 @@ class MediaSpec extends SparkSpec {
       s"resampled pixels ${rp.toSeq}")
   }
 
+  test("WAV codec: encode/decode roundtrip, chunk walking, malformed rejection") {
+    val samples = Array[Short](100, -200, 300, 0, -5, 32767, -32768)
+    val enc = Media.encodeWavPcm16(16000, samples)
+    assert(enc.length == 44 + samples.length * 2)
+    assert(Media.decodeWavPcm16(enc).exists { case (sr, s) =>
+      sr == 16000 && s.sameElements(samples) })
+    // an unknown ODD-sized chunk between fmt and data must be skipped
+    // with its RIFF pad byte
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val withChunk = enc.take(36) ++ extra ++ enc.drop(36)
+    // fix the outer RIFF size for the inserted bytes
+    val riffSize = withChunk.length - 8
+    withChunk(4) = (riffSize & 0xff).toByte
+    withChunk(5) = ((riffSize >> 8) & 0xff).toByte
+    assert(Media.decodeWavPcm16(withChunk).exists(_._2.sameElements(samples)),
+      "chunk walker must skip unknown chunks (with odd-size padding)")
+    // rejections: truncated data, stereo, non-PCM, 8-bit, not-RIFF
+    assert(Media.decodeWavPcm16(enc.dropRight(1)).isEmpty, "truncated data")
+    val stereo = enc.clone(); stereo(22) = 2
+    assert(Media.decodeWavPcm16(stereo).isEmpty, "stereo must fall to stub")
+    val nonPcm = enc.clone(); nonPcm(20) = 3
+    assert(Media.decodeWavPcm16(nonPcm).isEmpty, "non-PCM format")
+    val eightBit = enc.clone(); eightBit(34) = 8
+    assert(Media.decodeWavPcm16(eightBit).isEmpty, "8-bit")
+    assert(Media.decodeWavPcm16("RIFFxxxxAVI ".getBytes("US-ASCII")).isEmpty,
+      "non-WAVE RIFF")
+    assert(Media.decodeWavPcm16(Array[Byte](1, 2, 3)).isEmpty, "garbage")
+  }
+
+  test("corpus audio payloads are well-formed WAV matching their metadata") {
+    val clips = media.filter(_.kind == "audio").collect()
+    assert(clips.nonEmpty)
+    clips.foreach { m =>
+      val dec = Media.decodeWavPcm16(m.payload)
+      assert(dec.isDefined, s"media ${m.media_id} payload not decodable")
+      val Some((sr, s)) = dec
+      assert(sr == m.sample_rate,
+        s"media ${m.media_id}: decoded rate $sr vs metadata ${m.sample_rate}")
+      assert(m.payload.length == 44 + 2 * s.length,
+        s"media ${m.media_id}: canonical-header length mismatch")
+    }
+  }
+
+  test("audio features are exact through the encode→decode roundtrip") {
+    // samples 100,-200,300,0,-5: peak 300; crossings (100,-200),(-200,300)
+    // → zcr 2 (the 0 sample is sign-less: v·prev = 0 is not < 0);
+    // sum_sq = 10000+40000+90000+0+25 = 140025 — the q_media_audio
+    // feature math (Media.pcmFeatures) on the decoded clip, exactly
+    val clip = Media.encodeWavPcm16(8000, Array[Short](100, -200, 300, 0, -5))
+    val Some((sr, s)) = Media.decodeWavPcm16(clip)
+    assert(sr == 8000 && s.length == 5)
+    assert(Media.pcmFeatures(s) == ((300L, 2L, 140025L)))
+  }
+
   test("media dedup: planted duplicate payloads recall 1.0, no false pairs") {
     import graft.multimodal.Media.MediaRow
     import org.apache.spark.sql.functions.col
