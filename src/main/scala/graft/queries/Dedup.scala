@@ -238,6 +238,99 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Span-dedup SURVIVOR MATERIALIZATION — the operational pass behind
+    * q_dedup_substring's stats: actually CUT every non-owner duplicated
+    * span occurrence and reassemble the corpus. Per doc: the distinct
+    * token positions covered by duplicated spans the doc does NOT own
+    * (the exact trim-mass set the stats query counts) are removed, the
+    * remaining tokens rejoin on single spaces, owners keep their spans
+    * untouched. Output pins the trimmed TEXTS, not just counts: per
+    * source, token mass before/after and the min/max md5 of the
+    * reassembled texts (md5 renders identical lowercase hex on both
+    * engines).
+    *
+    * Scale shape: the span pipeline is the stats query's (linear in
+    * duplicated-span occurrences, no pairwise join); the one
+    * corpus-width operation the materialization adds is the doc_id
+    * equi-join of the corpus against the per-doc cut sets (shuffle
+    * sized by corpus + cut volume, AQE-handled) and a per-row HOF
+    * filter over the token array — tokens are dropped by POSITION at
+    * the scan, never exploded into a corpus×L shuffle. */
+  val qDedupSubstringTrim: QueryDef = QueryDef.oracle(
+    "q_dedup_substring_trim",
+    """WITH ws AS (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS s
+      |  FROM ws, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+      |dup AS (
+      |  SELECT s, MIN(doc_id) AS owner
+      |  FROM (SELECT DISTINCT s, doc_id FROM occ)
+      |  GROUP BY s HAVING COUNT(*) > 1),
+      |cut AS (
+      |  SELECT DISTINCT o.doc_id, u.ti
+      |  FROM occ o JOIN dup d ON o.s = d.s AND o.doc_id <> d.owner,
+      |    UNNEST(range(o.pos, o.pos + 8)) AS u(ti)),
+      |cuta AS (SELECT doc_id, list(ti) AS cut FROM cut GROUP BY 1),
+      |trimmed AS (
+      |  SELECT w.source, len(w.ws) AS n_before,
+      |    array_to_string(CASE WHEN c.cut IS NULL THEN w.ws
+      |      ELSE list_filter(w.ws, (x, i) -> NOT list_contains(c.cut, i)) END,
+      |      ' ') AS t
+      |  FROM ws w LEFT JOIN cuta c ON w.doc_id = c.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_before) AS BIGINT) AS toks_before,
+      |  CAST(SUM(len(list_filter(string_split(t, ' '), x -> x <> '')))
+      |    AS BIGINT) AS toks_after,
+      |  MIN(md5(t)) AS min_md5, MAX(md5(t)) AS max_md5
+      |FROM trimmed GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    substringTrim(Tables(spark, dir).documents
+      .select("doc_id", "text", "source"), 8)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_before")).as("toks_before"),
+        sum(size(toks(col("t")))).as("toks_after"),
+        min(md5(col("t").cast("binary"))).as("min_md5"),
+        max(md5(col("t").cast("binary"))).as("max_md5"))
+      .orderBy("source")
+  }
+
+  /** The trim pass behind q_dedup_substring_trim on any
+    * (doc_id, text, source) frame — shared with the planted-boilerplate
+    * spec. Returns (doc_id, source, n_before, t) where `t` is the
+    * reassembled text with every non-owned duplicated g-token span
+    * occurrence removed (positionally, overlaps cut once). */
+  private[graft] def substringTrim(input: DataFrame, g: Int): DataFrame = {
+    val withToks = input.select(col("doc_id"), col("source"),
+      toks(col("text")).as("ws"),
+      graft.functions.GraftFunctions.gramHashes(col("text"), g).as("hs"))
+    val occ = withToks
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .cache() // freed by the harness clearCache between queries
+    val dup = occ.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") > 1)
+    val cut = occ.join(dup, "h").filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + g - 1)).as("ti"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_list(col("ti")).as("cut"))
+    withToks.join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), size(col("ws")).as("n_before"),
+        array_join(
+          filter(
+            zip_with(col("ws"),
+              sequence(lit(0), size(col("ws")) - 1),
+              (w, i) => when(array_contains(coalesce(col("cut"),
+                array().cast("array<int>")), i), lit(null)).otherwise(w)),
+            x => x.isNotNull),
+          " ").as("t"))
+  }
+
   /** Single-line oracle fragment for the rolling document fingerprint —
     * the exact DuckDB twin of [[graft.functions.Fingerprint]] (see that
     * file's header for the cross-engine exactness argument). Rendered
@@ -653,7 +746,8 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupNormalized, qDedupSubstring, qDedupNgramJaccard,
-    qDedupMinhashLsh, qDedupSimhash, qDedupClusters, qDedupEmbedding,
-    qDedupEmbeddingAnn, qDedupEmbeddingAnn09, qDedupIncremental)
+    qDedupExact, qDedupNormalized, qDedupSubstring, qDedupSubstringTrim,
+    qDedupNgramJaccard, qDedupMinhashLsh, qDedupSimhash, qDedupClusters,
+    qDedupEmbedding, qDedupEmbeddingAnn, qDedupEmbeddingAnn09,
+    qDedupIncremental)
 }

@@ -534,7 +534,95 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** GLOBAL heavy hitters under bounded shuffle — corpus-wide top-k word
+    * bigrams without ever shuffling the whole vocabulary: the
+    * frequency-analysis pass big-corpus text work reaches for when a
+    * plain `GROUP BY gram` would move billions of distinct n-grams.
+    *
+    * Two passes (the candidate/rescan a.k.a. TPUT pattern):
+    *   1. one scan, per-PARTITION exact counting in a local map, each
+    *      partition emitting only its top-m grams (m = 1024, ordered by
+    *      the same (count desc, gram asc) total order as the answer)
+    *      plus one threshold row: its m-th local count if the partition
+    *      overflowed m distinct grams, else 0 (nothing was withheld) —
+    *      the shuffle carries ≤ (m+1)·partitions rows, never the
+    *      vocabulary;
+    *   2. one rescan counting ONLY the broadcast candidate set exactly
+    *      (map-side partials over ≤ m·P distinct keys), then top-k.
+    * EXACTNESS is proved per run, not assumed: a gram absent from every
+    * partition's top-m has global count ≤ T = Σ_p threshold_p, so if
+    * the k-th candidate's exact count EXCEEDS T the result equals the
+    * full GROUP BY's — the oracle states exactly that full GROUP BY. If the
+    * proof ever failed (adversarially flat distribution), the query
+    * falls back to the exact full aggregation — correctness is never
+    * traded; the fallback never fires at judged scales (PlanSpec pins
+    * the bounded plan shape, HeavyHitterSpec pins the threshold logic).
+    * The two construction-time scalars (T, k-th count) are bounded
+    * driver artifacts of the CC-convergence-scalar kind. */
+  val qTextHeavyHitters: QueryDef = {
+    val k = 15
+    val cap = 1024
+    QueryDef.oracle(
+      "q_text_heavy_hitters",
+      """WITH ws AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS gram
+        |  FROM ws, UNNEST(range(1, len(ws))) AS t(i))
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1 ORDER BY n DESC, gram LIMIT 15""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val ws = toks(col("text"))
+      val bi = when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>"))
+      val grams = Tables(spark, dir).documents
+        .select(explode(bi).as("g")).as[String]
+      // pass 1: partition-local exact counts, top-m + threshold out
+      val p1 = grams.mapPartitions { it =>
+        val m = new java.util.HashMap[String, java.lang.Long]()
+        while (it.hasNext) m.merge(it.next(), 1L, (a, b) => a + b)
+        import scala.jdk.CollectionConverters._
+        val entries = m.entrySet().asScala.toArray
+          .map(e => (e.getKey, e.getValue.longValue()))
+        if (entries.length <= cap)
+          entries.iterator.map { case (g, c) => (0, g, c) } ++
+            Iterator((1, "", 0L)) // nothing withheld: threshold 0
+        else {
+          val top = entries.sortBy { case (g, c) => (-c, g) }.take(cap)
+          top.iterator.map { case (g, c) => (0, g, c) } ++
+            Iterator((1, "", top.last._2))
+        }
+      }.toDF("tag", "g", "c").cache() // ≤ (m+1)·P rows; harness-cleared
+      val threshold = p1.filter(col("tag") === 1)
+        .agg(sum(col("c"))).head().getLong(0)
+      val cand = p1.filter(col("tag") === 0).select("g").distinct()
+      // pass 2: exact rescan of the candidate set only
+      val exact = grams.toDF("g")
+        .join(broadcast(cand), Seq("g"), "left_semi")
+        .groupBy("g").agg(count(lit(1)).as("n")).cache()
+      val kth = exact.orderBy(col("n").desc, col("g")).limit(k)
+        .agg(min(col("n"))).head().getLong(0)
+      // STRICT: a fully-withheld gram can have global count exactly T
+      // (every partition excluded it on the gram tie-break at its local
+      // cutoff) and would then beat an equal-count candidate on gram
+      // order — kth == T is not a proof, kth > T is
+      val provablyExact = kth > threshold
+      val top =
+        if (provablyExact)
+          exact.select(col("g").as("gram"), col("n"))
+        else // adversarially flat distribution: keep correctness, pay the shuffle
+          grams.toDF("g").groupBy("g").agg(count(lit(1)).as("n"))
+            .select(col("g").as("gram"), col("n"))
+      top.orderBy(col("n").desc, col("gram")).limit(k)
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qTextChunk,
-      qTextVocab, qTextBigrams, qTextBpe, qTextBpeEncode, qTextLmScore)
+      qTextVocab, qTextBigrams, qTextBpe, qTextBpeEncode, qTextLmScore,
+      qTextHeavyHitters)
 }

@@ -77,6 +77,25 @@ class DedupSpec extends SparkSpec {
     assert(rows(30L) == ((25L, 5L, 0L, 12L)), s"trimmed row: ${rows(30L)}")
   }
 
+  test("substring trim materializes survivors: owners keep spans, others lose exactly the boilerplate") {
+    import spark.implicits._
+    // same fixture as the stats spec: a 12-token license header shared
+    // by three docs; the trim pass must CUT it from the two non-owners'
+    // texts, keep it verbatim in the owner's, and pass doc 40 through
+    val lic = (1 to 12).map(i => s"lic$i").mkString(" ")
+    def body(d: Int) = (1 to 20).map(i => s"d${d}w$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$lic ${body(1)}", "s"), (20L, s"$lic ${body(2)}", "s"),
+      (30L, s"$lic ${body(3)}", "s"), (40L, body(4), "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.substringTrim(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(rows(10L) == ((32, s"$lic ${body(1)}")), s"owner row: ${rows(10L)}")
+    assert(rows(20L) == ((32, body(2))), s"trimmed row: ${rows(20L)}")
+    assert(rows(30L) == ((32, body(3))), s"trimmed row: ${rows(30L)}")
+    assert(rows(40L) == ((20, body(4))), s"untouched row: ${rows(40L)}")
+  }
+
   test("incremental dedup drops planted cross-batch duplicates, keeps new and in-batch-min rows") {
     import spark.implicits._
     // base snapshot holds two docs; the batch plants every case:

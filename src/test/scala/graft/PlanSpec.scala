@@ -328,6 +328,17 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast confirm/anti/rollup joins:\n${p.take(4000)}")
   }
 
+  test("heavy hitters: bounded candidate/rescan shape — no whole-vocabulary shuffle, no window, no global sort") {
+    val p = plan("q_text_heavy_hitters")
+    assert(p.contains("MapPartitions"),
+      s"per-partition bounded counting pass absent:\n${p.take(4000)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"rescan must filter to broadcast candidates pre-aggregation:\n${p.take(4000)}")
+    assert(!p.contains("Window"), s"whole-vocab window sneaked in:\n${p.take(4000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded take, not a global sort:\n${p.take(4000)}")
+  }
+
   test("DPP join prunes fact partitions at runtime from the dim filter") {
     val p = plan("q_join_dpp")
     assert(p.contains("dynamicpruning"),
