@@ -229,15 +229,21 @@ object Media {
           // closed-form PCM16 from the text's codepoints (matches the
           // q_media_audio oracle's ascii(substr(..)) formulation; Spark
           // and DuckDB both index by codepoint). cp·(i+1) ≤ 1.1M·864 —
-          // long arithmetic, no overflow. Empty text → silence.
+          // long arithmetic, no overflow. Empty text → true silence
+          // (all-zero samples), matching the oracle's explicit
+          // n_chars = 0 branch — the cp=0 formula would emit full-scale
+          // −32768s, and the oracle's bare `i % n_chars` would NULL out.
           val cps = new String(m.payload,
             java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray
           val l = cps.length
           val n = l % 800 + 64
           val samples = Array.tabulate(n) { i =>
-            val cp = if (l == 0) 0L else cps(i % l).toLong
-            // (0..255 − 128)·256 ∈ [−32768, 32512] — exact in a Short
-            (((cp * (i + 1)) % 256 - 128) * 256).toShort
+            if (l == 0) 0.toShort
+            else {
+              val cp = cps(i % l).toLong
+              // (0..255 − 128)·256 ∈ [−32768, 32512] — exact in a Short
+              (((cp * (i + 1)) % 256 - 128) * 256).toShort
+            }
           }
           m.copy(payload = encodeWavPcm16(m.sample_rate, samples))
         } else m

@@ -331,16 +331,9 @@ object Dedup {
           " ").as("t"))
   }
 
-  /** Single-line oracle fragment for the rolling document fingerprint —
-    * the exact DuckDB twin of [[graft.functions.Fingerprint]] (see that
-    * file's header for the cross-engine exactness argument). Rendered
-    * single-line because interpolating multi-line fragments into
-    * stripMargin strings corrupts lines starting with `|`. */
-  private val fpSql: String =
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(list_filter(string_split(text, ' '), x -> x <> ''), " +
-      "w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))), " +
-      "(a, x) -> (a * 131 + x) % 1000000007)"
+  /** The shared rolling-fingerprint oracle fragment ([[FingerprintSql]]
+    * — one definition for every fingerprint-grouping oracle). */
+  private val fpSql: String = FingerprintSql.sql("text")
 
   /** INCREMENTAL cross-snapshot dedup — the nightly-pipeline shape: dedup
     * an incoming batch against the existing corpus snapshot WITHOUT

@@ -30,9 +30,12 @@ object Joins {
         try {
           import java.nio.file.{Files, Path}
           import java.util.Comparator
-          if (Files.exists(dir))
-            Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          if (Files.exists(dir)) {
+            val walk = Files.walk(dir)
+            try walk.sorted(Comparator.reverseOrder[Path]())
               .forEach(p => Files.deleteIfExists(p))
+            finally walk.close() // Files.walk pins directory handles open
+          }
         } catch { case scala.util.control.NonFatal(_) => () }))
     }
 

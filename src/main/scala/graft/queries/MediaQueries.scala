@@ -97,8 +97,9 @@ object MediaQueries {
       |  FROM documents WHERE doc_id % 3 = 1),
       |s AS (
       |  SELECT doc_id, i,
-      |    ((ascii(substr(text, CAST(i % n_chars AS INT) + 1, 1)) * (i + 1))
-      |      % 256 - 128) * 256 AS v
+      |    CASE WHEN n_chars = 0 THEN 0 ELSE
+      |      ((ascii(substr(text, CAST(i % n_chars AS INT) + 1, 1)) * (i + 1))
+      |        % 256 - 128) * 256 END AS v
       |  FROM a, UNNEST(range(0, ns)) t(i)),
       |w AS (
       |  SELECT doc_id, v,

@@ -31,3 +31,19 @@ object Scramble {
   /** The same expression as an ANSI SQL fragment for oracle queries. */
   def sql(key: String): String = s"((($key % $Mod + $Mod) % $Mod) * $Knuth)"
 }
+
+/** THE rolling-document-fingerprint oracle fragment — the DuckDB twin of
+  * [[graft.functions.Fingerprint]], defined ONCE for every oracle that
+  * groups or joins on the fingerprint (same discipline as [[Scramble]]:
+  * two hand-maintained copies of a cross-engine-exactness-critical
+  * definition WILL drift). Rendered single-line because interpolating
+  * multi-line fragments into stripMargin strings corrupts lines starting
+  * with `|`. See Fingerprint.scala for the exactness argument. */
+object FingerprintSql {
+  /** list_reduce fold over `col`'s tokens: h = (h·131 + ascii·31+len) mod 1e9+7. */
+  def sql(col: String = "text"): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($col, ' '), x -> x <> ''), " +
+      "w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))), " +
+      "(a, x) -> (a * 131 + x) % 1000000007)"
+}

@@ -155,14 +155,10 @@ object TextAnalysis {
     * identical bigint arithmetic on both engines. */
   val qTextFingerprint: QueryDef = QueryDef.oracle(
     "q_text_fingerprint",
-    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fp,
+    s"""SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fp,
       |  MIN(fp) AS min_fp, MAX(fp) AS max_fp, CAST(SUM(fp) AS BIGINT) AS sum_fp
       |FROM (
-      |  SELECT source, list_reduce(
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-      |        w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
-      |    (a, x) -> (a * 131 + x) % 1000000007) AS fp
+      |  SELECT source, ${FingerprintSql.sql("text")} AS fp
       |  FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
@@ -574,51 +570,68 @@ object TextAnalysis {
         |FROM b GROUP BY 1 ORDER BY n DESC, gram LIMIT 15""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
-      val ws = toks(col("text"))
-      val bi = when(size(ws) >= 2,
-        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-          (a, b) => concat_ws(" ", a, b)))
-        .otherwise(array().cast("array<string>"))
       val grams = Tables(spark, dir).documents
-        .select(explode(bi).as("g")).as[String]
-      // pass 1: partition-local exact counts, top-m + threshold out
-      val p1 = grams.mapPartitions { it =>
-        val m = new java.util.HashMap[String, java.lang.Long]()
-        while (it.hasNext) m.merge(it.next(), 1L, (a, b) => a + b)
-        import scala.jdk.CollectionConverters._
-        val entries = m.entrySet().asScala.toArray
-          .map(e => (e.getKey, e.getValue.longValue()))
-        if (entries.length <= cap)
-          entries.iterator.map { case (g, c) => (0, g, c) } ++
-            Iterator((1, "", 0L)) // nothing withheld: threshold 0
-        else {
-          val top = entries.sortBy { case (g, c) => (-c, g) }.take(cap)
-          top.iterator.map { case (g, c) => (0, g, c) } ++
-            Iterator((1, "", top.last._2))
-        }
-      }.toDF("tag", "g", "c").cache() // ≤ (m+1)·P rows; harness-cleared
-      val threshold = p1.filter(col("tag") === 1)
-        .agg(sum(col("c"))).head().getLong(0)
-      val cand = p1.filter(col("tag") === 0).select("g").distinct()
-      // pass 2: exact rescan of the candidate set only
-      val exact = grams.toDF("g")
-        .join(broadcast(cand), Seq("g"), "left_semi")
-        .groupBy("g").agg(count(lit(1)).as("n")).cache()
-      val kth = exact.orderBy(col("n").desc, col("g")).limit(k)
-        .agg(min(col("n"))).head().getLong(0)
-      // STRICT: a fully-withheld gram can have global count exactly T
-      // (every partition excluded it on the gram tie-break at its local
-      // cutoff) and would then beat an equal-count candidate on gram
-      // order — kth == T is not a proof, kth > T is
-      val provablyExact = kth > threshold
-      val top =
-        if (provablyExact)
-          exact.select(col("g").as("gram"), col("n"))
-        else // adversarially flat distribution: keep correctness, pay the shuffle
-          grams.toDF("g").groupBy("g").agg(count(lit(1)).as("n"))
-            .select(col("g").as("gram"), col("n"))
-      top.orderBy(col("n").desc, col("gram")).limit(k)
+        .select(explode(bigramCol(toks(col("text")))).as("g")).as[String]
+      heavyHitters(grams, k, cap)
     }
+  }
+
+  /** Adjacent word-bigram strings from a token array — shared by
+    * q_text_heavy_hitters and HeavyHitterSpec's expected side
+    * (q_text_bigrams keeps its struct-shaped (w1, w2) variant). */
+  private[graft] def bigramCol(ws: Column): Column =
+    when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+
+  /** The bounded candidate/rescan top-k behind q_text_heavy_hitters, on
+    * any gram stream — shared with HeavyHitterSpec so the spec can vary
+    * the PARTITIONING (the semantics must not depend on it). See the
+    * query doc for the algorithm and proof obligation. */
+  private[graft] def heavyHitters(
+      grams: org.apache.spark.sql.Dataset[String], k: Int, cap: Int): DataFrame = {
+    import grams.sparkSession.implicits._
+    // pass 1: partition-local exact counts, top-m + threshold out
+    val p1 = grams.mapPartitions { it =>
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      while (it.hasNext) m.merge(it.next(), 1L, (a, b) => a + b)
+      import scala.jdk.CollectionConverters._
+      val entries = m.entrySet().asScala.toArray
+        .map(e => (e.getKey, e.getValue.longValue()))
+      if (entries.length <= cap)
+        entries.iterator.map { case (g, c) => (0, g, c) } ++
+          Iterator((1, "", 0L)) // nothing withheld: threshold 0
+      else {
+        val top = entries.sortBy { case (g, c) => (-c, g) }.take(cap)
+        top.iterator.map { case (g, c) => (0, g, c) } ++
+          Iterator((1, "", top.last._2))
+      }
+    }.toDF("tag", "g", "c").cache() // ≤ (m+1)·P rows; harness-cleared
+    // null aggregates (a zero-partition scan of an empty corpus) fold to
+    // the conservative side: T = 0, kth = MIN → fallback, still exact
+    val tRow = p1.filter(col("tag") === 1).agg(sum(col("c"))).head()
+    val threshold = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
+    val cand = p1.filter(col("tag") === 0).select("g").distinct()
+    // pass 2: exact rescan of the candidate set only
+    val exact = grams.toDF("g")
+      .join(broadcast(cand), Seq("g"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("n")).cache()
+    val kRow = exact.orderBy(col("n").desc, col("g")).limit(k)
+      .agg(min(col("n"))).head()
+    val kth = if (kRow.isNullAt(0)) Long.MinValue else kRow.getLong(0)
+    // STRICT: a fully-withheld gram can have global count exactly T
+    // (every partition excluded it on the gram tie-break at its local
+    // cutoff) and would then beat an equal-count candidate on gram
+    // order — kth == T is not a proof, kth > T is
+    val provablyExact = kth > threshold
+    val top =
+      if (provablyExact)
+        exact.select(col("g").as("gram"), col("n"))
+      else // adversarially flat distribution: keep correctness, pay the shuffle
+        grams.toDF("g").groupBy("g").agg(count(lit(1)).as("n"))
+          .select(col("g").as("gram"), col("n"))
+    top.orderBy(col("n").desc, col("gram")).limit(k)
   }
 
   val all: Seq[QueryDef] =

@@ -20,6 +20,34 @@ class BpeSpec extends SparkSpec {
   private def chars(w: String): Vector[String] =
     w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
 
+  /** Codepoint-lexicographic compare — the engine's tie-break order
+    * (UTF8String.compareTo = UTF-8 byte order = codepoint order; DuckDB
+    * binary collation likewise). Scala's default String Ordering
+    * compares UTF-16 units, which DIVERGES for ties between
+    * U+E000..U+FFFF symbols and astral symbols (surrogates 0xD800..
+    * sort below 0xE000 in UTF-16 but astral codepoints are larger) —
+    * the reference must not inherit that. */
+  private def cpCompare(a: String, b: String): Int = {
+    val x = a.codePoints().toArray
+    val y = b.codePoints().toArray
+    var i = 0
+    while (i < x.length && i < y.length) {
+      if (x(i) != y(i)) return Integer.compare(x(i), y(i))
+      i += 1
+    }
+    Integer.compare(x.length, y.length)
+  }
+
+  private val pairOrd: Ordering[((String, String), Long)] =
+    (p, q) => {
+      val c = java.lang.Long.compare(q._2, p._2) // higher count first
+      if (c != 0) c
+      else {
+        val l = cpCompare(p._1._1, q._1._1)
+        if (l != 0) l else cpCompare(p._1._2, q._1._2)
+      }
+    }
+
   private def referenceBpe(
       words: Map[String, Long], k: Int): Seq[(Int, String, String, String, Long)] = {
     val syms = mutable.Map[String, Vector[String]]() ++
@@ -33,7 +61,7 @@ class BpeSpec extends SparkSpec {
         pc((x, y)) += cnt
       if (pc.isEmpty) done = true
       else {
-        val ((a, b), n) = pc.minBy { case ((x, y), m) => (-m, x, y) }
+        val ((a, b), n) = pc.min(pairOrd)
         out += ((r, a, b, a + b, n))
         for (w <- words.keys) {
           val s = syms(w)
@@ -160,6 +188,21 @@ class BpeSpec extends SparkSpec {
       s"codepoint-order tie-break across multi-byte symbols broke: $got")
     assert(got == ref,
       s"multi-byte merges drifted from the sequential reference:\n$got\nvs\n$ref")
+  }
+
+  test("tie between a private-use symbol and an astral symbol breaks in codepoint order") {
+    // the exact window where UTF-16 unit order and codepoint order
+    // disagree: U+E000 (one unit, 0xE000) vs U+1F600 (surrogates
+    // leading 0xD83D). UTF-16 says U+1F600 < U+E000; codepoints (and UTF-8
+    // bytes, hence both engines) say U+E000 < U+1F600. The pairs
+    // (U+E000, x) and (U+1F600, y) tie at n = 2 — the engine must pick
+    // (U+E000, x), and the reference must agree.
+    val words = Map("\ue000x" -> 2L, "😀y" -> 2L)
+    val ref = referenceBpe(words, 1)
+    val got = learned(words, 1)
+    assert(got.head._2 == "\ue000" && got.head._3 == "x",
+      s"engine must tie-break in codepoint order: $got")
+    assert(got == ref, s"reference diverged from engine on the UTF-16/codepoint window:\n$got\nvs\n$ref")
   }
 
   test("loop stops early when no pairs remain") {

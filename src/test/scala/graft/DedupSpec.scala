@@ -70,6 +70,7 @@ class DedupSpec extends SparkSpec {
     val rows = Dedup.substringStats(docs, 8).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
+    spark.catalog.clearCache() // substringStats caches its occurrence table
     // 32 tokens → 25 span positions for docs with the header; doc 40 absent
     assert(rows.keySet == Set(10L, 20L, 30L), s"wrong docs: ${rows.keySet}")
     assert(rows(10L) == ((25L, 5L, 5L, 0L)), s"owner row: ${rows(10L)}")
@@ -90,6 +91,7 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     val rows = Dedup.substringTrim(docs, 8).collect()
       .map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    spark.catalog.clearCache() // substringTrim caches its occurrence table
     assert(rows(10L) == ((32, s"$lic ${body(1)}")), s"owner row: ${rows(10L)}")
     assert(rows(20L) == ((32, body(2))), s"trimmed row: ${rows(20L)}")
     assert(rows(30L) == ((32, body(3))), s"trimmed row: ${rows(30L)}")
