@@ -450,10 +450,93 @@ object Streaming {
     }
   }
 
+  /** STREAMING incremental dedup against a static snapshot — the
+    * round-8 q_dedup_incremental shape where the nightly batch is a
+    * STREAM: late replays of already-ingested events plus genuinely new
+    * events arrive together, and ingestion must admit each event at
+    * most once, without reprocessing the snapshot.
+    *
+    * Stream construction (deterministic, so the oracle can restate it):
+    * the new slice (scramble%4 = 0) ∪ replays of SNAPSHOT events
+    * (scramble%4 ≠ 0 ∧ scramble%9 = 1 — duplicates of the base) ∪
+    * replays of NEW events (scramble%4 = 0 ∧ scramble%9 = 1 —
+    * within-stream duplicates).
+    *
+    * Scale shape, mirroring the batch twin: the base's event_id set is
+    * summarized ONCE into a bloom sketch at query construction (at
+    * scale: maintained night-over-night); probe-NEGATIVE stream rows
+    * are admitted via the codegen filter alone and NEVER touch a join —
+    * only the bloom-positive minority (true base dups + false
+    * positives) rides the exact stream-static anti-join against the
+    * broadcast base keys, so per-micro-batch join work is proportional
+    * to the replay mass, not the stream. Within-stream replays then die
+    * in dropDuplicatesWithinWatermark (state = distinct admitted keys
+    * inside the watermark, the at-least-once-delivery absorber). The
+    * sink rollup is per-type counts + an id-sum pin. */
+  val qStreamDedupSnapshot: QueryDef = QueryDef.oracle(
+    "q_stream_dedup_snapshot",
+    s"""WITH base AS (
+      |  SELECT event_id FROM events WHERE ${Scramble.sql("event_id")} % 4 <> 0),
+      |stream AS (
+      |  SELECT event_id, event_type FROM events
+      |  WHERE ${Scramble.sql("event_id")} % 4 = 0
+      |  UNION ALL
+      |  SELECT event_id, event_type FROM events
+      |  WHERE ${Scramble.sql("event_id")} % 4 <> 0
+      |    AND ${Scramble.sql("event_id")} % 9 = 1
+      |  UNION ALL
+      |  SELECT event_id, event_type FROM events
+      |  WHERE ${Scramble.sql("event_id")} % 4 = 0
+      |    AND ${Scramble.sql("event_id")} % 9 = 1),
+      |acc AS (
+      |  SELECT DISTINCT event_id, event_type FROM stream
+      |  WHERE event_id NOT IN (SELECT event_id FROM base))
+      |SELECT event_type, COUNT(*) AS n_accepted,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
+      |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.classic.GraftColumnBridge.{column => exprCol, expression => colExpr}
+    import org.apache.spark.sql.types.BinaryType
+    // the static snapshot side (batch): its key set and its bloom sketch
+    val baseKeys = graft.Tables(spark, dir).events
+      .filter(Scramble(col("event_id")) % 4 =!= 0)
+      .select("event_id").distinct()
+    val bfBytes = baseKeys
+      .select(exprCol(new BloomFilterAggregate(
+          new XxHash64(Seq(colExpr(col("event_id")))), 300000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = exprCol(new BloomFilterMightContain(
+      Literal(bfBytes, BinaryType),
+      new XxHash64(Seq(colExpr(col("event_id"))))))
+    val src = EventsStream.read(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val stream = src.filter(Scramble(col("event_id")) % 4 === 0)
+      .unionByName(src.filter(Scramble(col("event_id")) % 4 =!= 0
+        && Scramble(col("event_id")) % 9 === 1))
+      .unionByName(src.filter(Scramble(col("event_id")) % 4 === 0
+        && Scramble(col("event_id")) % 9 === 1))
+      .withWatermark("ts", WM)
+    // probe-negative rows are admitted scan-side; only bloom-positives
+    // pay the exact anti-join (the join side sees replay mass + FPs)
+    val admitted = stream.filter(!probe)
+      .unionByName(stream.filter(probe)
+        .join(broadcast(baseKeys), Seq("event_id"), "left_anti"))
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"))
+    EventsStream.runToTable(spark, admitted, "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_accepted"),
+        sum(col("event_id")).as("sum_ids"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamStateful, qStreamJoin, qStreamJoinOuter, qStreamJoinWindowed,
-    qStreamEnrich, qStreamTws)
+    qStreamDedupSnapshot, qStreamStateful, qStreamJoin, qStreamJoinOuter,
+    qStreamJoinWindowed, qStreamEnrich, qStreamTws)
 }
 
 /** Per-user mutable state carried across micro-batches. */

@@ -339,6 +339,24 @@ class PlanSpec extends SparkSpec {
       s"top-k must be a bounded take, not a global sort:\n${p.take(4000)}")
   }
 
+  test("z-order box query pushes both dimensions into the parquet scan") {
+    // the layout only pays off if BOTH box predicates reach the reader
+    // as pushed filters (row-group stats skipping needs them there);
+    // the default 100-char metadata rendering truncates the filter list
+    // mid-way, so widen it for the assertion (restored after)
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "2000")
+    val p = try plan("q_layout_zorder") finally spark.conf.set(key, saved)
+    assert(p.contains("PushedFilters"), s"no pushed filters:\n${p.take(3000)}")
+    assert(p.contains("GreaterThanOrEqual(o_custkey,20)")
+      && p.contains("LessThanOrEqual(o_custkey,60)"),
+      s"custkey box not pushed:\n${p.take(3000)}")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate")
+      && p.contains("LessThan(o_orderdate"),
+      s"date box not pushed:\n${p.take(3000)}")
+  }
+
   test("DPP join prunes fact partitions at runtime from the dim filter") {
     val p = plan("q_join_dpp")
     assert(p.contains("dynamicpruning"),

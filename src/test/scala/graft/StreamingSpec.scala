@@ -345,6 +345,31 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch tumbling drifted: stream=$streamed batch=$batch")
   }
 
+  test("streaming snapshot dedup equals the batch twin (replays dead, news admitted once)") {
+    // the batch formulation of q_stream_dedup_snapshot's semantics:
+    // admitted = distinct (new ∪ replays) minus the base snapshot — the
+    // bloom split (probe-negative bypass ∪ probe-positive anti-join)
+    // must be invisible in the result, whatever the sketch's false
+    // positives did to the routing
+    val events = Tables(spark, sf).events
+    val scr = graft.queries.Scramble(col("event_id"))
+    val base = events.filter(scr % 4 =!= 0).select("event_id").distinct()
+    val newSlice = events.filter(scr % 4 === 0)
+    val stream = newSlice
+      .unionByName(events.filter(scr % 4 =!= 0 && scr % 9 === 1))
+      .unionByName(newSlice.filter(scr % 9 === 1))
+      .select("event_id", "event_type")
+    val batch = stream.dropDuplicates("event_id", "event_type")
+      .join(base, Seq("event_id"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_accepted"), sum(col("event_id")).as("sum_ids"))
+      .orderBy("event_type").collect().toSeq
+    val streamed = Streaming.qStreamDedupSnapshot.run(spark, sf).collect().toSeq
+    assert(batch.nonEmpty && batch.map(_.getLong(1)).sum > 0)
+    assert(streamed == batch,
+      s"stream/batch snapshot dedup drifted: stream=$streamed batch=$batch")
+  }
+
   test("memory-sink contract: unbounded emissions are rejected before start") {
     // the driver-safety invariant, machine-checked: runToTable's memory
     // sink may only receive streams whose plan bounds emission by groups
