@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.classic.GraftColumnBridge.{column => exprCol, expression => colExpr}
+import org.apache.spark.sql.types.BinaryType
+
+/** The bloom build/probe pair used by every runtime-filter site
+  * (q_join_bloom, q_dedup_incremental, q_stream_dedup_snapshot) —
+  * defined ONCE (the Scramble discipline: hand-maintained copies of
+  * internal-Catalyst plumbing WILL drift on the next Spark upgrade or
+  * sizing change).
+  *
+  * Build is a distributed partial+final aggregate; only the KB-scale
+  * serialized sketch crosses the driver. An EMPTY input yields a null
+  * sketch, and `mightContain(null, _)` is null — a filter on it keeps
+  * nothing, which is the correct "nothing is in the set" reading at
+  * every call site. The probe is the built-in codegen expression (never
+  * a ScalaUDF — it runs pre-shuffle on the hottest scan, PlanSpec-gated
+  * at the join site). */
+object BloomProbe {
+
+  /** Distributed sketch of `key`'s values in `df`. */
+  def sketch(df: DataFrame, key: Column, expectedItems: Long): Array[Byte] =
+    df.select(exprCol(new BloomFilterAggregate(
+        new XxHash64(Seq(colExpr(key))), expectedItems)
+      .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Codegen membership probe of `key` against a serialized sketch. */
+  def mightContain(sketchBytes: Array[Byte], key: Column): Column =
+    exprCol(new BloomFilterMightContain(
+      Literal(sketchBytes, BinaryType),
+      new XxHash64(Seq(colExpr(key)))))
+}

@@ -428,25 +428,15 @@ object Dedup {
     * confirm) and never exchanged. */
   private[graft] def incrementalSurvivors(
       base: DataFrame, batch: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.classic.GraftColumnBridge.{column => exprCol, expression => colExpr}
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.BinaryType
     val fp = graft.functions.GraftFunctions.fingerprint(col("text"))
     val baseFp = base.select(fp.as("fp"))
     // 1. distributed bloom build over base fingerprints — the one base
-    //    pass that at scale becomes an incrementally-maintained artifact
-    val bfBytes = baseFp
-      .select(exprCol(new BloomFilterAggregate(
-          new XxHash64(Seq(colExpr(col("fp")))), 300000L)
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    // empty base → null sketch → null probe → filter keeps nothing:
-    // zero candidates, every batch fingerprint is genuinely new
-    val probe = exprCol(new BloomFilterMightContain(
-      Literal(bfBytes, BinaryType),
-      new XxHash64(Seq(colExpr(col("fp"))))))
+    //    pass that at scale becomes an incrementally-maintained
+    //    artifact. Empty base → null sketch → null probe → the filter
+    //    keeps nothing: zero candidates, every batch fp genuinely new.
+    val bfBytes = graft.functions.BloomProbe.sketch(baseFp, col("fp"), 300000L)
+    val probe = graft.functions.BloomProbe.mightContain(bfBytes, col("fp"))
     // 2. pre-shuffle candidate cut on the batch
     val batchFp = batch.select(col("doc_id"), col("source"), fp.as("fp"))
     val candidates = batchFp.filter(probe).select("fp").distinct()

@@ -20,24 +20,15 @@ object Joins {
 
   /** Staging dirs registered for end-of-JVM removal (bucketed-join
     * layouts are rewritten per execution, so unlike the _SUCCESS-keyed
-    * stage() dirs they'd otherwise accumulate one copy per process). */
+    * stage() dirs they'd otherwise accumulate one copy per process).
+    * Delegates to EventsStream's single static exit hook — one cleanup
+    * path for the whole repo, deduplicated per dir here. */
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
 
   private def registerCleanup(dir: java.nio.file.Path): Unit =
-    if (cleanupRegistered.add(dir)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import java.nio.file.{Files, Path}
-          import java.util.Comparator
-          if (Files.exists(dir)) {
-            val walk = Files.walk(dir)
-            try walk.sorted(Comparator.reverseOrder[Path]())
-              .forEach(p => Files.deleteIfExists(p))
-            finally walk.close() // Files.walk pins directory handles open
-          }
-        } catch { case scala.util.control.NonFatal(_) => () }))
-    }
+    if (cleanupRegistered.add(dir))
+      graft.streaming.EventsStream.deleteOnExit(dir)
 
   /** Star-schema join with explicit broadcast of the small dims.
     * orders⋈customer shuffles on custkey; nation/region ride along as
@@ -467,24 +458,16 @@ object Joins {
       |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.classic.GraftColumnBridge.{column => exprCol, expression => colExpr}
-    import org.apache.spark.sql.types.BinaryType
     val t = Tables(spark, dir)
     val urgent = t.orders
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .select(col("o_orderkey"), col("o_orderpriority"))
     // distributed partial+final build of the sketch; only the KB-scale
     // serialized filter crosses the driver
-    val bfBytes = urgent
-      .select(exprCol(new BloomFilterAggregate(
-          new XxHash64(Seq(colExpr(col("o_orderkey")))), 300000L)
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val probe = exprCol(new BloomFilterMightContain(
-      Literal(bfBytes, BinaryType),
-      new XxHash64(Seq(colExpr(col("l_orderkey"))))))
+    val bfBytes =
+      graft.functions.BloomProbe.sketch(urgent, col("o_orderkey"), 300000L)
+    val probe =
+      graft.functions.BloomProbe.mightContain(bfBytes, col("l_orderkey"))
     t.lineitem
       .filter(probe) // pre-shuffle row cut, fully codegen'd
       .join(urgent, col("o_orderkey") === col("l_orderkey"))

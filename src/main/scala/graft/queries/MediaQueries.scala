@@ -60,9 +60,11 @@ object MediaQueries {
   /** Decode → 16-bin histogram features, folded per kind with
     * exact-decimal sums (deterministic under any partitioning). Image
     * rows run a REAL PPM pixel decode (MediaSpec pins the raster
-    * histogram against an independently-computed closed form);
-    * audio/video keep the byte-histogram stub. Rows-only because the
-    * histogram isn't reasonably expressible in ANSI SQL. */
+    * histogram against an independently-computed closed form); audio
+    * rows run a REAL WAV/PCM16 decode (round 8 — histogram over the
+    * decoded sample bytes); video keeps the byte-histogram stub.
+    * Rows-only because the histogram isn't reasonably expressible in
+    * ANSI SQL. */
   val qMediaFeatures: QueryDef = QueryDef.noOracle("q_media_features") {
     (spark, dir) =>
       Media.extractFeatures(Media.mediaTable(spark, dir)).toDF()

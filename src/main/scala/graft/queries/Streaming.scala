@@ -495,22 +495,14 @@ object Streaming {
       |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
       |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.classic.GraftColumnBridge.{column => exprCol, expression => colExpr}
-    import org.apache.spark.sql.types.BinaryType
     // the static snapshot side (batch): its key set and its bloom sketch
     val baseKeys = graft.Tables(spark, dir).events
       .filter(Scramble(col("event_id")) % 4 =!= 0)
       .select("event_id").distinct()
-    val bfBytes = baseKeys
-      .select(exprCol(new BloomFilterAggregate(
-          new XxHash64(Seq(colExpr(col("event_id")))), 300000L)
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val probe = exprCol(new BloomFilterMightContain(
-      Literal(bfBytes, BinaryType),
-      new XxHash64(Seq(colExpr(col("event_id"))))))
+    val bfBytes =
+      graft.functions.BloomProbe.sketch(baseKeys, col("event_id"), 300000L)
+    val probe =
+      graft.functions.BloomProbe.mightContain(bfBytes, col("event_id"))
     val src = EventsStream.read(spark, dir)
       .select(col("event_id"), col("event_type"), col("ts"))
     val stream = src.filter(Scramble(col("event_id")) % 4 === 0)

@@ -591,6 +591,10 @@ object TextAnalysis {
     * query doc for the algorithm and proof obligation. */
   private[graft] def heavyHitters(
       grams: org.apache.spark.sql.Dataset[String], k: Int, cap: Int): DataFrame = {
+    // cap < k breaks the proof: the candidate set can then hold fewer
+    // than k grams while kth > T still passes, silently dropping
+    // withheld grams from ranks cap+1..k instead of falling back
+    require(cap >= k, s"per-partition cap ($cap) must be >= k ($k)")
     import grams.sparkSession.implicits._
     // pass 1: partition-local exact counts, top-m + threshold out
     val p1 = grams.mapPartitions { it =>

@@ -241,7 +241,9 @@ object EventsStream {
       }
     }))
 
-  private def deleteOnExit(dir: java.nio.file.Path): Unit = {
+  /** Shared with the batch-side staging writers (bucketed-join layouts
+    * etc.) so the repo has exactly one exit-time cleanup path. */
+  private[graft] def deleteOnExit(dir: java.nio.file.Path): Unit = {
     cleanupHook
     toDelete.add(dir)
   }

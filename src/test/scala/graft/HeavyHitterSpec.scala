@@ -45,9 +45,12 @@ class HeavyHitterSpec extends SparkSpec {
   test("adversarially flat distribution falls back and stays exact") {
     import spark.implicits._
     // 3000 distinct grams, each appearing exactly twice, spread over 8
-    // partitions with cap 16: every partition withholds count-2 grams,
-    // so T = 8·2 = 16 > kth = 2 — the proof must fail and the exact
-    // fallback must produce the lexicographic-smallest count-2 grams
+    // partitions with cap 16: round-robin repartitioning puts a gram's
+    // two copies in different partitions, so local counts are ~1 and
+    // every overflowing partition's threshold is ≥ 1, giving T ≈ 8 —
+    // kth = 2 is NOT strictly above it, the proof must fail, and the
+    // exact fallback must produce the lexicographic-smallest count-2
+    // grams
     val grams = (0 until 3000).flatMap(i => Seq(f"g$i%04d", f"g$i%04d"))
       .toDS().repartition(8)
     val got = TextAnalysis.heavyHitters(grams, 5, 16)
