@@ -454,6 +454,87 @@ object Dedup {
       .select(col("source"), col("doc_id"))
   }
 
+  /** INCREMENTAL FUZZY dedup — q_dedup_incremental's near-duplicate
+    * sibling: find batch docs that are NEAR-dups (3-gram Jaccard ≥ 0.5)
+    * of snapshot docs, again without any base-vs-base work. The batch
+    * plants perturbed copies of snapshot docs (re-keyed, one token
+    * appended — Jaccard just under 1) alongside the genuinely-new
+    * slice.
+    *
+    * Shape: candidates come from the shared-shingle equi-join of batch
+    * shingles against the BASE SHINGLE INDEX (the artifact a nightly
+    * pipeline maintains; pre-bucket it by shingle at 100 TB and the
+    * probe is exchange-free) — pairs are generated only from shingles
+    * the two sides actually share, so candidate volume is linear in
+    * shared-shingle occurrences (the substring-dedup argument), never
+    * |batch|×|base|. Verification is INTEGER-exact: Jaccard ≥ 1/2 ⟺
+    * 3·|∩| ≥ |A|+|B| — no float ever enters the result, so the oracle
+    * (same shingle strings, same counting) hash-matches exactly. */
+  val qDedupIncrementalFuzzy: QueryDef = QueryDef.oracle(
+    "q_dedup_incremental_fuzzy",
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+      |base AS (SELECT * FROM docs WHERE ${Scramble.sql("doc_id")} % 4 <> 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM docs WHERE ${Scramble.sql("doc_id")} % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text || ' zz9x' FROM base
+      |  WHERE ${Scramble.sql("doc_id")} % 9 = 1),
+      |bs AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |      array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS s
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |          FROM base),
+      |      UNNEST(range(1, len(ws) - 1)) AS t(i))),
+      |qs AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |      array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS s
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |          FROM batch),
+      |      UNNEST(range(1, len(ws) - 1)) AS t(i))),
+      |na AS (SELECT doc_id, COUNT(*) AS n FROM qs GROUP BY 1),
+      |nb AS (SELECT doc_id, COUNT(*) AS n FROM bs GROUP BY 1),
+      |inter AS (
+      |  SELECT q.doc_id AS batch_doc, b.doc_id AS base_doc,
+      |    COUNT(*) AS n_shared
+      |  FROM qs q JOIN bs b ON q.s = b.s GROUP BY 1, 2)
+      |SELECT i.batch_doc, i.base_doc,
+      |  CAST(i.n_shared AS BIGINT) AS n_shared,
+      |  CAST(na.n AS BIGINT) AS n_batch_shingles,
+      |  CAST(nb.n AS BIGINT) AS n_base_shingles
+      |FROM inter i
+      |JOIN na ON na.doc_id = i.batch_doc
+      |JOIN nb ON nb.doc_id = i.base_doc
+      |WHERE 3 * i.n_shared >= na.n + nb.n
+      |ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    val base = docs.filter(Scramble(col("doc_id")) % 4 =!= 0)
+    val batch = docs.filter(Scramble(col("doc_id")) % 4 === 0)
+      .unionByName(base.filter(Scramble(col("doc_id")) % 9 === 1)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" zz9x")).as("text")))
+    def shingleSet(df: DataFrame) = df
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    // the base shingle index — at 100 TB a maintained, bucketed table
+    val bs = shingleSet(base)
+      .select(col("doc_id").as("base_doc"), col("s"))
+    val qs = shingleSet(batch)
+      .select(col("doc_id").as("batch_doc"), col("s"))
+    val na = qs.groupBy("batch_doc").agg(count(lit(1)).as("na"))
+    val nb = bs.groupBy("base_doc").agg(count(lit(1)).as("nb"))
+    val inter = qs.join(bs, "s")
+      .groupBy("batch_doc", "base_doc").agg(count(lit(1)).as("n_shared"))
+    inter.join(na, "batch_doc").join(nb, "base_doc")
+      .filter(lit(3) * col("n_shared") >= col("na") + col("nb"))
+      .select(col("batch_doc"), col("base_doc"), col("n_shared"),
+        col("na").as("n_batch_shingles"), col("nb").as("n_base_shingles"))
+      .orderBy("batch_doc", "base_doc")
+  }
+
   /** MinHash + LSH fuzzy dedup — the full shingle → minhash → band →
     * bucket-join pipeline, hand-rolled in DataFrame ops so every stage is
     * a Catalyst plan:
@@ -732,5 +813,5 @@ object Dedup {
     qDedupExact, qDedupNormalized, qDedupSubstring, qDedupSubstringTrim,
     qDedupNgramJaccard, qDedupMinhashLsh, qDedupSimhash, qDedupClusters,
     qDedupEmbedding, qDedupEmbeddingAnn, qDedupEmbeddingAnn09,
-    qDedupIncremental)
+    qDedupIncremental, qDedupIncrementalFuzzy)
 }

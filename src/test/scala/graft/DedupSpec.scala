@@ -117,6 +117,26 @@ class DedupSpec extends SparkSpec {
       s"survivors must be the in-batch min and the new doc, got $surv")
   }
 
+  test("incremental fuzzy dedup finds the perturbed planted copies with Jaccard >= 1/2") {
+    // the corpus-derived construction plants, for every base doc with
+    // scramble%9 == 1, a re-keyed copy with one appended token — its
+    // 3-gram set shares all but the two boundary shingles, so every
+    // plant must pair with its source under 3·|∩| ≥ |A|+|B|
+    val q = graft.queries.Registry.all.find(_.name == "q_dedup_incremental_fuzzy").get
+    val rows = q.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.functions.col
+    val planted = Tables(spark, sf).documents
+      .filter(graft.queries.Scramble(col("doc_id")) % 4 =!= 0
+        && graft.queries.Scramble(col("doc_id")) % 9 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(rows.contains((id + 1000000000L, id)),
+        s"planted near-dup of doc $id not recovered: ${rows.take(10)}")
+    }
+  }
+
   test("exact dedup removes nothing on a duplicate-free corpus") {
     val removed = Dedup.qDedupExact.run(spark, sf)
       .select("n_removed").collect().map(_.getLong(0)).sum
