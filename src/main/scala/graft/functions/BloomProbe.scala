@@ -14,11 +14,14 @@ import org.apache.spark.sql.types.BinaryType
   *
   * Build is a distributed partial+final aggregate; only the KB-scale
   * serialized sketch crosses the driver. An EMPTY input yields a null
-  * sketch, and `mightContain(null, _)` is null — a filter on it keeps
-  * nothing, which is the correct "nothing is in the set" reading at
-  * every call site. The probe is the built-in codegen expression (never
-  * a ScalaUDF — it runs pre-shuffle on the hottest scan, PlanSpec-gated
-  * at the join site). */
+  * sketch; `mightContain` maps that to a literal FALSE — the "nothing
+  * is in the set" reading — rather than passing null bytes to the
+  * Catalyst probe, whose tri-valued NULL would make BOTH
+  * `filter(probe)` and `filter(!probe)` drop every row (a negated
+  * probe site, e.g. q_stream_dedup_snapshot's admit-fast path, would
+  * silently admit nothing instead of everything). The probe is the
+  * built-in codegen expression (never a ScalaUDF — it runs pre-shuffle
+  * on the hottest scan, PlanSpec-gated at the join site). */
 object BloomProbe {
 
   /** Distributed sketch of `key`'s values in `df`. */
@@ -28,9 +31,11 @@ object BloomProbe {
       .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
 
-  /** Codegen membership probe of `key` against a serialized sketch. */
+  /** Codegen membership probe of `key` against a serialized sketch;
+    * a null sketch (empty build input) is definitionally FALSE. */
   def mightContain(sketchBytes: Array[Byte], key: Column): Column =
-    exprCol(new BloomFilterMightContain(
+    if (sketchBytes == null) org.apache.spark.sql.functions.lit(false)
+    else exprCol(new BloomFilterMightContain(
       Literal(sketchBytes, BinaryType),
       new XxHash64(Seq(colExpr(key)))))
 }

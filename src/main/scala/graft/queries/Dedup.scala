@@ -255,7 +255,17 @@ object Dedup {
     * equi-join of the corpus against the per-doc cut sets (shuffle
     * sized by corpus + cut volume, AQE-handled) and a per-row HOF
     * filter over the token array — tokens are dropped by POSITION at
-    * the scan, never exploded into a corpus×L shuffle. */
+    * the scan, never exploded into a corpus×L shuffle.
+    *
+    * Collision tolerance (same clause as q_dedup_substring, but with a
+    * sharper failure mode): spans group by 64-bit gram hash while the
+    * oracle groups raw span strings, so a cross-document 64-bit
+    * collision would cut tokens the oracle keeps — and since this query
+    * pins min/max md5 of the reassembled TEXTS, a collision breaks the
+    * hash-match outright rather than perturbing counts. Accepted as the
+    * standard fingerprint-dedup trade (p ≈ n²/2⁶⁵ per corpus; a
+    * string-confirmation join on hash-equal spans would restore
+    * unconditional exactness at one extra candidate-volume join). */
   val qDedupSubstringTrim: QueryDef = QueryDef.oracle(
     "q_dedup_substring_trim",
     """WITH ws AS (

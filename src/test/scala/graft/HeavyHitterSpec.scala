@@ -45,19 +45,55 @@ class HeavyHitterSpec extends SparkSpec {
   test("adversarially flat distribution falls back and stays exact") {
     import spark.implicits._
     // 3000 distinct grams, each appearing exactly twice, spread over 8
-    // partitions with cap 16: round-robin repartitioning puts a gram's
-    // two copies in different partitions, so local counts are ~1 and
-    // every overflowing partition's threshold is ≥ 1, giving T ≈ 8 —
-    // kth = 2 is NOT strictly above it, the proof must fail, and the
-    // exact fallback must produce the lexicographic-smallest count-2
-    // grams
+    // partitions with cap 16: the Misra–Gries maps overflow constantly,
+    // so each partition's decrement-round count decs_p is large
+    // (T ≈ N/(cap+1) across partitions) while kth = 2 — the proof must
+    // fail, the verdict flag must say so, and the exact fallback must
+    // produce the lexicographic-smallest count-2 grams
     val grams = (0 until 3000).flatMap(i => Seq(f"g$i%04d", f"g$i%04d"))
       .toDS().repartition(8)
-    val got = TextAnalysis.heavyHitters(grams, 5, 16)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (df, proven) = TextAnalysis.heavyHittersProven(grams, 5, 16)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     spark.catalog.clearCache()
+    assert(!proven, "flat distribution must NOT prove bounded exactness")
     assert(got == (0 until 5).map(i => (f"g$i%04d", 2L)),
       s"fallback must deliver the exact flat-distribution answer: $got")
+  }
+
+  test("evictions forced by a small cap: skewed data still proves exact (no fallback)") {
+    import spark.implicits._
+    // 20 heavy grams (1000 copies each) + 6000 distinct singletons, over
+    // 8 partitions with cap 64: singleton pressure forces MG decrement
+    // rounds in every partition (the maps overflow ~12× over), yet the
+    // eviction mass stays small — each round absorbs cap+1 = 65 units,
+    // so T ≈ 6000/65 ≈ 92 ≪ kth ≈ 1000 (heavies lose at most decs_p
+    // locally and are recounted exactly in pass 2). The bounded path
+    // must PROVE itself under evictions and match the exact answer.
+    val heavy = (0 until 20).flatMap(i => Seq.fill(1000)(f"h$i%02d"))
+    val light = (0 until 6000).map(i => f"s$i%05d")
+    val grams = scala.util.Random.shuffle(heavy ++ light).toDS().repartition(8)
+    val (df, proven) = TextAnalysis.heavyHittersProven(grams, 10, 64)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    assert(proven, "skewed distribution under evictions must still prove exactness")
+    assert(got == (0 until 10).map(i => (f"h$i%02d", 1000L)),
+      s"bounded path drifted under evictions: $got")
+  }
+
+  test("candidate set smaller than k abstains from the proof (nCand >= k clause)") {
+    import spark.implicits._
+    // Only 3 distinct grams but k = 5: the candidate set can never reach
+    // k, so the proof must abstain (nCand < k) and the fallback must
+    // return all 3 grams exactly — the clause MG makes necessary, since
+    // evictions can shrink summaries below k even when kth > T.
+    val grams = (Seq.fill(10)("aa") ++ Seq.fill(5)("bb") ++ Seq("cc"))
+      .toDS().repartition(2)
+    val (df, proven) = TextAnalysis.heavyHittersProven(grams, 5, 16)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    assert(!proven, "nCand < k must not prove (ranks nCand+1..k could be withheld)")
+    assert(got == Seq(("aa", 10L), ("bb", 5L), ("cc", 1L)),
+      s"sub-k fallback must still be exact: $got")
   }
 
   test("the proof obligation is strict: kth > T, not kth >= T") {
