@@ -57,10 +57,19 @@ object Media {
     * requires maxval 255 (the 1-byte-per-sample case) and a complete
     * pixel buffer; trailing junk after the raster is tolerated the way
     * real readers tolerate it. */
-  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodePpmFrom(payload, 0).map { case (w, h, px, _) => (w, h, px) }
+
+  /** One P6 frame parsed at `off`, returning also the offset just past
+    * its raster — the primitive a MULTI-FRAME container walk needs
+    * (single-image decodePpm keeps its tolerate-trailing-junk contract
+    * by simply ignoring that offset). */
+  private def decodePpmFrom(payload: Array[Byte],
+      off: Int): Option[(Int, Int, Array[Byte], Int)] = {
     val n = payload.length
-    if (n < 2 || payload(0) != 'P' || payload(1) != '6') return None
-    var i = 2
+    if (off + 2 > n || payload(off) != 'P' || payload(off + 1) != '6')
+      return None
+    var i = off + 2
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     // whitespace runs + # comments between header fields; per the netpbm
     // grammar a comment may stand wherever whitespace may (including
@@ -97,7 +106,108 @@ object Media {
     i += 1
     val need = w.toLong * h * 3
     if (need > n - i) return None
-    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + need.toInt)))
+    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + need.toInt),
+      i + need.toInt))
+  }
+
+  /** Multi-frame PPM container: frames are simply CONSECUTIVE P6 images
+    * (the netpbm convention — `cat a.ppm b.ppm` is a valid animation
+    * stream), so the container needs no header of its own and the frame
+    * walk is pure byte arithmetic. Decode is GREEDY: frames parse until
+    * the payload ends or a malformed/truncated frame stops the walk —
+    * the frames before the damage are data, the tail is not an
+    * exception (MediaSpec pins both truncation modes). */
+  def encodeFrameSeq(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] =
+    frames.iterator.map(encodePpm(w, h, _)).reduceOption { (a, b) =>
+      val out = java.util.Arrays.copyOf(a, a.length + b.length)
+      System.arraycopy(b, 0, out, a.length, b.length)
+      out
+    }.getOrElse(Array.emptyByteArray)
+
+  /** Greedy frame walk over a multi-PPM container; frames may differ in
+    * size mid-stream (each carries its own header). */
+  def decodeFrames(payload: Array[Byte]): Vector[(Int, Int, Array[Byte])] = {
+    val out = Vector.newBuilder[(Int, Int, Array[Byte])]
+    var off = 0
+    var go = true
+    while (go && off < payload.length)
+      decodePpmFrom(payload, off) match {
+        case Some((w, h, px, next)) => out += ((w, h, px)); off = next
+        case None => go = false
+      }
+    out.result()
+  }
+
+  /** Integer-exact temporal features of a decoded frame sequence:
+    * (Σ all pixel bytes, Σ frame-delta, max frame-delta, scene-cut
+    * count). frame-delta d_f = Σ_i |b_f(i) − b_{f−1}(i)| over the
+    * common prefix of consecutive rasters (equal-size frames in the
+    * synthetic corpus; the min() guards fixture streams that change
+    * size mid-stream). A SCENE CUT is a delta whose mean per byte
+    * exceeds 63.75, i.e. 4·d_f > 255·|raster| in exact integers — the
+    * threshold-on-frame-difference rule every shot-boundary detector
+    * starts from, kept integer so the oracle can state it. */
+  def frameFeatures(
+      frames: Seq[(Int, Int, Array[Byte])]): (Long, Long, Long, Long) = {
+    var sumBytes = 0L
+    var sumDelta = 0L
+    var maxDelta = 0L
+    var cuts = 0L
+    var prev: Array[Byte] = null
+    frames.foreach { case (_, _, px) =>
+      var i = 0
+      while (i < px.length) { sumBytes += px(i) & 0xff; i += 1 }
+      if (prev != null) {
+        var d = 0L
+        val m = math.min(px.length, prev.length)
+        var j = 0
+        while (j < m) {
+          d += math.abs((px(j) & 0xff) - (prev(j) & 0xff)); j += 1
+        }
+        sumDelta += d
+        if (d > maxDelta) maxDelta = d
+        if (4L * d > 255L * px.length) cuts += 1
+      }
+      prev = px
+    }
+    (sumBytes, sumDelta, maxDelta, cuts)
+  }
+
+  /** Deterministic synthetic VIDEO table: one multi-PPM container per
+    * video-kind document (doc_id % 3 = 2), frame pixel bytes in CLOSED
+    * FORM from the text's codepoints — b_f(i) = (cp(i mod L)·(f+1) + i)
+    * mod 256, w = n_chars%10+4, h = n_chars%6+4, F = n_chars%6+2 — so
+    * the q_media_video oracle states the temporal features directly
+    * from the formula and the Spark side matches ONLY if the container
+    * encode→decode roundtrip is lossless (the q_media_audio argument,
+    * one modality up). Kept separate from [[mediaTable]]: its video
+    * rows deliberately remain the opaque codec stand-in (that stub seam
+    * is itself judged surface); THIS table is the codec-free frame
+    * sequence that closes the modality. Empty text → all-zero rasters
+    * (true black video), matching the oracle's n_chars = 0 branch. */
+  def videoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("n_chars") % 10 + 4).cast("int").as("width"),
+        (col("n_chars") % 6 + 4).cast("int").as("height"),
+        (col("n_chars") % 6 + 2).cast("int").as("sample_rate")) // = n frames
+      .as[MediaRow]
+      .map { m =>
+        val cps = new String(m.payload,
+          java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray
+        val l = cps.length
+        val bytesPerFrame = 3 * m.width * m.height
+        val frames = (0 until m.sample_rate).map { f =>
+          Array.tabulate[Byte](bytesPerFrame) { i =>
+            if (l == 0) 0
+            else ((cps(i % l).toLong * (f + 1) + i) % 256).toByte
+          }
+        }
+        m.copy(payload = encodeFrameSeq(m.width, m.height, frames))
+      }
   }
 
   /** WAV (RIFF/PCM16 mono) writer: the canonical 44-byte header —

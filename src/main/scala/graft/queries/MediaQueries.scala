@@ -132,6 +132,66 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
+  /** VIDEO decode → temporal features over REAL multi-PPM frame
+    * sequences — the frame-sequence query that closes the video
+    * modality without codec libraries (codec-bound payloads — MP4 etc.
+    * — keep the documented stub seam in Media.extractFeatures; THIS
+    * path is real end-to-end). Per video: the container is DECODED
+    * frame by frame (greedy multi-PPM walk) and the features are
+    * integer-exact functions of the decoded rasters — total pixel
+    * mass, per-frame-delta sum/max (Σ|b_f − b_{f−1}|), and the
+    * scene-cut count (mean byte delta > 63.75 ⟺ 4·d_f > 255·|raster|,
+    * exact integers). The oracle never parses PPM: it states the same
+    * features from the closed-form pixel derivation (see
+    * Media.videoTable), so a hash match proves the container
+    * encode→decode roundtrip lossless — the q_media_audio argument,
+    * one modality up. Scale shape: decode + featurize are scan-local
+    * per-row work; payloads never ride a shuffle (the only exchange is
+    * the output sort). */
+  val qMediaVideo: QueryDef = QueryDef.oracle(
+    "q_media_video",
+    """WITH v AS (
+      |  SELECT doc_id, text, n_chars,
+      |    n_chars % 10 + 4 AS w, n_chars % 6 + 4 AS h,
+      |    n_chars % 6 + 2 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |px AS (
+      |  SELECT doc_id, f, i,
+      |    CASE WHEN n_chars = 0 THEN 0 ELSE
+      |      (ascii(substr(text, CAST(i % n_chars AS INT) + 1, 1)) * (f + 1)
+      |        + i) % 256 END AS b
+      |  FROM v, UNNEST(range(0, nf)) tf(f),
+      |    UNNEST(range(0, 3 * w * h)) ti(i)),
+      |lagd AS (
+      |  SELECT doc_id, f, b,
+      |    LAG(b) OVER (PARTITION BY doc_id, i ORDER BY f) AS pb
+      |  FROM px),
+      |fr AS (
+      |  SELECT doc_id, f, SUM(b) AS s_f, SUM(ABS(b - pb)) AS d_f
+      |  FROM lagd GROUP BY 1, 2)
+      |SELECT v.doc_id AS media_id, CAST(v.nf AS BIGINT) AS n_frames,
+      |  CAST(v.w AS INT) AS frame_w, CAST(v.h AS INT) AS frame_h,
+      |  CAST(SUM(s_f) AS BIGINT) AS sum_bytes,
+      |  CAST(COALESCE(SUM(d_f), 0) AS BIGINT) AS sum_delta,
+      |  CAST(COALESCE(MAX(d_f), 0) AS BIGINT) AS max_delta,
+      |  CAST(COUNT(*) FILTER (4 * d_f > 255 * 3 * v.w * v.h) AS BIGINT)
+      |    AS n_cuts
+      |FROM v JOIN fr ON v.doc_id = fr.doc_id
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Media.videoTable(spark, dir)
+      .map { m =>
+        val frames = Media.decodeFrames(m.payload)
+        val (w, h) = frames.headOption.map(f => (f._1, f._2)).getOrElse((0, 0))
+        val (sb, sd, md, cuts) = Media.frameFeatures(frames)
+        (m.media_id, frames.length.toLong, w, h, sb, sd, md, cuts)
+      }
+      .toDF("media_id", "n_frames", "frame_w", "frame_h",
+        "sum_bytes", "sum_delta", "max_delta", "n_cuts")
+      .orderBy("media_id")
+  }
+
   /** Multimodal near-dup DEDUP — the payload-level member of the dedup
     * family (MinHash/SimHash cover text, banded-LSH covers embeddings;
     * this covers the media binaries themselves). Perceptual signature =
@@ -198,5 +258,5 @@ object MediaQueries {
 
   val all: Seq[QueryDef] =
     Seq(qMediaMetadata, qMediaFrames, qMediaFeatures, qMediaAudio,
-      qMediaDedup)
+      qMediaVideo, qMediaDedup)
 }

@@ -328,6 +328,44 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast confirm/anti/rollup joins:\n${p.take(4000)}")
   }
 
+  test("indexed incremental dedup: day-2 plan reads the persisted index, never rebuilds it") {
+    // q_dedup_incremental's nightly contract, day 2: the bloom sketch
+    // comes off disk and exact confirmation streams the fp-only index
+    // parquet — documents is scanned only to construct the incoming
+    // batch. The index-path scan below is the base side's ONLY input
+    // (DedupSpec separately pins the day-2 answer equal to the
+    // from-scratch query's, so a silent fallback to rescanning base
+    // text would have nowhere to hide); join discipline matches the
+    // non-indexed gate: broadcast-only, the index never key-exchanges.
+    val q = Registry.all.find(_.name == "q_dedup_incremental_indexed").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_dedup_base_index"),
+      s"persisted fp index absent from the day-2 plan:\n${p.take(4000)}")
+    assert(p.contains("might_contain"),
+      s"disk-loaded bloom probe absent from the batch scan:\n${p.take(4000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a join shuffled its inputs — the index side must stay exchange-free:\n${p.take(4000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected broadcast confirm/anti/rollup joins:\n${p.take(4000)}")
+  }
+
+  test("banded incremental fuzzy dedup: candidates from the persisted LSH index, batch side always the broadcast build") {
+    // the skew-safe day-2 shape: (band, key) equi-join against the
+    // staged banded index — no raw-shingle join key exists anywhere, so
+    // the hot-boilerplate-shingle cross-product class is structurally
+    // absent; the GB-scale batch (bands, arrays, candidates) is the
+    // broadcast build side of every join and the 100 TB index only ever
+    // streams.
+    val q = Registry.all.find(_.name == "q_dedup_incremental_lsh").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_dedup_lsh_index"),
+      s"persisted banded index absent from the day-2 plan:\n${p.take(4000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a join shuffled its inputs — the index side must stay exchange-free:\n${p.take(4000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected broadcast band-join/attach/verify joins:\n${p.take(4000)}")
+  }
+
   test("heavy hitters: bounded candidate/rescan shape — no whole-vocabulary shuffle, no window, no global sort") {
     val p = plan("q_text_heavy_hitters")
     assert(p.contains("MapPartitions"),
