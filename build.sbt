@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED: sbt's default logger
+// wraps every line in "[info] ", which breaks any harness that parses a
+// machine-readable line (Bench's single JSON line) out of captured output
+// — all nine driver bench artifacts to date record parsed:null because
+// of that prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,7 +4,6 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -42,8 +41,8 @@ object EventsStream {
     val link = staged.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
-    spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(staged.toString))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return
