@@ -28,7 +28,8 @@ class PlanSpec extends SparkSpec {
     "q_ts_gapfill", // dimension-grid generation: 30-day × 5-type broadcast cross
     "q_sample_balance", // 1-row broadcast target-count scalar attach
     "q_text_bigrams", // two 1-row broadcast corpus-total scalar attaches
-    "q_text_lm_score") // 1-row broadcast vocabulary-size scalar attach
+    "q_text_lm_score", // 1-row broadcast vocabulary-size scalar attach
+    "q_dedup_semantic") // k≤16 broadcast centroid assignment (IVF shape)
 
   for (q <- Registry.all if !q.name.startsWith("q_stream_")) {
     test(s"${q.name}: no cartesian product; nested-loop only by design") {

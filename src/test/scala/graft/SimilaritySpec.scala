@@ -156,4 +156,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("semantic dedup prunes a planted identical twin; removal rule holds") {
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    // an exact copy of vector 7 under a high id: identical embedding →
+    // identical cosines → same cluster as 7 at every stage, pair cosine
+    // 1.0 ≥ τ, so the twin MUST be pruned with a keeper ≤ 7
+    val twin = base.filter(col("vec_id") === 7)
+      .select(lit(100000L).as("vec_id"), col("embedding"))
+    val out = Similarity.semanticPrune(base.unionAll(twin), 0.4).collect()
+    val twinRow = out.filter(_.getLong(1) == 100000L)
+    assert(twinRow.length == 1, s"planted twin not pruned: ${out.mkString(",")}")
+    assert(twinRow.head.getLong(2) <= 7L) // witness keeper is an earlier id
+    // removal-rule invariants over the whole output: the witness is a
+    // lower id at/above threshold, never the pruned vector itself
+    assert(out.forall(r => r.getLong(2) < r.getLong(1)))
+    assert(out.forall(r => r.getDouble(3) >= 0.4 && r.getDouble(3) <= 1.0 + 1e-9))
+  }
 }
