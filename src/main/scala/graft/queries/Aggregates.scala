@@ -241,7 +241,49 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** PERSISTED mergeable distinct-count sketches — the incremental-stats
+    * pattern of a 100 TB lake: each ingest window writes a fixed-size
+    * Apache DataSketches HLL sketch of its keys (here: per order-month,
+    * staged write-once as a binary-column parquet table), and ANY later
+    * rollup — total, year, rolling window — merges SKETCHES without ever
+    * rescanning the raw data (`hll_union_agg`), exactly how
+    * cross-snapshot distinct counts stay O(sketch) instead of O(data).
+    * HLL ingestion is order-independent (per-bucket max of hashed
+    * values), so estimates are deterministic at any parallelism — but
+    * engine-specific, so this is a rows-only entry; AggregatesSpec pins
+    * the estimates against exact distincts (<2% at lgK=12) and
+    * sketch-merge ≡ direct-sketch equality. */
+  val qAggSketchUnion: QueryDef = QueryDef.noOracle("q_agg_sketch_union") {
+    (spark, dir) =>
+      val sk = spark.read.parquet(monthlySketchPath(spark, dir))
+      // day-2 economics: per-year AND global rollups from the same tiny
+      // sketch table — two scans of O(months) rows, zero raw-data reads
+      val byYear = sk
+        .groupBy(substring(col("o_month"), 1, 4).as("scope"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_custs"))
+      val total = sk
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_custs"))
+        .select(lit("TOTAL").as("scope"), col("est_custs"))
+      byYear.unionAll(total).orderBy("scope")
+  }
+
+  /** Write-once staging of the per-month HLL sketch table (binary sketch
+    * per month — the maintained artifact a real lake updates per ingest
+    * window). Shared with AggregatesSpec. */
+  private[graft] def monthlySketchPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sketch_orders_month_${dir.hashCode.toHexString}")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+      Tables(spark, dir).orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sketch"))
+        .coalesce(1).write.mode("overwrite").parquet(out.toString)
+    out.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
     qAggDistinct, qAggApproxDistinct, qAggCube, qAggRollup, qAggGroupingSets,
-    qAggStats, qAggConditional, qAggCollect, qAggUnpivot, qAggPercentile)
+    qAggStats, qAggConditional, qAggCollect, qAggUnpivot, qAggPercentile,
+    qAggSketchUnion)
 }

@@ -21,13 +21,14 @@ object SourceQueries {
     * one. */
   private def stage(spark: SparkSession, dir: String, table: String,
       fmt: String, df: => DataFrame,
-      partitionCols: Seq[String] = Nil): String = {
+      partitionCols: Seq[String] = Nil, coalesce1: Boolean = true): String = {
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_src_${table}_${fmt}_${dir.hashCode.toHexString}")
     // key on _SUCCESS, not the directory: a crashed partial write must
     // be overwritten, not trusted
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
-      df.coalesce(1).write.mode("overwrite").format(fmt)
+      (if (coalesce1) df.coalesce(1) else df).write.mode("overwrite")
+        .format(fmt)
         .option("header", "true").partitionBy(partitionCols: _*)
         .save(out.toString)
     out.toString
@@ -224,6 +225,142 @@ object SourceQueries {
     out.toString
   }
 
+  /** Small-file COMPACTION — the lake-maintenance pass every 100 TB table
+    * needs: streaming sinks, incremental upserts, and per-task writers
+    * leave thousands of KB-scale files per partition, and scan cost at
+    * that point is dominated by file OPEN overhead (footer reads, driver
+    * listing, task scheduling), not bytes. The operator: list the
+    * fragmented layout's file sizes (driver-side fs METADATA, bounded by
+    * file count — never data), size the target file count as
+    * ceil(bytes / target_file_size), and rewrite via
+    * `repartitionByRange(n, doc_id) + sortWithinPartitions` — one shuffle,
+    * and the compacted files carry tight non-overlapping doc_id min/max
+    * stats, so the rewrite IMPROVES clusteredness rather than merely
+    * merging (a `coalesce` would concatenate unrelated row groups and
+    * destroy stats locality; at 100 TB the same plan runs per table
+    * partition, compacting only partitions whose small-file count
+    * crosses a threshold). The judged query rolls up the COMPACTED
+    * table; the oracle states the same rollup over the original
+    * documents parquet — a hash match (min/max md5 of the texts
+    * included) proves compaction changed the file layout and nothing
+    * else. LayoutSpec pins the mechanics: ≥32 fragments in, ≤4 files
+    * out, identical row multiset. */
+  val qLayoutCompact: QueryDef = QueryDef.oracle(
+    "q_layout_compact",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    spark.read.parquet(compactedDocsPath(spark, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"),
+        min(md5(col("text").cast("binary"))).as("min_md5"),
+        max(md5(col("text").cast("binary"))).as("max_md5"))
+      .orderBy("source")
+  }
+
+  /** The deliberately fragmented documents layout (64 hash-scattered tiny
+    * files — the post-streaming-sink state), staged write-once per sf
+    * dir. Shared with LayoutSpec. */
+  private[graft] def fragmentedDocsPath(
+      spark: SparkSession, dir: String): String =
+    stage(spark, dir, "docs_frag", "parquet",
+      Tables(spark, dir).documents.repartition(64, col("doc_id")),
+      coalesce1 = false)
+
+  /** Compacted rewrite of [[fragmentedDocsPath]], write-once per sf dir:
+    * target file count from the fragmented layout's LISTED byte size
+    * (ceil(bytes / 128 MB), floor 1 — at bench scale that is 1–2 files;
+    * the sizing rule, not the constant, is the operator). */
+  private[graft] def compactedDocsPath(
+      spark: SparkSession, dir: String): String = {
+    val frag = fragmentedDocsPath(spark, dir)
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_src_docs_compact_parquet_${dir.hashCode.toHexString}")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      val bytes = parquetBytes(frag)
+      val target = 128L << 20
+      val nFiles = math.max(1L, (bytes + target - 1) / target).toInt
+      spark.read.parquet(frag)
+        .repartitionByRange(nFiles, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(out.toString)
+    }
+    out.toString
+  }
+
+  /** Total bytes of a staged layout's parquet data files — fs metadata
+    * listing only. Shared with LayoutSpec's file-count pins. */
+  private[graft] def parquetBytes(path: String): Long = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    finally s.close()
+  }
+
+  /** Parquet SCHEMA EVOLUTION — how a 100 TB lake actually grows: an
+    * ingest pipeline adds a column (here `quality`), old files keep the
+    * old schema forever (nobody rewrites petabytes for a new column),
+    * and readers must union the schemas — `mergeSchema` merges the file
+    * footers at planning time and fills the missing column with NULL for
+    * pre-evolution files. The staged layout is two hive-partitioned
+    * batches (batch=1 pre-evolution, batch=2 with the added column), so
+    * the query also proves partition discovery composes with footer
+    * merging. The oracle states the same rollup over the original
+    * documents with the evolution boundary as a CASE — a hash match
+    * proves NULL-fill semantics, not just row counts. NOTE: merged
+    * footer reads are a PLANNING cost (per-file footer fetch); at scale
+    * the merged schema comes from a catalog/metastore and this option
+    * stays off — the judged semantics (NULL-filled union schema) are
+    * identical either way. */
+  val qSourceEvolution: QueryDef = QueryDef.oracle(
+    "q_source_evolution",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  COUNT(quality) AS n_scored,
+      |  CAST(SUM(quality) AS BIGINT) AS sum_quality
+      |FROM (SELECT lang, n_chars,
+      |        CASE WHEN doc_id % 2 = 0 THEN NULL
+      |             ELSE n_chars % 7 END AS quality
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    spark.read.option("mergeSchema", "true")
+      .parquet(evolvedDocsPath(spark, dir))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        count(col("quality")).as("n_scored"),
+        sum(col("quality")).cast("long").as("sum_quality"))
+      .orderBy("lang")
+  }
+
+  /** Two-batch evolved layout, staged write-once: batch=1 holds the
+    * even-doc_id half in the ORIGINAL schema, batch=2 the odd half with
+    * the added int `quality` column (n_chars % 7 — deterministic). */
+  private[graft] def evolvedDocsPath(
+      spark: SparkSession, dir: String): String = {
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_src_docs_evo_parquet_${dir.hashCode.toHexString}")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      val docs = Tables(spark, dir).documents
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(out.resolve("batch=1").toString)
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality", (col("n_chars") % 7).cast("int"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(out.resolve("batch=2").toString)
+      java.nio.file.Files.writeString(out.resolve("_SUCCESS"), "")
+    }
+    out.toString
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qSourceCsvJson, qSourceOrc, qJoinDpp, qLayoutZorder)
+    Seq(qSourceCsvJson, qSourceOrc, qJoinDpp, qLayoutZorder, qLayoutCompact,
+      qSourceEvolution)
 }

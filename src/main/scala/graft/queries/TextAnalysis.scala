@@ -684,8 +684,106 @@ object TextAnalysis {
     (top.orderBy(col("n").desc, col("gram")).limit(k), provablyExact)
   }
 
+  /** BM25 ranking — the lexical-retrieval scorer of RAG/dedup candidate
+    * search and the classic relevance baseline. Fixed 4-term query; ONE
+    * corpus scan computes per-doc term frequencies and length via array
+    * HOFs (no explode, no join); corpus statistics (N, df per term,
+    * avgdl) are a 1-row broadcast scalar attach (the q_text_lm_score
+    * shape), so the scoring pass is scan-speed and shuffle-free up to
+    * the final top-k.
+    *
+    * Numeric discipline: tf/df/dl/N are integer-exact; avgdl is
+    * exact-integer-sum / count (one IEEE division); each term's
+    * component is IEEE-double arithmetic in one spelled-out operand
+    * order shared with the oracle, and the 4 components fold in fixed
+    * written order. `ln` is the one libm call (both engines ≤1 ulp), so
+    * scores are ROUNDED to 4 dp before ranking — the Num.r4 rule for
+    * genuinely statistical outputs — and the rank tie-breaks on doc_id
+    * over the rounded value. k1 = 1.2, b = 0.75. */
+  val qTextBm25: QueryDef = QueryDef.oracle(
+    "q_text_bm25",
+    """WITH d AS (
+      |  SELECT doc_id, len(ws) AS dl,
+      |    len(list_filter(ws, w -> w = 'join')) AS tf1,
+      |    len(list_filter(ws, w -> w = 'vector')) AS tf2,
+      |    len(list_filter(ws, w -> w = 'scan')) AS tf3,
+      |    len(list_filter(ws, w -> w = 'merge')) AS tf4
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents)),
+      |g AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+      |    CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3,
+      |    CAST(SUM(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df4
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id,
+      |      (CASE WHEN tf1 = 0 THEN 0.0 ELSE
+      |        ln(1.0 + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+      |        * (CAST(tf1 AS DOUBLE) * 2.2)
+      |        / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) END)
+      |    + (CASE WHEN tf2 = 0 THEN 0.0 ELSE
+      |        ln(1.0 + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+      |        * (CAST(tf2 AS DOUBLE) * 2.2)
+      |        / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) END)
+      |    + (CASE WHEN tf3 = 0 THEN 0.0 ELSE
+      |        ln(1.0 + (CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5))
+      |        * (CAST(tf3 AS DOUBLE) * 2.2)
+      |        / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) END)
+      |    + (CASE WHEN tf4 = 0 THEN 0.0 ELSE
+      |        ln(1.0 + (CAST(n - df4 AS DOUBLE) + 0.5) / (CAST(df4 AS DOUBLE) + 0.5))
+      |        * (CAST(tf4 AS DOUBLE) * 2.2)
+      |        / (CAST(tf4 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) END)
+      |    AS score
+      |  FROM d, g)
+      |SELECT rn, doc_id, score FROM (
+      |  SELECT doc_id, ROUND(score, 4) AS score,
+      |    ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS rn
+      |  FROM s)
+      |WHERE rn <= 20 ORDER BY rn""".stripMargin,
+  ) { (spark, dir) =>
+    val terms = Seq("join", "vector", "scan", "merge")
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id") +: size(toks(col("text"))).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks(col("text")), w => w === t)).as(s"tf${i + 1}")
+        }: _*)
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+      (1 to terms.size).map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("long").as(s"df$i"))
+    val g = d.agg(aggs.head, aggs.tail: _*)
+    // component in the SAME spelled operand order as the oracle
+    def comp(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i")
+      when(col(s"tf$i") === 0, lit(0.0)).otherwise(
+        log(lit(1.0) + ((col("n") - df).cast("double") + lit(0.5))
+            / (df.cast("double") + lit(0.5)))
+          * (tf * lit(2.2))
+          / (tf + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+    }
+    val s = d.crossJoin(broadcast(g))
+      .select(col("doc_id"),
+        (1 to terms.size).map(comp).reduceLeft(_ + _).as("score"))
+    // distributed top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+    // never a global sort of the corpus); the unpartitioned rank window
+    // then runs over the 20 survivors only
+    val top = s.select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("doc_id"), col("score"))
+      .orderBy("rn")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qTextChunk,
       qTextVocab, qTextBigrams, qTextBpe, qTextBpeEncode, qTextLmScore,
-      qTextHeavyHitters)
+      qTextHeavyHitters, qTextBm25)
 }

@@ -33,4 +33,23 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact <= 0.01,
       s"approx $approx vs exact $exact")
   }
+
+  test("persisted HLL sketch union tracks exact distincts; merge ≡ direct") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables(spark, sf).orders
+    val sk = spark.read.parquet(
+      graft.queries.Aggregates.monthlySketchPath(spark, sf))
+    // merged-sketch estimate vs the exact distinct over the raw data
+    val est = sk.agg(hll_sketch_estimate(hll_union_agg(col("sketch"))))
+      .head().getLong(0)
+    val exact = orders.select("o_custkey").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact <= 0.02,
+      s"sketch est $est vs exact $exact")
+    // merging the per-month sketches must equal sketching the raw data
+    // directly — the property that makes the artifact maintainable
+    val direct = orders
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(12))))
+      .head().getLong(0)
+    assert(est == direct, s"merged $est != direct $direct")
+  }
 }

@@ -126,4 +126,27 @@ class LayoutSpec extends SparkSpec {
     val total = spark.read.parquet(p).count()
     assert(total == Tables(spark, sf).lineitem.count())
   }
+
+  test("compaction collapses the fragmented layout losslessly, sorted by id") {
+    import graft.queries.SourceQueries
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val frag = SourceQueries.fragmentedDocsPath(spark, sf)
+    val comp = SourceQueries.compactedDocsPath(spark, sf)
+    assert(files(frag).length >= 32,
+      s"fragmented staging should scatter: ${files(frag).length} files")
+    assert(files(comp).length <= 4,
+      s"compaction should collapse to the sized file count: ${files(comp).length}")
+    // lossless: identical row multiset in both directions
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(comp)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // clusteredness: each compacted file is internally sorted by doc_id,
+    // so its min/max stats are tight (the coalesce-vs-rewrite difference)
+    files(comp).foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"unsorted compacted file $f")
+    }
+  }
 }
