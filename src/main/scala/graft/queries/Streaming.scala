@@ -525,10 +525,39 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** STREAMING sketch maintenance — the live half of q_agg_sketch_union:
+    * every micro-batch folds its rows into per-day HLL sketch partials
+    * (`foreachBatch` parquet appends — O(days) binary rows per batch,
+    * raw events never reach the driver), and the read side merges
+    * partials with `hll_union_agg`. The structural win over every other
+    * streaming operator here: HLL union is IDEMPOTENT for duplicates
+    * and commutative across any batching, so this pipeline needs NO
+    * dedup state, NO watermark, and NO eviction semantics — late data
+    * and replays are absorbed for free, which is why sketch maintenance
+    * is the cheapest always-on distinct-count path a 100 TB event lake
+    * has. Rows-only entry (engine-specific estimates); StreamingSpec
+    * pins stream-maintained ≡ batch-direct estimates exactly. */
+  val qStreamSketch: QueryDef = QueryDef.noOracle("q_stream_sketch") {
+    (spark, dir) =>
+      val stream = EventsStream.read(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val partials = EventsStream.runAggregated(spark, stream, "append") { b =>
+        b.groupBy("day")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+      }
+      val byDay = partials.groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
+        .select(col("day").cast("string").as("scope"), col("est_users"))
+      val total = partials
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
+        .select(lit("TOTAL").as("scope"), col("est_users"))
+      byDay.unionAll(total).orderBy("scope")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamDedupSnapshot, qStreamStateful, qStreamJoin, qStreamJoinOuter,
-    qStreamJoinWindowed, qStreamEnrich, qStreamTws)
+    qStreamJoinWindowed, qStreamEnrich, qStreamTws, qStreamSketch)
 }
 
 /** Per-user mutable state carried across micro-batches. */

@@ -430,4 +430,24 @@ class StreamingSpec extends SparkSpec {
       "cross join above the bound multiplies emission by the static " +
         "table and must fail the gate")
   }
+
+  test("stream-maintained HLL sketches equal the batch-direct estimates") {
+    import org.apache.spark.sql.functions._
+    // the property that makes live sketch maintenance correct: unioning
+    // per-batch partials equals sketching the whole table at once, for
+    // any batching and with duplicates absorbed (HLL is idempotent)
+    val streamed = graft.queries.Streaming.qStreamSketch.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.Tables(spark, sf).events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(streamed.contains("TOTAL") && streamed.size == batch.size + 1,
+      s"scopes: ${streamed.keySet} vs days ${batch.keySet}")
+    batch.foreach { case (day, est) =>
+      assert(streamed(day) == est, s"day $day: stream ${streamed(day)} != $est")
+    }
+  }
 }
