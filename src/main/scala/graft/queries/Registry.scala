@@ -8,7 +8,7 @@ object Registry {
       SetOps.all ++ Functions.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ PipelineQueries.all ++ Streaming.all ++
       MediaQueries.all ++ UdfQueries.all ++ Misc.all ++ SqlQueries.all ++
-      Sampling.all ++ SourceQueries.all ++ Curation.all
+      Sampling.all ++ SourceQueries.all ++ Curation.all ++ Graph.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }
