@@ -647,9 +647,76 @@ object Joins {
     }
   }
 
+  /** SCD2 (slowly-changing-dimension) temporal lookup — the warehouse
+    * staple: each fact joins the dimension VERSION valid at fact time
+    * (`fact.t ∈ [valid_from, valid_to)`). The naive plan is a range
+    * join; the scale-safe one exploits that SCD2 versions TILE time per
+    * key (valid_to = next valid_from), so the lookup is exactly an
+    * AS-OF join against version start times plus one residual bound for
+    * expiry past the last version — the same union + last(ignoreNulls)
+    * window as q_join_asof: ONE exchange on the key, no range join, no
+    * broadcast of either side required. Everything runs in the integer
+    * day-number domain (datediff from the epoch date), so engine parity
+    * is pure 64-bit arithmetic; the oracle states the naive
+    * BETWEEN-join over the same synthesized dimension — a hash match
+    * proves the as-of rewrite IS the range-join semantics. Facts before
+    * their customer's first version or after the last version's expiry
+    * land in tier −1 (the unmatched bucket, exercised at every sf). */
+  val qJoinScd2: QueryDef = QueryDef.oracle(
+    "q_join_scd2",
+    """WITH dim AS (
+      |  SELECT c_custkey AS k, (c_custkey % 180) + v.v * 400 AS fd,
+      |    (c_custkey + v.v) % 5 AS tier
+      |  FROM customer, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS v) v),
+      |f AS (
+      |  SELECT o_custkey AS k,
+      |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT COALESCE(d.tier, -1) AS tier, COUNT(*) AS n,
+      |  CAST(SUM(CAST(f.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM f LEFT JOIN dim d
+      |  ON f.k = d.k AND f.dd >= d.fd AND f.dd < d.fd + 400
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    // synthesized SCD2 dimension: 6 versions per customer, 400-day
+    // validity tiles offset per key (deterministic integer arithmetic,
+    // identical in the oracle's CTE)
+    val dim = t.customer
+      .select(col("c_custkey").as("k"),
+        explode(sequence(lit(0), lit(5))).as("v"))
+      .select(col("k"), ((col("k") % 180) + col("v") * 400).as("dd"),
+        lit(0).as("src"), ((col("k") % 180) + col("v") * 400).as("fd"),
+        ((col("k") + col("v")) % 5).as("tier"),
+        lit(null).cast("double").as("price"))
+    val facts = t.orders
+      .select(col("o_custkey").as("k"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+          .cast("bigint").as("dd"),
+        lit(1).as("src"), lit(null).cast("bigint").as("fd"),
+        lit(null).cast("bigint").as("tier"), col("o_totalprice").as("price"))
+    // version rows sort before same-day facts (src 0 < 1) → inclusive
+    // valid_from; the window attaches the latest version at-or-before
+    val w = Window.partitionBy("k").orderBy(col("dd").asc, col("src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("afd", last(col("fd"), ignoreNulls = true).over(w))
+      .withColumn("atier", last(col("tier"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      // expiry residual: versions tile time, so only "before first" and
+      // "past last version + 400d" are unmatched
+      .select(col("price"),
+        when(col("afd").isNotNull && col("dd") < col("afd") + 400,
+          col("atier")).otherwise(lit(-1L)).as("tier"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("revenue"))
+      .orderBy("tier")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinRightOuter, qJoinFullOuter, qJoinTheta, qJoinRange, qJoinAsof,
     qJoinAsofForward, qJoinAsofNearest, qJoinBloom, qJoinSalted,
-    qJoinIntervalBucketed, qEventsFunnel, qJoinBucketed)
+    qJoinIntervalBucketed, qEventsFunnel, qJoinBucketed, qJoinScd2)
 }

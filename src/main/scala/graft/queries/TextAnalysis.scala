@@ -745,10 +745,14 @@ object TextAnalysis {
       |WHERE rn <= 20 ORDER BY rn""".stripMargin,
   ) { (spark, dir) =>
     val terms = Seq("join", "vector", "scan", "merge")
+    // tokenize ONCE into a column — five inlined toks() towers made the
+    // generated projection big enough that a codegen-cache eviction
+    // mid-bench cost seconds of single-threaded janino recompilation
     val d = Tables(spark, dir).documents
-      .select(col("doc_id") +: size(toks(col("text"))).as("dl") +:
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .select(col("doc_id") +: size(col("ws")).as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks(col("text")), w => w === t)).as(s"tf${i + 1}")
+          size(filter(col("ws"), w => w === t)).as(s"tf${i + 1}")
         }: _*)
     val aggs = Seq(
       count(lit(1)).as("n"),
