@@ -30,7 +30,8 @@ class PlanSpec extends SparkSpec {
     "q_text_bigrams", // two 1-row broadcast corpus-total scalar attaches
     "q_text_lm_score", // 1-row broadcast vocabulary-size scalar attach
     "q_dedup_semantic", // k≤16 broadcast centroid assignment (IVF shape)
-    "q_text_bm25") // 1-row broadcast corpus-stats scalar attach
+    "q_text_bm25", // 1-row broadcast corpus-stats scalar attach
+    "q_profile_drift") // 1-row broadcast snapshot-totals scalar attach
 
   for (q <- Registry.all if !q.name.startsWith("q_stream_")) {
     test(s"${q.name}: no cartesian product; nested-loop only by design") {
