@@ -168,7 +168,8 @@ object Bench {
       "q_text_heavy_hitters", "q_stream_dedup_snapshot", "q_layout_zorder",
       "q_dedup_incremental_fuzzy", "q_dedup_semantic", "q_layout_compact",
       "q_text_bm25", "q_source_evolution", "q_agg_sketch_union",
-      "q_graph_pagerank", "q_join_scd2")
+      "q_graph_pagerank", "q_join_scd2", "q_profile_drift", "q_dedup_entity",
+      "q_sim_pq")
     val qs = jmap(headline.flatMap(k => warm.get(k).map(k -> _)))
     // session-rot self-check: a steady-state session must not get SLOWER.
     // Any query whose warm pass exceeds 1.5x its cold pass AND 1.5 s

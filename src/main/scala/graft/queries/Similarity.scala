@@ -633,7 +633,87 @@ object Similarity {
       .orderBy("cluster", "vec_id")
   }
 
+  /** PRODUCT QUANTIZATION (PQ) — the third leg of the vector-search
+    * scale story next to hyperplane LSH (q_sim_lsh_ann) and IVF
+    * (q_sim_ivf_ann), and the compression complement to int8
+    * quantization (q_embed_quantize): split each 64-dim vector into 8
+    * subvectors, learn a tiny per-subspace codebook (16 deterministic
+    * seed slices — fixed ids, codebooks always broadcast), and encode
+    * every subvector as its nearest code. A vector becomes 8 small
+    * codes (4 B at 4-bit codes vs 256 B float32 — 64×), and ANN
+    * scoring against a query is table lookups (ADC) instead of float
+    * loops. Encoding is scan-speed: explode into (vector, subspace)
+    * slices, broadcast-join the 128-row codebook, and the argmin
+    * collapses MAP-SIDE via min(struct(dist, code)) — no n×k shuffle.
+    *
+    * Exactness: the per-slice L2² is an ordered 8-element double fold
+    * (the q_dedup_semantic list_reduce vehicle — bit-identical in
+    * DuckDB), the argmin tie-breaks on code id over identical doubles,
+    * and the per-(subspace, code) distortion rollup crosses rows
+    * through an exact DECIMAL(30,12) sum. Output: assignment census +
+    * quantization distortion per codeword — the codebook-quality
+    * diagnostic a real PQ index build monitors. */
+  val qSimPq: QueryDef = QueryDef.oracle(
+    "q_sim_pq",
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS code, embedding AS ce FROM v
+      |  WHERE vec_id % 61 = 0 AND vec_id < 976),
+      |subs AS (SELECT unnest(range(0, 8)) AS sub),
+      |cb AS (
+      |  SELECT s.sub, seeds.code, seeds.ce[s.sub*8+1 : s.sub*8+8] AS cslice
+      |  FROM seeds, subs s),
+      |vs AS (
+      |  SELECT v.vec_id, s.sub, v.embedding[s.sub*8+1 : s.sub*8+8] AS vslice
+      |  FROM v, subs s),
+      |d AS (
+      |  SELECT vs.vec_id, vs.sub, cb.code,
+      |    list_reduce(list_transform(list_zip(vs.vslice, cb.cslice),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+      |      (acc, z) -> acc + z) AS dist
+      |  FROM vs JOIN cb ON vs.sub = cb.sub),
+      |a AS (
+      |  SELECT vec_id, sub, code, dist FROM (
+      |    SELECT vec_id, sub, code, dist,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY dist ASC, code ASC) AS rn
+      |    FROM d) WHERE rn = 1)
+      |SELECT sub, code, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(dist AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_dist
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    val nSub = 8; val dSub = 8
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val seeds = v.filter(col("vec_id") % 61 === 0 && col("vec_id") < 976)
+      .select(col("vec_id").as("code"), col("embedding").as("ce"))
+    def slices(c: Column, out: String): Column =
+      explode(array((0 until nSub).map(s =>
+        struct(lit(s).as("sub"), slice(c, s * dSub + 1, dSub).as(out))): _*))
+    val cb = seeds.select(col("code"), slices(col("ce"), "cslice").as("x"))
+      .select(col("x.sub").as("sub"), col("code"), col("x.cslice").as("cslice"))
+    val vs = v.select(col("vec_id"), slices(col("embedding"), "vslice").as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.vslice").as("vslice"))
+    // ordered 8-element double fold, same op order as the oracle's
+    // list_reduce (0.0 seed + left-to-right adds are bit-identical)
+    val dist = aggregate(
+      zip_with(col("vslice"), col("cslice"),
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, z) => acc + z)
+    val a = vs.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("code"), dist.as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("sub"), col("best.code").as("code"), col("best.dist").as("dist"))
+    a.groupBy("sub", "code")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("dist").cast("decimal(30,12)")).cast("double"), 6)
+          .as("sum_dist"))
+      .orderBy("sub", "code")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn, qEmbedQuantize,
-    qEmbedOutliers, qDedupSemantic)
+    qEmbedOutliers, qDedupSemantic, qSimPq)
 }
