@@ -45,5 +45,51 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  val all: Seq[QueryDef] = Seq(q1PricingSummary)
+  /** TPC-H-Q5-style five-way star join: local-supplier revenue per nation
+    * for one region and one order year. The declarative shape is the
+    * point — six relations stated as a chain of equi-joins and Catalyst
+    * picks the physical order and strategies: region→nation prune first
+    * (broadcast), customer/supplier dims broadcast against the fact
+    * tables, and the only real shuffle is the orders⋈lineitem fact-fact
+    * join on the order key with the date filter PUSHED to the orders
+    * scan (cutting the build side ~6× before it exchanges). Exactly the
+    * plan a hand-scheduled engine has to hard-code, for free — and the
+    * c_nationkey = s_nationkey cross-dimension predicate is what makes
+    * join ORDER genuinely matter here. Revenue sums ride the exact
+    * decimal interior, so ORDER BY revenue DESC agrees bit-for-bit with
+    * the oracle. */
+  val q5LocalSupplier: QueryDef = QueryDef.oracle(
+    "q5_local_supplier",
+    """SELECT n_name, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+      |    AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+  ) { (spark, dir) =>
+    import Num._
+    val t = Tables(spark, dir)
+    t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("c_custkey") === col("o_custkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey")
+        && col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val all: Seq[QueryDef] = Seq(q1PricingSummary, q5LocalSupplier)
 }

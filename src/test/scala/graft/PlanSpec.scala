@@ -50,6 +50,23 @@ class PlanSpec extends SparkSpec {
       s"no pushed shipdate filter in scan:\n$p")
   }
 
+  test("q5 star join: date filter pushed to the fact scan, dims broadcast") {
+    // building q_pipe_fanout's plan in the catalog loop REGISTERS its
+    // persisted raw-orders upstream in the CacheManager (it only
+    // unpersists via Pipeline.run, never invoked here); without clearing,
+    // the q5 orders subtree is substituted by that full-width
+    // InMemoryRelation and the pushdown assertion inspects the wrong scan
+    spark.catalog.clearCache()
+    val p = plan("q5_local_supplier")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("PushedFilters: [GreaterThanOrEqual(o_orderdate"),
+      s"no pushed order-date filter on the orders scan:\n$p")
+    // dims ride broadcasts; the one shuffle pair is the fact-fact join
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in Q5:\n$p")
+  }
+
   test("q1 pricing summary: column-pruned scan (no full-width read)") {
     val p = plan("q1_pricing_summary")
     val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
