@@ -93,11 +93,21 @@ object Graph {
   private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     // loop invariant: edges with the source degree attached, persisted —
-    // every iteration re-scans it; only the rank table moves per round
-    val withDeg = edges.join(deg, "src").persist()
+    // every iteration re-scans it; only the rank table moves per round.
+    // Both joins BROADCAST the node-sized side explicitly: deg and rank
+    // are aggregate outputs whose statistics Catalyst can't estimate, so
+    // the static plan would sort-merge-shuffle the full edge table per
+    // iteration; the hint pins at planning time what AQE would otherwise
+    // only discover at runtime (measured: same ~4 s warm band either
+    // way at sf0.1 — the hint buys plan STABILITY, not local speed; the
+    // remaining per-iteration exchange is the groupBy(dst) partial,
+    // collapsed map-side to |V| rows). At 100 TB, where ranks outgrow a
+    // broadcast, the equivalent is bucketing edges and ranks by the
+    // join key: iterations stay exchange-free on the edge side.
+    val withDeg = edges.join(broadcast(deg), "src").persist()
     val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     (1 to iters).foldLeft(r0: DataFrame) { (rank, _) =>
-      withDeg.join(rank, col("src") === col("node"))
+      withDeg.join(broadcast(rank), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("contrib"))
         .select(col("dst").as("node"),
