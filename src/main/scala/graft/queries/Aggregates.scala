@@ -272,8 +272,10 @@ object Aggregates {
     * window). Shared with AggregatesSpec. */
   private[graft] def monthlySketchPath(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_sketch_orders_month_${dir.hashCode.toHexString}")
+    // content-fingerprinted path (graft.Staging): regenerated testdata →
+    // fresh fingerprint → restage, so a rows-only query can never serve
+    // sketches of a dataset that no longer exists
+    val out = graft.Staging.path("graft_sketch_orders_month", dir)
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
       Tables(spark, dir).orders
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))

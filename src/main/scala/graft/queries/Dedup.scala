@@ -493,8 +493,9 @@ object Dedup {
     * sketch write — pattern: SourceQueries.zorderedOrdersPath). */
   private[graft] def dedupIndexPath(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_dedup_base_index_${dir.hashCode.toHexString}")
+    // content-fingerprinted (graft.Staging): a regenerated base corpus
+    // gets a fresh index path, never a stale fp/bloom pair
+    val out = graft.Staging.path("graft_dedup_base_index", dir)
     if (!java.nio.file.Files.exists(out.resolve("_INDEX_READY"))) {
       val (base, _) = baseBatchSplit(spark, dir, perturb = false)
       val fp = graft.functions.GraftFunctions.fingerprint(col("text"))
@@ -681,8 +682,7 @@ object Dedup {
     * because no textual key exists. */
   private[graft] def lshIndexPath(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_dedup_lsh_index_${dir.hashCode.toHexString}")
+    val out = graft.Staging.path("graft_dedup_lsh_index", dir)
     if (!java.nio.file.Files.exists(out.resolve("_INDEX_READY"))) {
       val (base, _) = baseBatchSplit(spark, dir, perturb = false)
       val arrays = base
@@ -938,18 +938,21 @@ object Dedup {
     * and the min vec_id of each cluster is its canonical survivor — the
     * full "embedding near-dup → keep one per cluster" pass an LLM corpus
     * runs AFTER lexical dedup (MinHash/SimHash catch copies; embeddings
-    * catch paraphrases). This entry is the EXACTNESS BASELINE (all-pairs);
-    * the judged scale composition that swaps the pair stage for banded-LSH
-    * candidates is q_dedup_embedding_ann below — same verify expression,
-    * same cluster resolution, sub-quadratic candidates. Oracle: DuckDB
-    * recursive CTE over the identical decimal-exact pair set. */
+    * catch paraphrases). This entry is the EXACTNESS BASELINE — all-pairs
+    * over the same FIXED-SIZE verification slice as q_sim_cosine_pairs
+    * (vec_id < 512; see Similarity.baselineSlice), so its cost is
+    * constant in sf; the judged scale composition that swaps the pair
+    * stage for banded-LSH candidates is q_dedup_embedding_ann below —
+    * same verify expression, same cluster resolution, sub-quadratic
+    * candidates. Oracle: DuckDB recursive CTE over the identical
+    * decimal-exact pair set. */
   val qDedupEmbedding: QueryDef = QueryDef.oracle(
     "q_dedup_embedding",
     """WITH RECURSIVE n AS MATERIALIZED (
       |  SELECT vec_id, embedding,
       |    CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
       |            AS DECIMAL(30,12))) FROM unnest(embedding) t(e)) AS DOUBLE) AS nrm
-      |  FROM embeddings),
+      |  FROM embeddings WHERE vec_id < 512),
       |pairs AS MATERIALIZED (
       |  SELECT ida AS va, idb AS vb FROM (
       |    SELECT a.vec_id, b.vec_id,
@@ -1080,16 +1083,20 @@ object Dedup {
     val part = Tables(spark, dir).part
     // all strings reachable by deleting 0, 1, or 2 characters — the
     // SymSpell variant neighborhood, built per DISTINCT name
+    // tail length is length(·), not a literal cap: a fixed count would
+    // silently truncate deletion variants (= lose recall) on names
+    // longer than the cap — fine for p_name (≤55) but this helper reads
+    // as general-purpose and must behave like one
     def variants(c: String): org.apache.spark.sql.Column = expr(
       s"""array_distinct(concat(
          |  array($c),
          |  transform(sequence(1, length($c)),
-         |    i -> concat(substring($c, 1, i-1), substring($c, i+1, 100))),
+         |    i -> concat(substring($c, 1, i-1), substring($c, i+1, length($c)))),
          |  flatten(transform(
          |    transform(sequence(1, length($c)),
-         |      i -> concat(substring($c, 1, i-1), substring($c, i+1, 100))),
+         |      i -> concat(substring($c, 1, i-1), substring($c, i+1, length($c)))),
          |    d -> transform(sequence(1, length(d)),
-         |      j -> concat(substring(d, 1, j-1), substring(d, j+1, 100)))))))
+         |      j -> concat(substring(d, 1, j-1), substring(d, j+1, length(d))))))))
          |""".stripMargin)
     val clean = part.select(col("p_name")).distinct()
       .select(col("p_name"), explode(variants("p_name")).as("key"))

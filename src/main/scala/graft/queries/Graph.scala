@@ -68,21 +68,29 @@ object Graph {
       |  SELECT node, r, ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rn FROM r3)
       |WHERE rn <= 20 ORDER BY rn""".stripMargin,
   ) { (spark, dir) =>
-    val t = Tables(spark, dir)
-    val pairs = t.orders.select("o_orderkey", "o_custkey")
-      .join(t.lineitem.select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val r3 = pagerank(edges, 3)
+    val r3 = pagerank(orderGraphEdges(spark, dir), 3)
     val top = r3.orderBy(col("r").desc, col("node").asc).limit(20)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("r").desc, col("node").asc)
     top.withColumn("rn", row_number().over(w))
       .select(col("rn"), col("node"), col("r"))
       .orderBy("rn")
+  }
+
+  /** The judged bipartite trading graph: an edge per distinct
+    * (customer, supplier) pair, both directions; customers are even
+    * node ids, suppliers odd. Exposed so GraphSpec can rank the SAME
+    * graph and assert structural properties over the full rank table. */
+  private[graft] def orderGraphEdges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders.select("o_orderkey", "o_custkey")
+      .join(t.lineitem.select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
 
   /** The iteration core over any (src, dst) edge list — exposed for
@@ -106,13 +114,16 @@ object Graph {
     // join key: iterations stay exchange-free on the edge side.
     val withDeg = edges.join(broadcast(deg), "src").persist()
     val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-    (1 to iters).foldLeft(r0: DataFrame) { (rank, _) =>
+    val rN = (1 to iters).foldLeft(r0: DataFrame) { (rank, _) =>
       withDeg.join(broadcast(rank), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("contrib"))
         .select(col("dst").as("node"),
           expr("150000L + (85L * contrib) div 100L").as("r"))
     }
+    // materialize the node-sized result, then free the edge-sized loop
+    // invariant — its lifetime ends with the iteration, not the session
+    Exec.materialized(rN, withDeg)
   }
 
   val all: Seq[QueryDef] = Seq(qGraphPagerank)

@@ -30,6 +30,24 @@ object QueryDef {
     QueryDef(name, fn, None)
 }
 
+/** Execution-shape helpers shared by the iterative queries. */
+object Exec {
+  /** Materialize `result` (persisted) while the loop-invariant caches
+    * backing it are still alive, then free those invariants — so an
+    * iterative query's big interior caches (edge tables, cluster
+    * assignments) are released deterministically at the end of ITS
+    * computation instead of leaking until the harness's clearCache().
+    * The persisted `result` itself is aggregate-sized (ranks, pair
+    * lists) and stays cached for the caller's action; it falls to
+    * clearCache()/session end like any small cached plan. */
+  def materialized(result: DataFrame, invariants: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    invariants.foreach(_.unpersist(blocking = false))
+    out
+  }
+}
+
 /** Cross-engine numeric determinism helpers.
   *
   * Floating sums are order-dependent; Spark and DuckDB will not reduce in

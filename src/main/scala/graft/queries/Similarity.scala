@@ -51,13 +51,61 @@ object Similarity {
       |            AS DECIMAL(30,12))) FROM unnest(embedding) t(e)) AS DOUBLE) AS nrm
       |  FROM embeddings)""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (brute force, cos ≥ 0.4). This is
-    * the exactness baseline the approximate variants are judged against;
-    * at 100 TB the same verify-expression runs over LSH/IVF candidates
-    * instead of the full cross join. */
+  /** The exact all-pairs near-dup pipeline over any (vec_id, embedding)
+    * corpus — two-phase: phase 1 prefilters the n² pair space with the
+    * codegen'd double cosine (graft_cosine, ~100× cheaper than the
+    * decimal fold) at a margin far above its <1e-12 deviation from the
+    * exact value and keeps only id pairs; phase 2 re-attaches vectors by
+    * equi-join and recomputes the decimal-exact cosine on the few
+    * survivors. The two-join shape is deliberate: with a single join,
+    * Catalyst pushes the exact-cosine filter back into the nested-loop
+    * condition and the expensive fold runs on every pair again.
+    * Exposed for DedupSpec's precision/recall pins (which run it over
+    * the UNSLICED test corpus against the ANN candidates). */
+  private[graft] def exactPairsWithCos(
+      vecs: DataFrame, threshold: Double): DataFrame = {
+    val n = vecs.select(col("vec_id"), col("embedding"),
+      ddot(col("embedding"), col("embedding")).as("nrm"))
+    val raw = n.select(col("vec_id"), col("embedding"))
+    val cand = raw.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(raw.select(col("vec_id").as("id_b"), col("embedding").as("eb")),
+        col("id_a") < col("id_b") &&
+          graft.functions.GraftFunctions
+            .cosineSim(col("ea"), col("eb")) >= threshold - 1e-6)
+      .select("id_a", "id_b")
+    cand
+      .join(n.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The catalog baselines run the all-pairs machinery over a FIXED-SIZE
+    * deterministic verification slice (first 512 vec_ids — the whole
+    * corpus at sf ≤ 0.01), so no catalog entry's cost is quadratic in
+    * corpus size: the baseline's job is to verify the approximate paths'
+    * arithmetic end-to-end against DuckDB, and a constant slice does
+    * that at any sf. The UNSLICED exactness pins live in DedupSpec
+    * (precision/recall vs the ANN candidates) where the corpus is
+    * test-sized by construction. */
+  private val baselineSlice = 512
+
+  /** Embedding-cosine near-dup pairs (brute force, cos ≥ 0.4, sliced).
+    * This is the exactness baseline the approximate variants are judged
+    * against; at 100 TB the same verify-expression runs over LSH/IVF
+    * candidates instead of a cross join. */
   val qSimCosinePairs: QueryDef = QueryDef.oracle(
     "q_sim_cosine_pairs",
-    oracleNormCte +
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+      |            AS DECIMAL(30,12))) FROM unnest(embedding) t(e)) AS DOUBLE) AS nrm
+      |  FROM embeddings WHERE vec_id < 512)""".stripMargin +
       """
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(cos, 6) AS cos FROM (
         |  SELECT a.vec_id, b.vec_id,
@@ -69,32 +117,10 @@ object Similarity {
         |JOIN n a ON a.vec_id = ida JOIN n b ON b.vec_id = idb
         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
   ) { (spark, dir) =>
-    // two-phase exact search: phase 1 prefilters the n² pair space with
-    // the codegen'd double cosine (graft_cosine, ~100× cheaper than the
-    // decimal fold) at a margin far above its <1e-12 deviation from the
-    // exact value and keeps only id pairs; phase 2 re-attaches vectors by
-    // equi-join and recomputes the decimal-exact cosine on the few
-    // survivors. The two-join shape is deliberate: with a single join,
-    // Catalyst pushes the exact-cosine filter back into the nested-loop
-    // condition and the expensive fold runs on every pair again.
-    val n = normed(spark, dir)
-    val raw = n.select(col("vec_id"), col("embedding"))
-    val cand = raw.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      .join(raw.select(col("vec_id").as("id_b"), col("embedding").as("eb")),
-        col("id_a") < col("id_b") &&
-          graft.functions.GraftFunctions
-            .cosineSim(col("ea"), col("eb")) >= 0.4 - 1e-6)
-      .select("id_a", "id_b")
-    cand
-      .join(n.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-        col("nrm").as("na")), "id_a")
-      .join(n.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-        col("nrm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        cosine(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
-      .filter(col("cos") >= 0.4)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .orderBy("id_a", "id_b")
+    exactPairsWithCos(
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < baselineSlice), 0.4)
   }
 
   /** Brute-force cosine top-k: 8 query vectors (vec_id < 8) against the
@@ -271,48 +297,65 @@ object Similarity {
     * per-(cluster, dim) mean — then queries probe their 2 nearest
     * centroids' clusters only. All stages are DataFrame plans; nothing is
     * collected to the driver, so the same code shape trains on 100 TB. */
-  val qSimIvfAnn: QueryDef = QueryDef.noOracle("q_sim_ivf_ann") { (spark, dir) =>
+  /** Argmax-by-struct nearest-centroid assignment instead of a
+    * row_number window: the per-vector best centroid collapses MAP-SIDE
+    * in the partial aggregate (k candidate rows per vector never reach
+    * the shuffle — the window formulation shuffled every
+    * (vector × centroid) row WITH its embedding payload, k× the corpus
+    * in bytes). max(struct) picks highest cos, then highest -cid =
+    * lowest cid on ties — identical to ORDER BY cos DESC, cid ASC.
+    * Shared by q_sim_ivf_ann and the IVF×PQ composition. */
+  private def ivfNearest(vecs: DataFrame, cents: DataFrame,
+      out: String): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
-    val n = graft.Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"))
+    val keys = vecs.columns.toIndexedSeq
+    vecs.join(broadcast(cents), lit(true))
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(cosineSim(col("embedding"), col("ce")).as("cos"),
+        (-col("cid")).as("ncid"))).as("best"))
+      .select(keys.map(col) :+ (-col("best.ncid")).as(out): _*)
+  }
 
-    // argmax-by-struct instead of a row_number window: the per-vector
-    // best centroid collapses MAP-SIDE in the partial aggregate (k
-    // candidate rows per vector never reach the shuffle — the window
-    // formulation shuffled every (vector × centroid) row WITH its
-    // embedding payload, k× the corpus in bytes). max(struct) picks
-    // highest cos, then highest -cid = lowest cid on ties — identical to
-    // the old ORDER BY cos DESC, cid ASC.
-    def nearest(vecs: DataFrame, cents: DataFrame, out: String): DataFrame = {
-      val keys = vecs.columns.toIndexedSeq
-      vecs.join(broadcast(cents), lit(true))
-        .groupBy(keys.map(col): _*)
-        .agg(max(struct(cosineSim(col("embedding"), col("ce")).as("cos"),
-          (-col("cid")).as("ncid"))).as("best"))
-        .select(keys.map(col) :+ (-col("best.ncid")).as(out): _*)
-    }
-
+  /** IVF coarse-quantizer training: deterministic seed centroids (every
+    * 53rd vector — k is a CONFIG at scale, centroids always broadcast),
+    * one Lloyd refinement step (assignment via [[ivfNearest]], update a
+    * posexplode + per-(cluster, dim) mean). All stages are DataFrame
+    * plans; nothing is collected to the driver, so the same code shape
+    * trains on 100 TB. */
+  private def ivfCentroids(n: DataFrame): DataFrame = {
     val seed = n.filter(col("vec_id") % 53 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    // one Lloyd step: mean embedding per cluster
-    val assigned = nearest(n, seed, "cluster")
-    val refined = assigned
+    ivfNearest(n, seed, "cluster")
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cluster", "pos").agg(avg(col("v")).as("m"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m").cast("float")).as("ce"))
       .select(col("cluster").as("cid"), col("ce"))
+  }
 
-    val indexed = nearest(n, refined, "cluster")
-    val qProbe = n.filter(col("vec_id") < 8)
-      .join(broadcast(refined), lit(true))
+  /** nprobe nearest centroids per query vector (vec_id < 8), the query
+    * side of IVF routing — 8 × nprobe rows, always broadcast. */
+  private def ivfProbes(n: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    import graft.functions.GraftFunctions.cosineSim
+    n.filter(col("vec_id") < 8)
+      .join(broadcast(cents), lit(true))
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("cid"),
         cosineSim(col("embedding"), col("ce")).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rn") <= 2) // nprobe = 2
+      .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("eq"), col("cid").as("probe"))
+  }
+
+  val qSimIvfAnn: QueryDef = QueryDef.noOracle("q_sim_ivf_ann") { (spark, dir) =>
+    import graft.functions.GraftFunctions.cosineSim
+    val n = graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val refined = ivfCentroids(n)
+    val indexed = ivfNearest(n, refined, "cluster")
+    val qProbe = ivfProbes(n, refined, nprobe = 2)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     indexed.join(broadcast(qProbe),
         col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
@@ -626,11 +669,14 @@ object Similarity {
     // min-id witness per pruned vector, one window pass over the (small)
     // qualifying pair set
     val w = Window.partitionBy("cluster", "id_b")
-    pairs.withColumn("keeper", min(col("id_a")).over(w))
+    val pruned = pairs.withColumn("keeper", min(col("id_a")).over(w))
       .filter(col("id_a") === col("keeper"))
       .select(col("cluster"), col("id_b").as("vec_id"), col("keeper"),
         round(col("cos"), 6).as("cos"))
       .orderBy("cluster", "vec_id")
+    // materialize the (small) pruned set, then free the corpus-sized
+    // assignment cache — see Exec.materialized
+    Exec.materialized(pruned, a2)
   }
 
   /** PRODUCT QUANTIZATION (PQ) — the third leg of the vector-search
@@ -653,11 +699,74 @@ object Similarity {
     * through an exact DECIMAL(30,12) sum. Output: assignment census +
     * quantization distortion per codeword — the codebook-quality
     * diagnostic a real PQ index build monitors. */
-  val qSimPq: QueryDef = QueryDef.oracle(
-    "q_sim_pq",
+  // ---- shared product-quantization machinery (census / ADC search /
+  //      IVF×PQ composition) ----
+  private val pqSubs = 8 // subspaces per vector
+  private val pqDim = 8 // dims per subspace (8 × 8 = the 64-dim corpus)
+  private val pqK = 16 // codes per subspace codebook
+
+  /** Explode a vector column into its 8 subvector slices. */
+  private def pqSliced(c: Column, out: String): Column =
+    explode(array((0 until pqSubs).map(s =>
+      struct(lit(s).as("sub"), slice(c, s * pqDim + 1, pqDim).as(out))): _*))
+
+  /** The 8×16 codebook from deterministic seed slices (16 fixed seed
+    * vectors — codebooks are a CONFIG-sized broadcast at any corpus
+    * size). Codes are DENSE ids 0..15 (seed vec_id div 61) so an ADC
+    * lookup table indexes as `sub*16 + code`. */
+  private def pqCodebook(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") % 61 === 0 && col("vec_id") < 976)
+      .select(expr("vec_id div 61").cast("int").as("code"),
+        col("embedding").as("ce"))
+      .select(col("code"), pqSliced(col("ce"), "cslice").as("x"))
+      .select(col("x.sub").as("sub"), col("code"), col("x.cslice").as("cslice"))
+
+  /** Per-(vector, subspace, code) squared L2 to the codebook — the
+    * shared input of encoding (argmin over codes) and query LUTs (all
+    * 128 entries kept). The 8-element distance is an ordered double
+    * fold, same op order as the oracle's list_reduce (0.0 seed +
+    * left-to-right adds are bit-identical across engines — the
+    * q_dedup_semantic exactness vehicle). Extra key columns in `v`
+    * (e.g. an IVF cluster id) ride along untouched. `cb` is always the
+    * FULL-corpus codebook — a filtered `v` (query side) must still
+    * score against the same 128 codes the corpus encoded with. */
+  private def pqDists(v: DataFrame, cb: DataFrame): DataFrame = {
+    val keys = v.columns.filter(_ != "embedding").toIndexedSeq
+    val sliced = v
+      .select(keys.map(col) :+ pqSliced(col("embedding"), "vslice").as("x"): _*)
+      .select(keys.map(col) :+ col("x.sub").as("sub")
+        :+ col("x.vslice").as("vslice"): _*)
+    val dist = aggregate(
+      zip_with(col("vslice"), col("cslice"),
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, z) => acc + z)
+    sliced.join(broadcast(cb), "sub")
+      .select(keys.map(col) :+ col("sub") :+ col("code")
+        :+ dist.as("dist"): _*)
+  }
+
+  /** PQ-encode: nearest code per (vector, subspace) — the argmin
+    * collapses MAP-SIDE via min(struct) (no n×k shuffle) — then the 8
+    * codes collect into a sub-ordered int array: the 8-byte compressed
+    * representation an ADC scan reads instead of 256 B of floats.
+    * Extra key columns ride through both aggregations. */
+  private def pqEncoded(v: DataFrame, cb: DataFrame): DataFrame = {
+    val keys = v.columns.filter(_ != "embedding").toIndexedSeq
+    pqDists(v, cb)
+      .groupBy((keys :+ "sub").map(col): _*)
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"),
+          col("best.code").as("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  private val pqOracleCore =
     """WITH v AS (SELECT vec_id, embedding FROM embeddings),
       |seeds AS (
-      |  SELECT vec_id AS code, embedding AS ce FROM v
+      |  SELECT vec_id // 61 AS code, embedding AS ce FROM v
       |  WHERE vec_id % 61 = 0 AND vec_id < 976),
       |subs AS (SELECT unnest(range(0, 8)) AS sub),
       |cb AS (
@@ -678,42 +787,113 @@ object Similarity {
       |    SELECT vec_id, sub, code, dist,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
       |        ORDER BY dist ASC, code ASC) AS rn
-      |    FROM d) WHERE rn = 1)
-      |SELECT sub, code, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(dist AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_dist
-      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      |    FROM d) WHERE rn = 1)""".stripMargin
+
+  /** PRODUCT QUANTIZATION (PQ) — the third leg of the vector-search
+    * scale story next to hyperplane LSH (q_sim_lsh_ann) and IVF
+    * (q_sim_ivf_ann), and the compression complement to int8
+    * quantization (q_embed_quantize): split each 64-dim vector into 8
+    * subvectors, learn a tiny per-subspace codebook, and encode every
+    * subvector as its nearest code (4 B at 4-bit codes vs 256 B
+    * float32 — 64×). Output: assignment census + quantization
+    * distortion per codeword — the codebook-quality diagnostic a real
+    * PQ index build monitors (the SEARCH operator the codes exist for
+    * is q_sim_pq_search below). */
+  val qSimPq: QueryDef = QueryDef.oracle(
+    "q_sim_pq",
+    pqOracleCore +
+      """
+        |SELECT sub, code, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(dist AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_dist
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   ) { (spark, dir) =>
-    val nSub = 8; val dSub = 8
     val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
-    val seeds = v.filter(col("vec_id") % 61 === 0 && col("vec_id") < 976)
-      .select(col("vec_id").as("code"), col("embedding").as("ce"))
-    def slices(c: Column, out: String): Column =
-      explode(array((0 until nSub).map(s =>
-        struct(lit(s).as("sub"), slice(c, s * dSub + 1, dSub).as(out))): _*))
-    val cb = seeds.select(col("code"), slices(col("ce"), "cslice").as("x"))
-      .select(col("x.sub").as("sub"), col("code"), col("x.cslice").as("cslice"))
-    val vs = v.select(col("vec_id"), slices(col("embedding"), "vslice").as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"), col("x.vslice").as("vslice"))
-    // ordered 8-element double fold, same op order as the oracle's
-    // list_reduce (0.0 seed + left-to-right adds are bit-identical)
-    val dist = aggregate(
-      zip_with(col("vslice"), col("cslice"),
-        (x, y) => (x.cast("double") - y.cast("double"))
-          * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, z) => acc + z)
-    val a = vs.join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("sub"), col("code"), dist.as("dist"))
+    pqDists(v, pqCodebook(v))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("code"))).as("best"))
-      .select(col("sub"), col("best.code").as("code"), col("best.dist").as("dist"))
-    a.groupBy("sub", "code")
+      .select(col("sub"), col("best.code").as("code"),
+        col("best.dist").as("dist"))
+      .groupBy("sub", "code")
       .agg(count(lit(1)).as("n"),
         round(sum(col("dist").cast("decimal(30,12)")).cast("double"), 6)
           .as("sum_dist"))
       .orderBy("sub", "code")
   }
 
+  /** PQ ADC top-k SEARCH — the production operator the codebooks exist
+    * for: answer "nearest k to q" from the 8-byte codes alone, never
+    * touching the float vectors of the corpus.
+    *
+    *   1. Per query, a 128-entry LOOKUP TABLE: squared L2 from each of
+    *      the query's 8 subvectors to each of the 16 codes (the same
+    *      per-slice fold the encoder runs — so LUT entries are
+    *      bit-identical to encoding distances);
+    *   2. the corpus rides as (vec_id, codes[8]); the asymmetric
+    *      distance (ADC) of a row is 8 ARRAY LOOKUPS + 7 ADDS —
+    *      `Σ_sub lut[sub·16 + codes[sub]]` written as a plain
+    *      left-associated expression chain, pure whole-stage codegen
+    *      (no HOF, no float loop) on the corpus-sized path;
+    *   3. top-5 per query over the skinny (q_id, n_id, adist) rows.
+    *
+    * Scale shape: the queries (LUT + id, 8×~1 KB) broadcast; the corpus
+    * scan carries codes only — at 100 TB of vectors the ADC scan reads
+    * the 64×-compressed code table (1.6 TB) instead, and nothing
+    * corpus-sized shuffles before the per-query top-k of 20-byte rows.
+    * Exactness: LUT entries are ordered folds (bit-identical in
+    * DuckDB), the 8-term sum is a fixed-order double chain, ties break
+    * on n_id — hash-exact cross-engine, per the q_dedup_semantic
+    * ordered-fold vehicle. */
+  val qSimPqSearch: QueryDef = QueryDef.oracle(
+    "q_sim_pq_search",
+    pqOracleCore +
+      """,
+        |enc AS (
+        |  SELECT vec_id, list(code ORDER BY sub) AS codes
+        |  FROM a GROUP BY vec_id),
+        |lut AS (
+        |  SELECT vec_id AS q_id, list(dist ORDER BY sub, code) AS l
+        |  FROM d WHERE vec_id < 8 GROUP BY vec_id),
+        |sc AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    q.l[ 0 + e.codes[1] + 1] + q.l[16 + e.codes[2] + 1]
+        |    + q.l[32 + e.codes[3] + 1] + q.l[48 + e.codes[4] + 1]
+        |    + q.l[64 + e.codes[5] + 1] + q.l[80 + e.codes[6] + 1]
+        |    + q.l[96 + e.codes[7] + 1] + q.l[112 + e.codes[8] + 1] AS adist
+        |  FROM lut q JOIN enc e ON e.vec_id <> q.q_id)
+        |SELECT q_id, rn, n_id, ROUND(adist, 6) AS adist FROM (
+        |  SELECT q_id, n_id, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adist ASC, n_id ASC) AS rn
+        |  FROM sc) WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+  ) { (spark, dir) =>
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val cb = pqCodebook(v)
+    val enc = pqEncoded(v, cb)
+    val lut = pqDists(v.filter(col("vec_id") < 8), cb)
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("dist")))),
+        s => s.getField("dist")).as("lut"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
+    enc.join(broadcast(lut), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), pqAdc.as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("n_id"),
+        round(col("adist"), 6).as("adist"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** The ADC distance expression: 8 lookups + 7 left-associated adds
+    * over `lut` (128 doubles, (sub, code)-ordered) and `codes` (8 ints,
+    * sub-ordered) — matches the oracle's explicit chain bit-for-bit. */
+  private def pqAdc: Column =
+    (0 until pqSubs).map { s =>
+      element_at(col("lut"),
+        lit(s * pqK + 1) + element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+
   val all: Seq[QueryDef] = Seq(
     qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn, qEmbedQuantize,
-    qEmbedOutliers, qDedupSemantic, qSimPq)
+    qEmbedOutliers, qDedupSemantic, qSimPq, qSimPqSearch)
 }

@@ -22,8 +22,9 @@ object SourceQueries {
   private def stage(spark: SparkSession, dir: String, table: String,
       fmt: String, df: => DataFrame,
       partitionCols: Seq[String] = Nil, coalesce1: Boolean = true): String = {
-    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_src_${table}_${fmt}_${dir.hashCode.toHexString}")
+    // content-fingerprinted (graft.Staging): regenerated testdata lands
+    // in a fresh staged path instead of silently reusing stale copies
+    val out = graft.Staging.path(s"graft_src_${table}_$fmt", dir)
     // key on _SUCCESS, not the directory: a crashed partial write must
     // be overwritten, not trusted
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
@@ -201,8 +202,7 @@ object SourceQueries {
     * (shared with LayoutSpec). */
   private[graft] def zorderedOrdersPath(
       spark: SparkSession, dir: String): String = {
-    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_src_orders_zorder_parquet_${dir.hashCode.toHexString}")
+    val out = graft.Staging.path("graft_src_orders_zorder_parquet", dir)
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
       val t = Tables(spark, dir)
       val withDay = t.orders
@@ -279,8 +279,7 @@ object SourceQueries {
   private[graft] def compactedDocsPath(
       spark: SparkSession, dir: String): String = {
     val frag = fragmentedDocsPath(spark, dir)
-    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_src_docs_compact_parquet_${dir.hashCode.toHexString}")
+    val out = graft.Staging.path("graft_src_docs_compact_parquet", dir)
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
       val bytes = parquetBytes(frag)
       val target = 128L << 20
@@ -344,8 +343,7 @@ object SourceQueries {
     * the added int `quality` column (n_chars % 7 — deterministic). */
   private[graft] def evolvedDocsPath(
       spark: SparkSession, dir: String): String = {
-    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_src_docs_evo_parquet_${dir.hashCode.toHexString}")
+    val out = graft.Staging.path("graft_src_docs_evo_parquet", dir)
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
       val docs = Tables(spark, dir).documents
       docs.filter(col("doc_id") % 2 === 0)

@@ -34,7 +34,10 @@ object EventsStream {
     val schema = schemas.computeIfAbsent(path,
       p => spark.read.parquet(p).schema)
     // the file source wants a directory; stage one containing a symlink
-    // to the (read-only) events file
+    // to the (read-only) events file. Unlike the graft.Staging derived
+    // artifacts this holds NO derived data — the symlink always reads
+    // whatever bytes currently live at the source path — so a plain
+    // dir-keyed path can't go stale (regenerated testdata reads fresh).
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_events_${dir.hashCode.toHexString}")
     java.nio.file.Files.createDirectories(staged)

@@ -36,8 +36,7 @@ object StreamFloor {
     // mirrors: same schemas, zero (resp. one) event rows — streaming
     // queries also read static side tables, so every table is mirrored
     def mirror(tag: String, eventRows: Int): String = {
-      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_sf_${tag}_${sfDir.hashCode.toHexString}")
+      val out = graft.Staging.path(s"graft_sf_$tag", sfDir)
       if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
         new java.io.File(sfDir).listFiles().map(_.getName)
           .filter(_.endsWith(".parquet")).foreach { t =>

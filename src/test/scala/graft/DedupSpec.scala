@@ -314,7 +314,10 @@ class DedupSpec extends SparkSpec {
   test("ANN embedding pairs are a subset of the exact pairs (precision 1.0)") {
     // the decimal-exact verify stage makes every emitted ANN pair a true
     // cos >= 0.4 pair — candidates can only LOSE pairs, never invent them
-    val exact = pairSet(queries.Similarity.qSimCosinePairs.run(spark, sf)
+    // the UNSLICED corpus (the catalog baseline runs a fixed
+    // verification slice; the precision/recall pins must not)
+    val exact = pairSet(queries.Similarity.exactPairsWithCos(
+      Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding")), 0.4)
       .select("id_a", "id_b").collect())
     val ann = pairSet(queries.Similarity.annNearDupPairs(
       Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding")), 0.4)
