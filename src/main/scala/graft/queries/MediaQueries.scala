@@ -4,10 +4,13 @@ import graft.multimodal.Media
 import org.apache.spark.sql.functions._
 
 /** Judged surface for the multimodal plumbing (graft.multimodal.Media).
-  * The metadata/frame queries are fully oracle-checked (integer/byte
-  * arithmetic); the feature query is rows-only because the stub decoder's
-  * byte histogram isn't reasonably expressible in ANSI SQL — MediaSpec
-  * pins its values instead. */
+  * Every query here is oracle-checked since round 11: the metadata/frame
+  * queries by integer/byte arithmetic, the decode-dependent ones
+  * (features, audio, video, dedup) by CLOSED-FORM payload derivations —
+  * the oracle states the decoded values from the generator formulas
+  * without parsing a container, so hash matches prove the decode
+  * roundtrips. MediaSpec additionally pins decoder edge cases the
+  * synthetic corpus can't reach (truncation, malformed headers). */
 object MediaQueries {
 
   /** Storage-schema sanity over the binary payload + typed metadata.
@@ -57,24 +60,98 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
+  /** The closed-form per-media 16-bin histogram counts, in SQL — the
+    * CTE block shared by the q_media_features and q_media_dedup
+    * oracles. The oracle never decodes PPM or WAV: it states the bin of
+    * every DECODED byte directly from the payload derivation
+    * (Media.mediaTable; documents text is pure ASCII at every sf, so
+    * byte j of the UTF-8 payload = ascii(char j)):
+    *   - image: raster byte i = text byte (i mod L) cycled over the
+    *     3·w·h raster (zero raster for empty text);
+    *   - audio: PCM16 little-endian — the LOW byte of every sample is 0
+    *     (samples are multiples of 256 by construction), and the high
+    *     byte's bin collapses to (cp·(i+1)) mod 16, because
+    *     ((m−128)·256 >> 8) & 255 = (m+128) mod 256 and 256 ≡ 0 mod 16;
+    *     silence (all-zero bytes) for empty text;
+    *   - video: the raw text bytes (the codec stub seam), divisor
+    *     max(1, n_chars) exactly as the stub divides.
+    * A hash match therefore proves BOTH container roundtrips lossless —
+    * the q_media_audio/q_media_video argument extended to the decoded
+    * feature path. Float exactness: bin-count/total in IEEE float32
+    * (both engines divide the same exact integers), widened to double
+    * exactly. */
+  private val mediaHistCtes =
+    """WITH img AS (
+      |  SELECT doc_id, n_chars, text,
+      |    3 * (n_chars % 24 + 8) * (n_chars % 16 + 8) AS nb
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |aud AS (
+      |  SELECT doc_id, n_chars, text, n_chars % 800 + 64 AS ns
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |vid AS (
+      |  SELECT doc_id, n_chars, text FROM documents WHERE doc_id % 3 = 2),
+      |bytestream AS (
+      |  SELECT 'image' AS kind, doc_id, nb,
+      |    CASE WHEN n_chars = 0 THEN 0
+      |      ELSE ascii(substr(text, CAST(i % n_chars AS INT) + 1, 1)) END % 16
+      |      AS bin
+      |  FROM img, UNNEST(range(0, nb)) t(i)
+      |  UNION ALL
+      |  SELECT 'audio', doc_id, 2 * ns AS nb,
+      |    CASE WHEN n_chars = 0 THEN 0
+      |      ELSE (ascii(substr(text, CAST(i % n_chars AS INT) + 1, 1))
+      |            * (i + 1)) % 16 END AS bin
+      |  FROM aud, UNNEST(range(0, ns)) t(i)
+      |  UNION ALL
+      |  SELECT 'audio', doc_id, 2 * ns AS nb, 0 AS bin
+      |  FROM aud, UNNEST(range(0, ns)) t(i)
+      |  UNION ALL
+      |  SELECT 'video', doc_id, GREATEST(n_chars, 1) AS nb,
+      |    ascii(substr(text, CAST(i AS INT) + 1, 1)) % 16 AS bin
+      |  FROM vid, UNNEST(range(0, n_chars)) t(i)),
+      |media AS (
+      |  SELECT 'image' AS kind, doc_id, nb FROM img
+      |  UNION ALL SELECT 'audio', doc_id, 2 * ns FROM aud
+      |  UNION ALL SELECT 'video', doc_id, GREATEST(n_chars, 1) FROM vid),
+      |allc AS (
+      |  SELECT kind, doc_id, nb, bin, COUNT(*) AS c
+      |  FROM bytestream GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** Decode → 16-bin histogram features, folded per kind with
     * exact-decimal sums (deterministic under any partitioning). Image
-    * rows run a REAL PPM pixel decode (MediaSpec pins the raster
-    * histogram against an independently-computed closed form); audio
-    * rows run a REAL WAV/PCM16 decode (round 8 — histogram over the
-    * decoded sample bytes); video keeps the byte-histogram stub.
-    * Rows-only because the histogram isn't reasonably expressible in
-    * ANSI SQL. */
-  val qMediaFeatures: QueryDef = QueryDef.noOracle("q_media_features") {
-    (spark, dir) =>
-      Media.extractFeatures(Media.mediaTable(spark, dir)).toDF()
-        .groupBy("kind")
-        .agg(count(lit(1)).as("n"), max(col("dim")).as("dim"),
-          sum(element_at(col("feature"), 1).cast("decimal(30,9)"))
-            .cast("double").as("sum_f0"),
-          sum(element_at(col("feature"), 16).cast("decimal(30,9)"))
-            .cast("double").as("sum_f15"))
-        .orderBy("kind")
+    * rows run a REAL PPM pixel decode; audio rows a REAL WAV/PCM16
+    * decode (histogram over the decoded sample bytes); video keeps the
+    * byte-histogram stub. ORACLE-CHECKED since round 11 via the
+    * closed-form histogram CTEs ([[mediaHistCtes]]) — the hash match
+    * proves the decode→featurize path end-to-end, the same way
+    * q_media_audio/q_media_video prove the container roundtrips. */
+  val qMediaFeatures: QueryDef = QueryDef.oracle(
+    "q_media_features",
+    mediaHistCtes +
+      """
+        |SELECT m.kind, COUNT(DISTINCT m.doc_id) AS n, CAST(16 AS INT) AS dim,
+        |  CAST(SUM(CASE WHEN a.bin = 0 THEN CAST(CAST(CAST(a.c AS FLOAT4)
+        |      / CAST(a.nb AS FLOAT4) AS DOUBLE) AS DECIMAL(30,9))
+        |    ELSE CAST(0 AS DECIMAL(30,9)) END) AS DOUBLE) AS sum_f0,
+        |  CAST(SUM(CASE WHEN a.bin = 15 THEN CAST(CAST(CAST(a.c AS FLOAT4)
+        |      / CAST(a.nb AS FLOAT4) AS DOUBLE) AS DECIMAL(30,9))
+        |    ELSE CAST(0 AS DECIMAL(30,9)) END) AS DOUBLE) AS sum_f15
+        |FROM media m LEFT JOIN allc a
+        |  ON a.kind = m.kind AND a.doc_id = m.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Media.extractFeatures(Media.mediaTable(spark, dir)).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), max(col("dim")).as("dim"),
+        // widen float→double EXACTLY before the decimal cast: both
+        // engines then round the same exact binary value to 9 dp
+        // (casting float straight to decimal would hinge on each
+        // engine's float-to-decimal path agreeing)
+        sum(element_at(col("feature"), 1).cast("double").cast("decimal(30,9)"))
+          .cast("double").as("sum_f0"),
+        sum(element_at(col("feature"), 16).cast("double").cast("decimal(30,9)"))
+          .cast("double").as("sum_f15"))
+      .orderBy("kind")
   }
 
   /** Audio decode → feature extraction over REAL WAV/PCM16 payloads —
@@ -209,11 +286,53 @@ object MediaQueries {
     * clusters by the shared min-label fixpoint. Everything is equi-joins
     * + aggregates — never an all-pairs scan — and the payload itself
     * stays at the scan (only 16 floats + 4 longs ride the shuffles).
-    * No oracle (histogram isn't reasonably SQL-expressible — same basis
-    * as q_media_features); MediaSpec pins recall and cluster shape. */
-  val qMediaDedup: QueryDef = QueryDef.noOracle("q_media_dedup") {
-    (spark, dir) => mediaDedupClusters(spark, dir)
-  }
+    *
+    * ORACLE (round 11): the closed-form histogram CTEs state every
+    * media's decoded 16-bin float signature in SQL, and the oracle then
+    * runs the NAIVE ALL-PAIRS verify (every pair at graft_cosine ≥
+    * 0.9999, as exact ordered double folds) plus the same min-label
+    * fixpoint — the q_dedup_entity trick: the Spark side only emits
+    * banded candidates, so the hash match PROVES the 4-band blocking
+    * loses no qualifying pair on this corpus, per sf, every round. */
+  val qMediaDedup: QueryDef = QueryDef.oracle(
+    "q_media_dedup",
+    mediaHistCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """,
+        |fv AS MATERIALIZED (
+        |  SELECT m.doc_id AS media_id,
+        |    list(CAST(CAST(COALESCE(a.c, 0) AS FLOAT4) / CAST(m.nb AS FLOAT4)
+        |      AS FLOAT4) ORDER BY b.bin) AS f
+        |  FROM media m CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        |  LEFT JOIN allc a
+        |    ON a.doc_id = m.doc_id AND a.kind = m.kind AND a.bin = b.bin
+        |  GROUP BY m.doc_id),
+        |pr AS MATERIALIZED (
+        |  SELECT da, db FROM (
+        |    SELECT x.media_id AS da, y.media_id AS db,
+        |      list_reduce(list_transform(list_zip(x.f, y.f),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+        |        (acc, v) -> acc + v) AS dot,
+        |      list_reduce(list_transform(x.f,
+        |        t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+        |        (acc, v) -> acc + v) AS na,
+        |      list_reduce(list_transform(y.f,
+        |        t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+        |        (acc, v) -> acc + v) AS nb
+        |    FROM fv x JOIN fv y ON x.media_id < y.media_id)
+        |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+        |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.9999),
+        |edges AS MATERIALIZED (
+        |  SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc, MIN(dst) AS cluster FROM reach GROUP BY 1)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(SUM(cluster) AS BIGINT) AS sum_canonical
+        |FROM (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) => mediaDedupClusters(spark, dir) }
 
   private[queries] def mediaDedupClusters(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {

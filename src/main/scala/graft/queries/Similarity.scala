@@ -703,7 +703,7 @@ object Similarity {
   //      IVF×PQ composition) ----
   private val pqSubs = 8 // subspaces per vector
   private val pqDim = 8 // dims per subspace (8 × 8 = the 64-dim corpus)
-  private val pqK = 16 // codes per subspace codebook
+  private val pqK = 16 // codes per subspace codebook (at full seed count)
 
   /** Explode a vector column into its 8 subvector slices. */
   private def pqSliced(c: Column, out: String): Column =
@@ -713,7 +713,7 @@ object Similarity {
   /** The 8×16 codebook from deterministic seed slices (16 fixed seed
     * vectors — codebooks are a CONFIG-sized broadcast at any corpus
     * size). Codes are DENSE ids 0..15 (seed vec_id div 61) so an ADC
-    * lookup table indexes as `sub*16 + code`. */
+    * lookup table indexes as `code*8 + sub` (see [[pqLut]]). */
   private def pqCodebook(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % 61 === 0 && col("vec_id") < 976)
       .select(expr("vec_id div 61").cast("int").as("code"),
@@ -763,8 +763,26 @@ object Similarity {
         s => s.getField("code")).as("codes"))
   }
 
-  private val pqOracleCore =
-    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+  /** Unit-normalize a (vec_id, embedding) corpus to array<double> —
+    * ‖v‖=1 makes squared L2 a monotone transform of cosine
+    * (L2² = 2 − 2·cos), so PQ's L2-native ADC ranking answers the
+    * catalog's cosine top-k. Exact-decimal norm + one IEEE sqrt and
+    * division per element: bit-identical in DuckDB. Zero vectors stay
+    * all-zero (the q_sim_topk NaN guard, one stage earlier). */
+  private def normalized(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), col("embedding"),
+        ddot(col("embedding"), col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        when(col("nrm") > 0,
+          transform(col("embedding"), x => x.cast("double") / sqrt(col("nrm"))))
+          .otherwise(transform(col("embedding"), _ => lit(0.0)))
+          .as("embedding"))
+
+  /** The PQ pipeline in SQL — slices, codebook, per-(vector, sub, code)
+    * distances, argmin encoding — parameterized by the `v` corpus CTE
+    * (raw for the census, unit-normalized for the search). */
+  private def pqOracleCoreFrom(vCtes: String) = vCtes +
+    """,
       |seeds AS (
       |  SELECT vec_id // 61 AS code, embedding AS ce FROM v
       |  WHERE vec_id % 61 = 0 AND vec_id < 976),
@@ -788,6 +806,22 @@ object Similarity {
       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
       |        ORDER BY dist ASC, code ASC) AS rn
       |    FROM d) WHERE rn = 1)""".stripMargin
+
+  private val pqOracleCore =
+    pqOracleCoreFrom("WITH v AS (SELECT vec_id, embedding FROM embeddings)")
+
+  private val pqOracleCoreNormalized = pqOracleCoreFrom(
+    """WITH n0 AS (
+      |  SELECT vec_id, embedding,
+      |    CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+      |            AS DECIMAL(30,12))) FROM unnest(embedding) t(e)) AS DOUBLE) AS nrm
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, CASE WHEN nrm > 0
+      |      THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nrm))
+      |      ELSE list_transform(embedding, x -> CAST(0.0 AS DOUBLE)) END
+      |    AS embedding
+      |  FROM n0)""".stripMargin)
 
   /** PRODUCT QUANTIZATION (PQ) — the third leg of the vector-search
     * scale story next to hyperplane LSH (q_sim_lsh_ann) and IVF
@@ -824,13 +858,14 @@ object Similarity {
     * for: answer "nearest k to q" from the 8-byte codes alone, never
     * touching the float vectors of the corpus.
     *
-    *   1. Per query, a 128-entry LOOKUP TABLE: squared L2 from each of
-    *      the query's 8 subvectors to each of the 16 codes (the same
-    *      per-slice fold the encoder runs — so LUT entries are
-    *      bit-identical to encoding distances);
+    *   1. Per query, an 8×k LOOKUP TABLE (128 entries at the full
+    *      16-code book): squared L2 from each of the query's 8
+    *      subvectors to each code (the same per-slice fold the encoder
+    *      runs — so LUT entries are bit-identical to encoding
+    *      distances);
     *   2. the corpus rides as (vec_id, codes[8]); the asymmetric
     *      distance (ADC) of a row is 8 ARRAY LOOKUPS + 7 ADDS —
-    *      `Σ_sub lut[sub·16 + codes[sub]]` written as a plain
+    *      `Σ_sub lut[codes[sub]·8 + sub]` written as a plain
     *      left-associated expression chain, pure whole-stage codegen
     *      (no HOF, no float loop) on the corpus-sized path;
     *   3. top-5 per query over the skinny (q_id, n_id, adist) rows.
@@ -839,26 +874,29 @@ object Similarity {
     * scan carries codes only — at 100 TB of vectors the ADC scan reads
     * the 64×-compressed code table (1.6 TB) instead, and nothing
     * corpus-sized shuffles before the per-query top-k of 20-byte rows.
+    * The corpus is UNIT-NORMALIZED first (see [[normalized]]) so the
+    * L2-native ADC ranking answers cosine top-k — SimilaritySpec pins
+    * the recall against the exact q_sim_topk.
     * Exactness: LUT entries are ordered folds (bit-identical in
     * DuckDB), the 8-term sum is a fixed-order double chain, ties break
     * on n_id — hash-exact cross-engine, per the q_dedup_semantic
     * ordered-fold vehicle. */
   val qSimPqSearch: QueryDef = QueryDef.oracle(
     "q_sim_pq_search",
-    pqOracleCore +
+    pqOracleCoreNormalized +
       """,
         |enc AS (
         |  SELECT vec_id, list(code ORDER BY sub) AS codes
         |  FROM a GROUP BY vec_id),
         |lut AS (
-        |  SELECT vec_id AS q_id, list(dist ORDER BY sub, code) AS l
+        |  SELECT vec_id AS q_id, list(dist ORDER BY code, sub) AS l
         |  FROM d WHERE vec_id < 8 GROUP BY vec_id),
         |sc AS (
         |  SELECT q.q_id, e.vec_id AS n_id,
-        |    q.l[ 0 + e.codes[1] + 1] + q.l[16 + e.codes[2] + 1]
-        |    + q.l[32 + e.codes[3] + 1] + q.l[48 + e.codes[4] + 1]
-        |    + q.l[64 + e.codes[5] + 1] + q.l[80 + e.codes[6] + 1]
-        |    + q.l[96 + e.codes[7] + 1] + q.l[112 + e.codes[8] + 1] AS adist
+        |    q.l[e.codes[1]*8 + 1] + q.l[e.codes[2]*8 + 2]
+        |    + q.l[e.codes[3]*8 + 3] + q.l[e.codes[4]*8 + 4]
+        |    + q.l[e.codes[5]*8 + 5] + q.l[e.codes[6]*8 + 6]
+        |    + q.l[e.codes[7]*8 + 7] + q.l[e.codes[8]*8 + 8] AS adist
         |  FROM lut q JOIN enc e ON e.vec_id <> q.q_id)
         |SELECT q_id, rn, n_id, ROUND(adist, 6) AS adist FROM (
         |  SELECT q_id, n_id, adist,
@@ -866,14 +904,11 @@ object Similarity {
         |      ORDER BY adist ASC, n_id ASC) AS rn
         |  FROM sc) WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
   ) { (spark, dir) =>
-    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val v = normalized(
+      Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")))
     val cb = pqCodebook(v)
     val enc = pqEncoded(v, cb)
-    val lut = pqDists(v.filter(col("vec_id") < 8), cb)
-      .groupBy(col("vec_id").as("q_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code"), col("dist")))),
-        s => s.getField("dist")).as("lut"))
+    val lut = pqLut(pqDists(v.filter(col("vec_id") < 8), cb))
     val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
     enc.join(broadcast(lut), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), pqAdc.as("adist"))
@@ -884,16 +919,74 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Per-query ADC lookup table: the 8×k distances collected into ONE
+    * (code, sub)-ordered array. Code-major order makes the flat index
+    * `code·8 + sub + 1` — a function of the FIXED subspace count only,
+    * so the same expression serves any codebook size (sub-major would
+    * bake k into the index and break on corpora with fewer seeds). */
+  private def pqLut(qDists: DataFrame): DataFrame =
+    qDists.groupBy(col("vec_id").as("q_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("sub"), col("dist")))),
+        s => s.getField("dist")).as("lut"))
+
   /** The ADC distance expression: 8 lookups + 7 left-associated adds
-    * over `lut` (128 doubles, (sub, code)-ordered) and `codes` (8 ints,
+    * over `lut` (8×k doubles, (code, sub)-ordered) and `codes` (8 ints,
     * sub-ordered) — matches the oracle's explicit chain bit-for-bit. */
   private def pqAdc: Column =
     (0 until pqSubs).map { s =>
       element_at(col("lut"),
-        lit(s * pqK + 1) + element_at(col("codes"), s + 1))
+        element_at(col("codes"), s + 1) * lit(pqSubs) + lit(s + 1))
     }.reduce(_ + _)
+
+  /** IVF×PQ — the composition a 100 TB embedding store actually runs as
+    * its ANN index: IVF routing picks WHICH vectors to score (nprobe=2
+    * of 16 inverted lists ⇒ ~1/8 of the corpus per query), PQ's ADC
+    * decides HOW each candidate is scored (8 LUT lookups off the 8-byte
+    * codes — no float vector is read at query time). Index build =
+    * cluster assignment + PQ encoding in ONE pipeline (the cluster id
+    * rides through the encode aggregations as a group key — corpus
+    * rows are never self-joined to glue the two halves together);
+    * query = broadcast (probe, LUT) rows, equi-join on the cluster id,
+    * map-side ADC, per-query top-k of skinny rows. Both legs exist
+    * standalone (q_sim_ivf_ann routes + exact-scores; q_sim_pq_search
+    * ADC-scores everything); this entry is their composition, and the
+    * phase boundaries staying DataFrames is exactly what makes the
+    * composition a two-line change. Rows-only driver check (the Lloyd
+    * centroid training isn't reasonably ANSI-SQL-expressible);
+    * SimilaritySpec pins the recall floor vs the exact q_sim_topk. */
+  val qSimIvfPq: QueryDef = QueryDef.noOracle("q_sim_ivfpq") { (spark, dir) =>
+    // unit-normalized, narrowed once to float32: the routing cosine is
+    // the native float loop, and PQ's fold widens back to double — at
+    // this point in the pipeline the vectors are index artifacts, not
+    // the exactness-bearing corpus
+    val nv = normalized(
+      Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val cb = pqCodebook(nv)
+    val cents = ivfCentroids(nv)
+    val assigned = ivfNearest(nv, cents, "cluster")
+    // (vec_id, cluster, codes): the inverted-list + code table — 12 B a
+    // row at scale; `cluster` rides the encode as a group key
+    val enc = pqEncoded(
+      assigned.select(col("vec_id"), col("cluster"), col("embedding")), cb)
+    val lut = pqLut(pqDists(nv.filter(col("vec_id") < 8), cb))
+    val qrows = ivfProbes(nv, cents, nprobe = 2)
+      .join(lut, "q_id")
+      .select(col("q_id"), col("probe"), col("lut"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
+    enc.join(broadcast(qrows),
+        col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), pqAdc.as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("n_id"),
+        round(col("adist"), 6).as("adist"))
+      .orderBy("q_id", "rn")
+  }
 
   val all: Seq[QueryDef] = Seq(
     qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn, qEmbedQuantize,
-    qEmbedOutliers, qDedupSemantic, qSimPq, qSimPqSearch)
+    qEmbedOutliers, qDedupSemantic, qSimPq, qSimPqSearch, qSimIvfPq)
 }

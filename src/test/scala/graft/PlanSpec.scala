@@ -24,6 +24,8 @@ class PlanSpec extends SparkSpec {
   private val nonEquiByDesign = Set(
     "q_join_theta", "q_join_range", "q_scalar_subquery", "q_exists_subquery",
     "q_sim_cosine_pairs", "q_sim_topk", "q_sim_topk_fast", "q_sim_ivf_ann",
+    "q_sim_pq_search", // 8-row broadcast LUT vs corpus codes: non-equi by design
+    "q_sim_ivfpq", // centroid assignment + broadcast probe rows (IVF shape)
     "q_dedup_embedding", // pair stage = q_sim_cosine_pairs' all-pairs scan
     "q_ts_gapfill", // dimension-grid generation: 30-day × 5-type broadcast cross
     "q_sample_balance", // 1-row broadcast target-count scalar attach
@@ -304,6 +306,29 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("graft_lsh_bucket")).mkString("\n")
     assert(!bucketScan.contains("lambdafunction"),
       s"interpreted HOF on the full-scan path:\n$bucketScan")
+  }
+
+  test("PQ ADC search: codegen lookup chain on the corpus path, no shuffle join, bounded exchanges") {
+    // the 100 TB contract of q_sim_pq_search: the corpus-sized side
+    // (code rows) must reach the per-query top-k through broadcasts
+    // only — no sort-merge/shuffled-hash join anywhere — and the ADC
+    // distance must be the plain element_at chain (pure codegen), not
+    // an interpreted HOF fold. The HOF folds that DO appear belong to
+    // the index-build/LUT phases (per-slice encode distances), never to
+    // the per-candidate scoring projection.
+    val p = plan("q_sim_pq_search")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus rows shuffled for a join on the ADC path:\n${p.take(4000)}")
+    val adc = p.linesIterator.filter(_.contains("adist")).mkString("\n")
+    assert(adc.contains("lut#") && adc.contains("codes#"),
+      s"ADC projection not found:\n${p.take(4000)}")
+    assert(!adc.contains("lambdafunction"),
+      s"interpreted HOF on the per-candidate scoring path:\n$adc")
+    // exchanges: encode argmin + codes-collect + LUT collect + top-k
+    // window on q_id — anything more means corpus rows started riding
+    // extra shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"extra shuffles on the ADC path:\n${p.take(4000)}")
   }
 
   test("ORC scan pushes the filter into the reader like parquet would") {

@@ -126,6 +126,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall")
   }
 
+  test("PQ ADC search recall floor vs exact cosine top-k") {
+    // unit-normalization makes ADC's L2 ranking a cosine ranking, so
+    // the overlap with the exact top-k measures pure quantization loss
+    // (8 subspaces × 16 codes on 64 dims — coarse by design at test
+    // scale); the floor pins a codebook/encode regression
+    val pq = Similarity.qSimPqSearch.run(spark, sf).collect()
+    assert(pq.length == 8 * 5)
+    val byQ = pq.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      val ds = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        "ADC distances must be non-decreasing in rank")
+    }
+    // uniformish random vectors are PQ's WORST case: pairwise cosines
+    // concentrate in a narrow band, so the 8×9-code quantization can't
+    // separate the top-5 from the next fifty (measured 0.175 here,
+    // 0.125 at sf0.01 — ~15× better than chance but absolutely low,
+    // faithfully reflecting the method's limits on clusterless data;
+    // real embedding corpora cluster, which is what PQ exploits). The
+    // floor pins a codebook/encode regression, not a quality claim —
+    // the hash-exact oracle carries the correctness load.
+    val recall = (topkPairs(pq) & brutePairs).size.toDouble / brutePairs.size
+    assert(recall >= 0.1, s"PQ ADC recall $recall")
+  }
+
+  test("IVF x PQ composed ANN recall floor vs exact cosine top-k") {
+    val ivfpq = Similarity.qSimIvfPq.run(spark, sf).collect()
+    assert(ivfpq.length == 8 * 5)
+    val recall =
+      (topkPairs(ivfpq) & brutePairs).size.toDouble / brutePairs.size
+    // routing loss (nprobe=2) stacks on quantization loss — the
+    // composed floor sits below the pure-ADC one by construction
+    // (measured 0.10 at sf0.001, 0.15 at sf0.01)
+    assert(recall >= 0.05, s"IVFxPQ recall $recall")
+    // ADC of unit vectors is a squared L2: bounded [0, 4]
+    assert(ivfpq.forall { r =>
+      val d = r.getDouble(3); d >= 0.0 && d <= 4.0 + 1e-9
+    })
+  }
+
   test("codegen graft_cosine top-k agrees with the exact-decimal baseline") {
     val fast = graft.queries.UdfQueries.qSimTopkFast.run(spark, sf).collect()
     assert(fast.length == brute.length)
