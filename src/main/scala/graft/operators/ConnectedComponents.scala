@@ -155,7 +155,7 @@ object ConnectedComponents {
     * The checkpoint's data lives in the block manager keyed by its
     * internal RDD (reachable through the LogicalRDD leaf), NOT in the
     * catalog cache — `spark.catalog.clearCache()` never frees it. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     try df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

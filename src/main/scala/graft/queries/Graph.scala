@@ -126,5 +126,247 @@ object Graph {
     Exec.materialized(rN, withDeg)
   }
 
-  val all: Seq[QueryDef] = Seq(qGraphPagerank)
+  /** The sf-independent CONVERGENCE graph: the nation↔region commerce
+    * map — 25 nation nodes (id = n_nationkey·4) and 5 region nodes
+    * (id = r_regionkey·4 + 1), linked both ways — plus a planted
+    * DANGLING node: every region links to one "archive" sink (id 2)
+    * that links nowhere. nation/region are fixed-size at every TPC-H
+    * sf, so the integer fixpoint's iteration count is a property of the
+    * ALGORITHM here, not of the scale factor — which is what lets the
+    * oracle unroll a fixed number of CTE steps and stay valid at any
+    * sf. */
+  private[graft] def nationGraphEdges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nat = t.nation.select(
+      (col("n_nationkey") * 4).cast("long").as("nn"),
+      (col("n_regionkey") * 4 + 1).cast("long").as("rn"))
+    nat.select(col("nn").as("src"), col("rn").as("dst"))
+      .unionAll(nat.select(col("rn").as("src"), col("nn").as("dst")))
+      .unionAll(t.region.select(
+        (col("r_regionkey") * 4 + 1).cast("long").as("src"),
+        lit(2L).as("dst")))
+  }
+
+  /** Iterations the oracle unrolls for q_graph_pagerank_converged —
+    * EVEN, and comfortably past the measured limit-cycle entry (step 41
+    * on the nation graph): even extra steps inside an absorbing
+    * period-≤2 cycle are identity, so the margin is free and GraphSpec
+    * asserts the loop's detected count stays under this. */
+  private[graft] val fixpointOracleIters = 96
+
+  private def convergedOracle(iters: Int): String = {
+    val head =
+      """WITH nat AS (
+        |  SELECT n_nationkey * 4 AS nn, n_regionkey * 4 + 1 AS rn
+        |  FROM nation),
+        |edges AS MATERIALIZED (
+        |  SELECT nn AS src, rn AS dst FROM nat
+        |  UNION ALL SELECT rn, nn FROM nat
+        |  UNION ALL SELECT r_regionkey * 4 + 1, 2 FROM region),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+        |nodes AS MATERIALIZED (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(150000 + (85 * (COALESCE(c.c, 0)
+         |      + (COALESCE((SELECT SUM(p.r) FROM r${k - 1} p
+         |           WHERE p.node NOT IN (SELECT src FROM deg)), 0)
+         |         // (SELECT COUNT(*) FROM nodes)))) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.r // d.d) AS c
+         |    FROM edges e JOIN r${k - 1} p ON e.src = p.node
+         |      JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) c USING (node))""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    head + steps + s"SELECT node, r FROM r$iters ORDER BY node"
+  }
+
+  /** PageRank RUN TO CONVERGENCE with a planted dangling node — the two
+    * gaps the fixed-3-iteration q_graph_pagerank leaves open, judged:
+    * the Spark side iterates until the micro-unit ranks reach their
+    * exact integer limit (no epsilon; the limit here is a period-2
+    * cycle — [[pagerankConvergedLocal]] for this config-sized graph,
+    * bit-equal by GraphSpec to the [[pagerankToFixpoint]] DataFrame
+    * loop that serves graphs beyond a task), while the oracle unrolls
+    * [[fixpointOracleIters]] even CTE steps of the identical integer
+    * recurrence (dangling mass = Σ ranks of out-degree-0 nodes,
+    * redistributed as `dangling div N` to every node before damping).
+    * Because the limit cycle is absorbing and both sides sit at even
+    * parity, the two agree IFF Spark's loop truly converged at or
+    * before the unroll count — the hash match IS the convergence proof,
+    * re-established by the driver every round. */
+  val qGraphPagerankConverged: QueryDef = QueryDef.oracle(
+    "q_graph_pagerank_converged", convergedOracle(fixpointOracleIters),
+  ) { (spark, dir) =>
+    pagerankConvergedLocal(nationGraphEdges(spark, dir)).orderBy("node")
+  }
+
+  /** One damped power-iteration step WITH dangling-node redistribution,
+    * composable lazily (no action inside): the dangling mass — ranks of
+    * nodes with no out-edges — rides as a broadcast 1-row aggregate and
+    * every node receives `dangling div N` before damping:
+    *
+    *   r'(v) = 150000 + (85 · (Σ_in contrib + dangling div N)) div 100
+    *
+    * Pure 64-bit integer arithmetic like [[pagerank]], so the fixpoint
+    * is an EXACT equality, engine- and parallelism-independent. `nodes`
+    * must be the full node set (nodes with no in-edges still hold
+    * rank). */
+  private def dampedStep(rank: DataFrame, withDeg: DataFrame, deg: DataFrame,
+      nodes: DataFrame, nn: Long): DataFrame = {
+    val dang = rank
+      .join(broadcast(deg.select(col("src"))), col("node") === col("src"),
+        "left_anti")
+      .agg(coalesce(sum(col("r")), lit(0L)).as("dtot"))
+    val contrib = withDeg.join(broadcast(rank), col("src") === col("node"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("r div d")).as("c"))
+      .withColumnRenamed("dst", "node")
+    nodes.join(broadcast(contrib), Seq("node"), "left")
+      .crossJoin(broadcast(dang))
+      .select(col("node"),
+        expr(s"150000L + (85L * (coalesce(c, 0L) + (dtot div ${nn}L))) div 100L")
+          .as("r"))
+  }
+
+  /** Fixed-iteration dangling-aware PageRank — exposed for GraphSpec's
+    * hand-computed dangling fixture and the step-equivalence proof.
+    * Per-step checkpoints for the same 3^k-blowup reason as the
+    * fixpoint loop (dampedStep reads its input three times). */
+  private[graft] def pagerankDangling(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(broadcast(deg), "src").persist()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint() // tiny; read by every iteration
+    val nn = nodes.count()
+    val r0 = nodes.select(col("node"), lit(1000000L).as("r"))
+    val stepped = (1 to iters).foldLeft(List(r0)) { (acc, _) =>
+      dampedStep(acc.head, withDeg, deg, nodes, nn)
+        .localCheckpoint(eager = false) :: acc
+    }
+    val res = Exec.materialized(stepped.head, withDeg)
+    stepped.tail.foreach(graft.operators.ConnectedComponents.unpersistCheckpoint)
+    graft.operators.ConnectedComponents.unpersistCheckpoint(nodes)
+    res
+  }
+
+  /** PageRank run to EXACT integer convergence (no epsilon — micro-unit
+    * LONG ranks compared bit-for-bit), with dangling mass redistributed
+    * uniformly each step. Exact-integer damped iteration does not
+    * always reach a strict fixpoint: the floor in `div` makes the last
+    * micro-unit of some ranks OSCILLATE, so the absorbing limit is a
+    * short CYCLE — measured period 2, entered at step 41, on the judged
+    * nation graph (a strict fixpoint is the period-1 case). The loop
+    * therefore chains iterations LAZILY in EVEN-sized chunks and stops
+    * when r_{t+chunk} == r_t exactly — equality at matched parity, so
+    * period-1 AND period-2 limits both terminate it, and the returned
+    * vector is the canonical even-phase answer (= the real-valued
+    * fixpoint rounded, ±1 micro-unit on the oscillating nodes). Each
+    * chunk boundary is ONE localCheckpoint + changed-count action — the
+    * ConnectedComponents economics: O(iters/chunk) jobs, lineage
+    * truncated so no plan deepens past a chunk. Because the limit cycle
+    * is absorbing, any even number of extra steps is identity — which
+    * is exactly why a fixed even-count CTE unroll can oracle this loop.
+    * Returns (ranks, iterations-run rounded up to the chunk). */
+  private[graft] def pagerankToFixpoint(edges: DataFrame, chunk: Int = 8,
+      maxIters: Int = 256): (DataFrame, Int) = {
+    require(chunk % 2 == 0, "chunk must be even: the integer limit can " +
+      "be a 2-cycle, detected only at matched parity")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(broadcast(deg), "src").persist()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val nn = nodes.count()
+    var rank = nodes.select(col("node"), lit(1000000L).as("r"))
+      .localCheckpoint(eager = false)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // EVERY step checkpoints (lazily): dampedStep references its input
+      // rank three times (dangling sum, contributions, the node join),
+      // so an unmaterialized k-step chain triples per step — the chunk's
+      // first action would cascade 3^k broadcast jobs (measured: a
+      // 10-minute hang at chunk = 8). Checkpointed, each step
+      // materializes once and the chunk costs O(chunk) tiny jobs.
+      val stepped = (1 to chunk).foldLeft(List(rank)) { (acc, _) =>
+        dampedStep(acc.head, withDeg, deg, nodes, nn)
+          .localCheckpoint(eager = false) :: acc
+      }
+      val next = stepped.head
+      // the changed-count is the chunk's closing action; comparing
+      // chunk-end vs chunk-start at even stride detects period-1 AND
+      // period-2 limits bit-exactly
+      val changed = next
+        .join(rank.withColumnRenamed("r", "r0"), "node")
+        .filter(col("r") =!= col("r0")).count()
+      stepped.tail.foreach(graft.operators.ConnectedComponents.unpersistCheckpoint)
+      rank = next
+      iters += chunk
+      converged = changed == 0
+    }
+    withDeg.unpersist(blocking = false)
+    graft.operators.ConnectedComponents.unpersistCheckpoint(nodes)
+    (rank, iters)
+  }
+
+  /** The convergence loop for a CONFIG-sized graph, run in ONE executor
+    * task: the judged nation graph is 31 nodes at every sf (nation and
+    * region are fixed-size tables), so the honest execution shape is the
+    * same as a centroid refinement — ship the broadcast-scale edge list
+    * to one task and iterate there, ONE job total, instead of paying
+    * ~2 scheduler round-trips per power iteration on 31 rows
+    * ([[pagerankToFixpoint]] remains the DataFrame-loop scale path for
+    * graphs beyond a task, and GraphSpec pins the two bit-equal on the
+    * judged graph). Stops at the first exact repeat at matched parity
+    * (covers the period-2 integer limit) and always returns the
+    * EVEN-phase vector — the parity the oracle's even CTE unroll
+    * lands on. */
+  private[graft] def pagerankConvergedLocal(edges: DataFrame,
+      maxIters: Int = 256): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        if (es.isEmpty) Iterator.empty
+        else {
+          val deg = es.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+          val inbound = es.groupBy(_._2)
+          val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+          val nn = nodes.length.toLong
+          def step(r: Map[Long, Long]): Map[Long, Long] = {
+            val share =
+              r.iterator.collect { case (n, v) if !deg.contains(n) => v }.sum / nn
+            nodes.iterator.map { n =>
+              val c = inbound.get(n).fold(0L)(_.iterator.map {
+                case (s, _) => r(s) / deg(s)
+              }.sum)
+              n -> (150000L + (85L * (c + share)) / 100L)
+            }.toMap
+          }
+          var rank = nodes.map(_ -> 1000000L).toMap
+          var prev1: Map[Long, Long] = null
+          var prev2: Map[Long, Long] = null
+          var t = 0
+          var done = false
+          while (!done && t < maxIters) {
+            prev2 = prev1; prev1 = rank; rank = step(rank); t += 1
+            done = rank == prev1 || (prev2 != null && rank == prev2)
+          }
+          if (t % 2 == 1) rank = step(rank) // even phase, oracle parity
+          rank.toSeq.sorted.iterator
+        }
+      }
+      .toDF("node", "r")
+  }
+
+  val all: Seq[QueryDef] = Seq(qGraphPagerank, qGraphPagerankConverged)
 }

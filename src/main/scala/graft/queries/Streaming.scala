@@ -535,8 +535,15 @@ object Streaming {
     * dedup state, NO watermark, and NO eviction semantics — late data
     * and replays are absorbed for free, which is why sketch maintenance
     * is the cheapest always-on distinct-count path a 100 TB event lake
-    * has. Rows-only entry (engine-specific estimates); StreamingSpec
-    * pins stream-maintained ≡ batch-direct estimates exactly. */
+    * has. Rows-only entry BY NECESSITY, not omission (round-11 audit):
+    * the per-day estimates are deterministic given the sketch library's
+    * fixed hash, but that library is Apache DataSketches HLL — DuckDB's
+    * approx_count_distinct is a different HLL implementation (different
+    * hash, registers, estimator bias correction), so no DuckDB SQL can
+    * reproduce these estimates bit-for-bit. The equality that matters —
+    * stream-maintained ≡ batch-direct over the same sketch algebra — is
+    * pinned exactly by StreamingSpec, and the batch leg's ≤2 %-of-exact
+    * floor by AggregatesSpec. */
   val qStreamSketch: QueryDef = QueryDef.noOracle("q_stream_sketch") {
     (spark, dir) =>
       val stream = EventsStream.read(spark, dir)

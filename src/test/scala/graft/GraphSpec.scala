@@ -28,6 +28,70 @@ class GraphSpec extends SparkSpec {
     assert(ranks(edges, 2) == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
   }
 
+  test("dangling redistribution: hand-computed one-step ranks on a 3-node sink graph") {
+    import spark.implicits._
+    // 1→2, 2→{1,3}; 3 DANGLES. share = r(3) div 3 = 333333
+    // r'(1) = 150000 + 85·(500000 + 333333) div 100 = 858333
+    // r'(2) = 150000 + 85·(1000000 + 333333) div 100 = 1283333
+    // r'(3) = 150000 + 85·(500000 + 333333) div 100 = 858333
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val r = graft.queries.Graph.pagerankDangling(edges, 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 858333L, 2L -> 1283333L, 3L -> 858333L))
+  }
+
+  test("fixpoint loop steps bit-equal the fixed-iteration chain (dangling graph)") {
+    // step-arithmetic equivalence of the two DataFrame representations:
+    // a capped (not yet converged) run of the chunked loop must land on
+    // exactly the ranks of the same number of unrolled steps
+    val edges = graft.queries.Graph.nationGraphEdges(spark, sf)
+    val (loop4, it) =
+      graft.queries.Graph.pagerankToFixpoint(edges, chunk = 2, maxIters = 4)
+    assert(it == 4) // the nation graph needs ~56 steps — 4 can't converge
+    val chain4 = graft.queries.Graph.pagerankDangling(edges, 4)
+    val a = loop4.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = chain4.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("converged pagerank: exact integer limit, even phase, dangling node fed") {
+    // independent driver-side reference: the judged graph is 31 fixed
+    // nodes, so the spec recomputes the recurrence in plain Scala and
+    // pins the operator's output bit-for-bit, including the period-2
+    // integer limit the even-phase rule canonicalizes
+    val edges = graft.queries.Graph.nationGraphEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val inbound = edges.groupBy(_._2)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nn = nodes.length.toLong
+    def step(r: Map[Long, Long]): Map[Long, Long] = {
+      val share =
+        r.iterator.collect { case (n, v) if !deg.contains(n) => v }.sum / nn
+      nodes.iterator.map { n =>
+        val c = inbound.get(n).fold(0L)(_.iterator.map {
+          case (s, _) => r(s) / deg(s)
+        }.sum)
+        n -> (150000L + (85L * (c + share)) / 100L)
+      }.toMap
+    }
+    // reference: run the even number of steps the oracle unrolls — the
+    // limit cycle is absorbing, so this IS the even-phase limit
+    val expect = (1 to graft.queries.Graph.fixpointOracleIters)
+      .foldLeft(nodes.map(_ -> 1000000L).toMap)((r, _) => step(r))
+    val got = graft.queries.Graph.qGraphPagerankConverged.run(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == expect)
+    // the limit is a true period-2 cycle (not a fixpoint): one more step
+    // changes ranks, two more steps return them
+    assert(step(expect) != expect)
+    assert(step(step(expect)) == expect)
+    // structure: 31 nodes (25 nations, 5 regions, 1 sink); the dangling
+    // sink holds real rank (it receives from every region)
+    assert(got.size == 31)
+    assert(got(2L) > 1000000L)
+  }
+
   test("judged query: suppliers outrank customers on the bipartite graph") {
     val rows = graft.queries.Graph.qGraphPagerank.run(spark, sf).collect()
     assert(rows.length == 20)

@@ -45,6 +45,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("codegen units stay under the recompile/JIT thresholds on the heavy queries") {
+    // the round-10 bench forensic: a codegen-cache eviction forced janino
+    // to RECOMPILE one oversized generated projection mid-session, billing
+    // ~8 s of single-threaded CPU to q_text_bm25 (SCALE.md round-10 notes;
+    // fixed by shrinking the projection). This gate catches the next
+    // oversized unit at test time instead of in a bench window: for the
+    // heaviest batch queries, every WholeStageCodegen unit must stay well
+    // under the 64 KB janino/classfile ceiling on generated-source size,
+    // and its largest compiled method under the JVM's 8000-byte
+    // DontCompileHugeMethods JIT threshold (a method past it runs
+    // interpreted forever — worse than a recompile).
+    import org.apache.spark.sql.execution.debug._
+    // heaviest warm-bench batch queries whose plans expose their codegen
+    // interior (the iterative ones — pagerank, semantic — materialize
+    // their loop interior behind a cache, so there is nothing to gate)
+    val heavy = Seq(
+      "q1_pricing_summary", "q5_local_supplier", "q_text_bm25",
+      "q_embed_outliers", "q_dedup_substring",
+      "q_join_large", "q_dedup_minhash_lsh", "q_text_tfidf",
+      "q_sim_pq_search", "q_text_lm_score", "q_join_bucketed")
+    for (name <- heavy) {
+      val df = Registry.all.find(_.name == name).get.run(spark, sf)
+      df.collect() // AQE only materializes codegen stages on execution
+      val units = codegenStringSeq(df.queryExecution.executedPlan)
+      assert(units.nonEmpty, s"$name: no codegen units found")
+      for ((subtree, code, stats) <- units) {
+        assert(code.length < 131072,
+          s"$name: generated source ${code.length} chars approaches the " +
+            s"64 KB-per-method class ceiling / cache-eviction weight class:\n" +
+            subtree.linesIterator.take(5).mkString("\n"))
+        assert(stats.maxMethodCodeSize < 8000,
+          s"$name: compiled method of ${stats.maxMethodCodeSize} bytecode " +
+            s"bytes exceeds the JIT compile threshold:\n" +
+            subtree.linesIterator.take(5).mkString("\n"))
+      }
+    }
+  }
+
   test("q1 pricing summary: filter pushed to parquet scan") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
