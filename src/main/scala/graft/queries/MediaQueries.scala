@@ -130,27 +130,31 @@ object MediaQueries {
     mediaHistCtes +
       """
         |SELECT m.kind, COUNT(DISTINCT m.doc_id) AS n, CAST(16 AS INT) AS dim,
-        |  CAST(SUM(CASE WHEN a.bin = 0 THEN CAST(CAST(CAST(a.c AS FLOAT4)
-        |      / CAST(a.nb AS FLOAT4) AS DOUBLE) AS DECIMAL(30,9))
-        |    ELSE CAST(0 AS DECIMAL(30,9)) END) AS DOUBLE) AS sum_f0,
-        |  CAST(SUM(CASE WHEN a.bin = 15 THEN CAST(CAST(CAST(a.c AS FLOAT4)
-        |      / CAST(a.nb AS FLOAT4) AS DOUBLE) AS DECIMAL(30,9))
-        |    ELSE CAST(0 AS DECIMAL(30,9)) END) AS DOUBLE) AS sum_f15
+        |  CAST(SUM(CASE WHEN a.bin = 0 THEN CAST(FLOOR(CAST(CAST(a.c AS FLOAT4)
+        |      / CAST(a.nb AS FLOAT4) AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sum_f0_ppb,
+        |  CAST(SUM(CASE WHEN a.bin = 15 THEN CAST(FLOOR(CAST(CAST(a.c AS FLOAT4)
+        |      / CAST(a.nb AS FLOAT4) AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sum_f15_ppb
         |FROM media m LEFT JOIN allc a
         |  ON a.kind = m.kind AND a.doc_id = m.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
+    // per-row float → double (exact) → ·1e9 (one IEEE multiply, same
+    // bits on every engine) → floor(x + 0.5) → exact BIGINT sum. The
+    // decimal(30,9) formulation this replaces broke at the round-11 sf1
+    // validation: DuckDB's double→DECIMAL cast double-rounds near a
+    // 1e-9 boundary, and with 800 k audio rows a handful land there —
+    // parts-per-billion INTEGERS carry the same information with no
+    // engine-specific cast semantics anywhere (the q_embed_quantize
+    // half-up pattern).
     Media.extractFeatures(Media.mediaTable(spark, dir)).toDF()
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), max(col("dim")).as("dim"),
-        // widen float→double EXACTLY before the decimal cast: both
-        // engines then round the same exact binary value to 9 dp
-        // (casting float straight to decimal would hinge on each
-        // engine's float-to-decimal path agreeing)
-        sum(element_at(col("feature"), 1).cast("double").cast("decimal(30,9)"))
-          .cast("double").as("sum_f0"),
-        sum(element_at(col("feature"), 16).cast("double").cast("decimal(30,9)"))
-          .cast("double").as("sum_f15"))
+        sum(floor(element_at(col("feature"), 1).cast("double")
+          * 1000000000d + 0.5)).cast("long").as("sum_f0_ppb"),
+        sum(floor(element_at(col("feature"), 16).cast("double")
+          * 1000000000d + 0.5)).cast("long").as("sum_f15_ppb"))
       .orderBy("kind")
   }
 

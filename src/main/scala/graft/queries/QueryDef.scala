@@ -62,7 +62,21 @@ object Exec {
 object Num {
   /** Order-independent sum of a double expression: exact decimal interior,
     * double exterior. Mirror in oracle SQL with
-    * `CAST(SUM(CAST(expr AS DECIMAL(30,6))) AS DOUBLE)`. */
+    * `CAST(SUM(CAST(expr AS DECIMAL(30,6))) AS DOUBLE)`.
+    *
+    * SCALE LIMIT of the exterior cast (found by the round-11 sf1
+    * validation): once |sum| exceeds 2^53·10^-scale (~9.0e9 at scale 6)
+    * the exact decimal no longer fits a double, and the two engines'
+    * rounding PATHS diverge — Spark's Decimal.toDouble is correctly
+    * rounded, DuckDB's DECIMAL→DOUBLE double-rounds (measured: exact
+    * …010.941590 → Spark …010.94159 [correct], DuckDB …010.941593).
+    * Oracles whose sums can cross that magnitude must spell the
+    * exterior as `CAST(CAST(SUM(…) AS VARCHAR) AS DOUBLE)` — the
+    * string route is correctly rounded in DuckDB, restoring
+    * bit-identity at every magnitude (q1/q5 do this). The same hazard
+    * exists per-row for double→DECIMAL casts at high scales: prefer
+    * integer outputs via `floor(x·10^k + 0.5)` (pure IEEE ops, engine-
+    * independent — see q_media_features). */
   def dsum(c: Column): Column =
     sum(c.cast("decimal(30,6)")).cast("double")
 

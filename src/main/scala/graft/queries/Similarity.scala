@@ -959,13 +959,20 @@ object Similarity {
     // unit-normalized, narrowed once to float32: the routing cosine is
     // the native float loop, and PQ's fold widens back to double — at
     // this point in the pipeline the vectors are index artifacts, not
-    // the exactness-bearing corpus
+    // the exactness-bearing corpus. The normalized corpus and the
+    // trained centroids feed MANY downstream subplans (codebook,
+    // assignment, encode, LUT, probes) — persisted, or Catalyst
+    // recomputes the normalization + Lloyd chains once per reference
+    // (measured 12 s vs ~4 s warm at sf0.1; at scale both are the
+    // staged index-build tables a production IVF-PQ writes anyway).
+    // Freed via Exec.materialized once the skinny result exists.
     val nv = normalized(
       Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), col("embedding").cast("array<float>")
         .as("embedding"))
+      .persist()
     val cb = pqCodebook(nv)
-    val cents = ivfCentroids(nv)
+    val cents = ivfCentroids(nv).persist()
     val assigned = ivfNearest(nv, cents, "cluster")
     // (vec_id, cluster, codes): the inverted-list + code table — 12 B a
     // row at scale; `cluster` rides the encode as a group key
@@ -976,7 +983,7 @@ object Similarity {
       .join(lut, "q_id")
       .select(col("q_id"), col("probe"), col("lut"))
     val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
-    enc.join(broadcast(qrows),
+    val res = enc.join(broadcast(qrows),
         col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), pqAdc.as("adist"))
       .withColumn("rn", row_number().over(w))
@@ -984,6 +991,7 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("n_id"),
         round(col("adist"), 6).as("adist"))
       .orderBy("q_id", "rn")
+    Exec.materialized(res, nv, cents)
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -33,17 +33,48 @@ object EventsStream {
     val path = s"$dir/events.parquet"
     val schema = schemas.computeIfAbsent(path,
       p => spark.read.parquet(p).schema)
-    // the file source wants a directory; stage one containing a symlink
-    // to the (read-only) events file. Unlike the graft.Staging derived
-    // artifacts this holds NO derived data — the symlink always reads
-    // whatever bytes currently live at the source path — so a plain
-    // dir-keyed path can't go stale (regenerated testdata reads fresh).
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_events_${dir.hashCode.toHexString}")
-    java.nio.file.Files.createDirectories(staged)
-    val link = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    // the file source wants a directory of FILES; stage one containing
+    // symlinks to the (read-only) events data. A single-file table gets
+    // one symlink; a Spark-written table (a DIRECTORY of part files —
+    // the sf1 ScaleGen output) gets one symlink per part, because the
+    // file stream source does not recurse into nested directories — a
+    // symlinked directory would silently stream ZERO rows (the round-11
+    // sf1 validation caught exactly that: 11 empty q_stream_* dumps).
+    // Unlike the graft.Staging derived artifacts the symlinks hold NO
+    // derived data — they always read whatever bytes currently live at
+    // the source — but the PART LIST of a directory table can change on
+    // regeneration, so that case keys on the content fingerprint.
+    val src = java.nio.file.Paths.get(path)
+    val staged =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val out = graft.Staging.path("graft_events_parts", path)
+        if (!java.nio.file.Files.exists(out.resolve("_STAGED"))) {
+          java.nio.file.Files.createDirectories(out)
+          val parts = java.nio.file.Files.list(src)
+          try {
+            val it = parts.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              if (p.getFileName.toString.endsWith(".parquet")) {
+                val l = out.resolve(p.getFileName.toString)
+                if (!java.nio.file.Files.exists(l))
+                  java.nio.file.Files.createSymbolicLink(l, p)
+              }
+            }
+          } finally parts.close()
+          java.nio.file.Files.write(out.resolve("_STAGED"),
+            Array.emptyByteArray)
+        }
+        out
+      } else {
+        val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_events_${dir.hashCode.toHexString}")
+        java.nio.file.Files.createDirectories(out)
+        val link = out.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, src)
+        out
+      }
     graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(staged.toString))
   }

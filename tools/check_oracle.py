@@ -77,7 +77,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():  # Spark-written table = a directory of part files
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     only = sys.argv[3:] or None
