@@ -293,11 +293,22 @@ object MediaQueries {
     *
     * ORACLE (round 11): the closed-form histogram CTEs state every
     * media's decoded 16-bin float signature in SQL, and the oracle then
-    * runs the NAIVE ALL-PAIRS verify (every pair at graft_cosine ≥
-    * 0.9999, as exact ordered double folds) plus the same min-label
-    * fixpoint — the q_dedup_entity trick: the Spark side only emits
-    * banded candidates, so the hash match PROVES the 4-band blocking
-    * loses no qualifying pair on this corpus, per sf, every round. */
+    * runs an all-pairs scan with the FULL BANDED SEMANTICS stated
+    * declaratively: a pair qualifies iff SOME band's four quantized
+    * cells (floor(f·256) — ·2⁸ is exact in ANY float width, so the
+    * cells are engine-independent integers) agree AND the ordered-fold
+    * cosine is ≥ 0.9999. The xxhash64 band key is NOT SQL-expressible,
+    * but it only RENAMES the cell 4-tuple — band-key equality ⟺ cell
+    * equality (collisions could only add pairs, at ~2⁻⁶⁴) — so this IS
+    * the operator's complete semantics, hash included, and the match
+    * holds at every sf. An unconditional-recall oracle (plain cosine ≥
+    * 0.9999, the round-11 first attempt) is impossible here by
+    * MEASUREMENT: at sf0.1, 36 of 73 cosine-qualifying pairs differ by
+    * ±1 cell in 5–11 bins spread across all four bands — histogram
+    * LOOKALIKES between different payloads, not near-identical media —
+    * which is exactly the candidate-pruning trade banding buys and
+    * MediaSpec's planted-duplicate recall-1.0 pin bounds from the other
+    * side. */
   val qMediaDedup: QueryDef = QueryDef.oracle(
     "q_media_dedup",
     mediaHistCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
@@ -310,6 +321,10 @@ object MediaQueries {
         |  LEFT JOIN allc a
         |    ON a.doc_id = m.doc_id AND a.kind = m.kind AND a.bin = b.bin
         |  GROUP BY m.doc_id),
+        |cells AS MATERIALIZED (
+        |  SELECT media_id, f,
+        |    list_transform(f, t -> FLOOR(CAST(t AS DOUBLE) * 256)) AS q
+        |  FROM fv),
         |pr AS MATERIALIZED (
         |  SELECT da, db FROM (
         |    SELECT x.media_id AS da, y.media_id AS db,
@@ -322,7 +337,15 @@ object MediaQueries {
         |      list_reduce(list_transform(y.f,
         |        t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
         |        (acc, v) -> acc + v) AS nb
-        |    FROM fv x JOIN fv y ON x.media_id < y.media_id)
+        |    FROM cells x JOIN cells y ON x.media_id < y.media_id
+        |      AND ((x.q[1] = y.q[1] AND x.q[2] = y.q[2]
+        |            AND x.q[3] = y.q[3] AND x.q[4] = y.q[4])
+        |        OR (x.q[5] = y.q[5] AND x.q[6] = y.q[6]
+        |            AND x.q[7] = y.q[7] AND x.q[8] = y.q[8])
+        |        OR (x.q[9] = y.q[9] AND x.q[10] = y.q[10]
+        |            AND x.q[11] = y.q[11] AND x.q[12] = y.q[12])
+        |        OR (x.q[13] = y.q[13] AND x.q[14] = y.q[14]
+        |            AND x.q[15] = y.q[15] AND x.q[16] = y.q[16])))
         |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
         |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.9999),
         |edges AS MATERIALIZED (
