@@ -599,9 +599,16 @@ object Dedup {
     * probe is exchange-free) — pairs are generated only from shingles
     * the two sides actually share, so candidate volume is linear in
     * shared-shingle occurrences (the substring-dedup argument), never
-    * |batch|×|base|. Verification is INTEGER-exact: Jaccard ≥ 1/2 ⟺
-    * 3·|∩| ≥ |A|+|B| — no float ever enters the result, so the oracle
-    * (same shingle strings, same counting) hash-matches exactly. */
+    * |batch|×|base|. Shared-shingle OCCURRENCE MASS itself grows
+    * superlinearly with corpus size for hot trigrams, though — the
+    * round-11 sf1 bench measured 36× warm at 10× input — which is
+    * exactly why the banded twin (q_dedup_incremental_lsh: hashed
+    * signature bands, no raw-shingle key, 5.4× at the same step)
+    * exists as the nightly-100 TB path; THIS entry stays the exact,
+    * oracle-able baseline of the pair. Verification is INTEGER-exact:
+    * Jaccard ≥ 1/2 ⟺ 3·|∩| ≥ |A|+|B| — no float ever enters the
+    * result, so the oracle (same shingle strings, same counting)
+    * hash-matches exactly. */
   val qDedupIncrementalFuzzy: QueryDef = QueryDef.oracle(
     "q_dedup_incremental_fuzzy",
     s"""WITH docs AS (SELECT doc_id, text FROM documents),
@@ -992,17 +999,20 @@ object Dedup {
     * (hyperplane buckets aren't ANSI-SQL-expressible). */
   val qDedupEmbeddingAnn: QueryDef = QueryDef.noOracle("q_dedup_embedding_ann") {
     (spark, dir) =>
-      // DEMO SLICE (even vec_ids = half the corpus): at 0.4 the 2-bit
-      // bands leave ~96% of pairs as candidates, so the demo's cost is
-      // ~quadratic in its slice — half the vectors cost a quarter of the
-      // full run while demonstrating the identical lesson (the measured
-      // full-corpus numbers live in annNearDupPairs' scaladoc and
-      // SCALE.md; the design-regime entry q_dedup_embedding_ann09 runs
-      // its full corpus). DedupSpec's precision/recall pins run the
-      // UNSLICED corpus against the exact pairs.
+      // DEMO SLICE, FIXED-SIZE (round 11; ≤2048 even vec_ids — the whole
+      // even half at sf ≤ 0.1): at 0.4 the 2-bit bands leave ~96% of
+      // pairs as candidates, so this entry's cost is ~quadratic in its
+      // slice BY DESIGN — a proportional slice therefore scaled
+      // quadratically with sf (measured 54× warm at the sf0.1→sf1
+      // step), exactly the class the sliced exactness baselines already
+      // solved. The fixed slice demonstrates the identical banded-plan
+      // lesson at constant cost; the design-regime entry
+      // q_dedup_embedding_ann09 runs its full corpus (its 8-bit bands
+      // keep candidates ~2%), and DedupSpec's precision/recall pins run
+      // the UNSLICED corpus against the exact pairs.
       val vecs = Tables(spark, dir).embeddings
         .select(col("vec_id"), col("embedding"))
-        .filter(col("vec_id") % 2 === 0)
+        .filter(col("vec_id") % 2 === 0 && col("vec_id") < 4096)
       val pairs = Similarity.annNearDupPairs(vecs, 0.4)
         .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       graft.operators.ConnectedComponents.summarized(pairs)(clusterSummary)

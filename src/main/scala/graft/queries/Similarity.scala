@@ -323,7 +323,12 @@ object Similarity {
     * plans; nothing is collected to the driver, so the same code shape
     * trains on 100 TB. */
   private def ivfCentroids(n: DataFrame): DataFrame = {
-    val seed = n.filter(col("vec_id") % 53 === 0)
+    // FIXED-COUNT seeds (≤16 at any sf): the unbounded `% 53` rule made
+    // k grow with the corpus, so the broadcast n×k assignment was
+    // silently QUADRATIC — measured 86× warm cost at the round-11
+    // sf0.1→sf1 step (378 centroids at sf1). k is a CONFIG in a real
+    // IVF index; corpus growth changes list sizes, never k itself.
+    val seed = n.filter(col("vec_id") % 53 === 0 && col("vec_id") < 53 * 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     ivfNearest(n, seed, "cluster")
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
