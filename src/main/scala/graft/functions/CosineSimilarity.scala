@@ -80,6 +80,12 @@ object GraftFunctions {
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Column-API entry point: `l2sq($"a", $"b")` — squared L2 distance,
+    * the PQ encode/LUT inner loop. */
+  def l2sq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2Squared(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Column-API entry point: `lshBucket($"embedding", 6)`. */
   def lshBucket(a: Column, nBits: Int): Column =
     GraftColumnBridge.column(HyperplaneBucket(
@@ -143,5 +149,6 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GramHashes.builder))
     ext.injectFunction((Fingerprint.ident, Fingerprint.info,
       Fingerprint.builder))
+    ext.injectFunction((L2Squared.ident, L2Squared.info, L2Squared.builder))
   }
 }

@@ -741,11 +741,12 @@ object Similarity {
       .select(keys.map(col) :+ pqSliced(col("embedding"), "vslice").as("x"): _*)
       .select(keys.map(col) :+ col("x.sub").as("sub")
         :+ col("x.vslice").as("vslice"): _*)
-    val dist = aggregate(
-      zip_with(col("vslice"), col("cslice"),
-        (x, y) => (x.cast("double") - y.cast("double"))
-          * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, z) => acc + z)
+    // the native codegen loop (graft_l2sq) — bit-identical to the
+    // declarative fold `aggregate(zip_with(…,(x,y)=>(x−y)²), 0.0, +)`
+    // it replaced (SimilaritySpec pins the twinhood over the corpus),
+    // so the DuckDB oracles are untouched; the interpreted HOF tower
+    // ran n×k times per corpus and dominated the PQ family's sf1 cost
+    val dist = graft.functions.GraftFunctions.l2sq(col("vslice"), col("cslice"))
     sliced.join(broadcast(cb), "sub")
       .select(keys.map(col) :+ col("sub") :+ col("code")
         :+ dist.as("dist"): _*)

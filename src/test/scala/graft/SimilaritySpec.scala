@@ -81,14 +81,44 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(0) >= 0L && r.getLong(0) < 64L)
   }
 
+  test("codegen graft_l2sq equals the declarative fold, float AND double inputs") {
+    // the arithmetic contract the PQ oracles lean on: the native loop
+    // must be bit-identical to aggregate(zip_with(…,(x,y)=>(x−y)²),0,+)
+    // over both element widths the pipeline feeds it
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.l2sq
+    def fold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, z) => acc + z)
+    val base = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"),
+        reverse(col("embedding")).as("other"))
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("od", col("other").cast("array<double>"))
+    val bad = base.filter(
+      l2sq(col("embedding"), col("other")) =!= fold(col("embedding"), col("other"))
+        || l2sq(col("ed"), col("od")) =!= fold(col("ed"), col("od"))
+        || l2sq(col("embedding"), col("embedding")) =!= lit(0.0)).count()
+    assert(bad == 0)
+  }
+
+  test("graft_l2sq works from pure SQL via the registered function") {
+    val r = spark.sql(
+      "SELECT graft_l2sq(array(1.0f, 2.0f), array(4.0f, 6.0f)) AS d").head()
+    assert(r.getDouble(0) == 25.0)
+  }
+
   test("native expressions: interpreted eval equals codegen over the corpus") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions._
     val e = Tables(spark, sf).embeddings
       .select(col("vec_id"), lshBucket(col("embedding"), 6).as("b"),
-        cosineSim(col("embedding"), col("embedding")).as("c"))
+        cosineSim(col("embedding"), col("embedding")).as("c"),
+        l2sq(col("embedding"), reverse(col("embedding"))).as("l"))
     def snap() = e.collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     val codegen = snap()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
