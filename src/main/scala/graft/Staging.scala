@@ -17,30 +17,48 @@ import java.nio.file.{Files, Path, Paths}
   * Stale artifacts from older fingerprints are simply never read again
   * (tmp reaper territory — nothing consults them).
   *
-  * The walk is metadata-only (no file reads) over the handful of parquet
-  * tables in an sf dir — milliseconds against the write it guards, so it
-  * runs fresh on every lookup (a cache would defeat the point).
+  * The walk reads metadata plus an 8 KB content probe per file (first and
+  * last 4 KB — parquet's header and footer, which change whenever the
+  * file is rewritten with different row groups, stats, or data). The
+  * probe closes the round-11 advice gap: (path, size, mtime) alone can
+  * collide when a regeneration rewrites same-sized files within the
+  * filesystem's mtime granularity (some filesystems truncate to whole
+  * seconds). Still milliseconds against the write it guards — an sf dir
+  * is a handful of tables, a few hundred part files at most — so it runs
+  * fresh on every lookup (a cache would defeat the point).
   */
 object Staging {
 
-  /** Digest of the source dir's recursive (path, size, mtime) listing. */
+  /** Digest of the source dir's recursive (path, size, mtime) listing
+    * plus a first/last-4 KB content probe of every regular file. */
   private[graft] def fingerprint(srcDir: String): String = {
     val root = Paths.get(srcDir).toAbsolutePath.normalize
-    val sb = new StringBuilder(root.toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(root.toString.getBytes("UTF-8"))
     if (Files.isDirectory(root)) {
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(root)
       try walk.iterator().asScala.toArray.sortBy(_.toString).foreach {
         (f: Path) =>
-          sb.append('|').append(root.relativize(f))
-          if (Files.isRegularFile(f))
-            sb.append(':').append(Files.size(f))
-              .append(':').append(Files.getLastModifiedTime(f).toMillis)
+          md.update(('|' + root.relativize(f).toString).getBytes("UTF-8"))
+          if (Files.isRegularFile(f)) {
+            val size = Files.size(f)
+            md.update((":" + size + ":" +
+              Files.getLastModifiedTime(f).toMillis).getBytes("UTF-8"))
+            val ch = java.nio.channels.FileChannel.open(f)
+            try {
+              val head = java.nio.ByteBuffer.allocate(4096)
+              ch.read(head, 0L); head.flip(); md.update(head)
+              if (size > 4096) {
+                val tail = java.nio.ByteBuffer.allocate(4096)
+                ch.read(tail, math.max(4096L, size - 4096)); tail.flip()
+                md.update(tail)
+              }
+            } finally ch.close()
+          }
       } finally walk.close()
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(sb.toString.getBytes("UTF-8")).take(8)
-      .map(b => f"$b%02x").mkString
+    md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
   /** /tmp staging path for artifact `prefix` derived from `srcDir`. */

@@ -151,10 +151,15 @@ object MediaQueries {
     Media.extractFeatures(Media.mediaTable(spark, dir)).toDF()
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), max(col("dim")).as("dim"),
+        // cast each floor(...) term to long BEFORE the sum so the
+        // aggregate is an exact integer sum at any corpus size — summing
+        // the ppb terms as IEEE doubles is only exact while the per-group
+        // partial stays under 2^53 (at sf1 the audio sum is already
+        // ~8e14, ~10× from that cliff).
         sum(floor(element_at(col("feature"), 1).cast("double")
-          * 1000000000d + 0.5)).cast("long").as("sum_f0_ppb"),
+          * 1000000000d + 0.5).cast("long")).as("sum_f0_ppb"),
         sum(floor(element_at(col("feature"), 16).cast("double")
-          * 1000000000d + 0.5)).cast("long").as("sum_f15_ppb"))
+          * 1000000000d + 0.5).cast("long")).as("sum_f15_ppb"))
       .orderBy("kind")
   }
 

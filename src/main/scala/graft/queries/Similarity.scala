@@ -150,13 +150,17 @@ object Similarity {
     val q = raw.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"))
     val wf = Window.partitionBy("q_id").orderBy(col("cos_f").desc, col("n_id").asc)
-    val cand = raw.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    // keep cos_f and rf so the rank-32 cut value is available to the
+    // exactness guard below; localCheckpoint (≤8×32 rows) so the corpus
+    // scan runs once even though the candidate set is consumed twice
+    val candFull = raw.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         graft.functions.GraftFunctions.cosineSim(col("eq"), col("embedding"))
           .as("cos_f"))
       .withColumn("rf", row_number().over(wf))
       .filter(col("rf") <= 32)
-      .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val cand = candFull.select(col("q_id"), col("n_id"))
     val nq = q.select(col("q_id"), col("eq"),
       ddot(col("eq"), col("eq")).as("nq"))
     val nc = raw
@@ -165,14 +169,51 @@ object Similarity {
       .select(col("n_id"), col("embedding").as("ec"),
         ddot(col("embedding"), col("embedding")).as("ncn"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    cand.join(broadcast(nq), "q_id")
+    val top5 = cand.join(broadcast(nq), "q_id")
       .join(broadcast(nc), "n_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("eq"), col("nq"), col("ec"), col("ncn")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-      .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rn")
+      .localCheckpoint()
+    // Exactness guard (round 12): the rank-32 prefilter is a heuristic —
+    // exact iff the true top-5 survives the float cut. Sufficient
+    // condition, checked at runtime on aggregate-sized data (≤8 rows):
+    // per query, exact cos at rank 5 must exceed the float cos at rank
+    // 32 by > 2e-12 (2× graft_cosine's worst-case deviation from the
+    // exact value). Any vector outside the candidates has float cos ≤
+    // cut, hence exact cos ≤ cut + 1e-12 < exact@5 — it cannot displace
+    // the emitted ranking. On violation (a corpus packed with ~28+
+    // near-identical vectors at the cut boundary) fall back to the
+    // all-exact single-phase scan, trading speed for unconditional
+    // correctness.
+    val cut = candFull.filter(col("rf") === 32)
+      .select(col("q_id"), col("cos_f").as("cut_f"))
+    val violations = top5.groupBy("q_id").agg(min(col("cos")).as("min5"))
+      .join(cut, Seq("q_id"))
+      .filter(col("min5") <= col("cut_f") + lit(2e-12))
+      .count()
+    if (violations == 0) {
+      top5
+        .select(col("q_id"), col("rn"), col("n_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rn")
+    } else {
+      val nAll = raw.select(col("vec_id"), col("embedding"),
+        ddot(col("embedding"), col("embedding")).as("nrm"))
+      val qn = nAll.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+          col("nrm").as("nq"))
+      val we = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      nAll.join(broadcast(qn), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosine(col("eq"), col("nq"), col("embedding"), col("nrm")).as("cos"))
+        .withColumn("rn", row_number().over(we))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("n_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rn")
+    }
   }
 
   /** Random-hyperplane LSH bucketing: 6 sign bits from dot products with
@@ -511,14 +552,16 @@ object Similarity {
     val centsF = cents.select(col("g"), col("c"),
       col("c").cast("array<float>").as("cf"))
     val wf = Window.partitionBy("g").orderBy(col("cos_f").asc, col("vec_id").asc)
-    val candIds = v.join(broadcast(centsF), "g")
+    // keep cos_f/rf for the exactness guard; ≤32×|groups| rows
+    val candFull = v.join(broadcast(centsF), "g")
       .select(col("g"), col("vec_id"),
         graft.functions.GraftFunctions.cosineSim(col("embedding"), col("cf"))
           .as("cos_f"))
       .withColumn("rf", row_number().over(wf))
       .filter(col("rf") <= 32)
-      .select(col("vec_id"))
-    val scored = v.join(broadcast(candIds), "vec_id")
+      .localCheckpoint()
+    val candIds = candFull.select(col("vec_id"))
+    def scoreExact(rows: DataFrame): DataFrame = rows
       .join(broadcast(cents), "g")
       .select(col("g"), col("vec_id"),
         ddotFD(col("embedding"), col("c")).as("dot"),
@@ -529,8 +572,27 @@ object Similarity {
         when(col("ne") * col("nc") > 0,
           col("dot") / sqrt(col("ne") * col("nc"))).otherwise(0.0).as("cos"))
     val w = Window.partitionBy("g").orderBy(col("cos").asc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
+    val bottom3 = scoreExact(v.join(broadcast(candIds), "vec_id"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
+      .localCheckpoint()
+    // Exactness guard (round 12, mirrors q_sim_topk): the rank-32 cut is
+    // exact iff the true bottom-3 survives it. Here the prefilter error
+    // budget is the float-narrowed centroid's ≲1e-6 cosine perturbation,
+    // so require exact cos at rank 3 < float cos at rank 32 minus 2e-6
+    // per group (≤|groups| rows checked). On violation, score the whole
+    // corpus exactly.
+    val cut = candFull.filter(col("rf") === 32)
+      .select(col("g"), col("cos_f").as("cut_f"))
+    val violations = bottom3.groupBy("g").agg(max(col("cos")).as("max3"))
+      .join(cut, Seq("g"))
+      .filter(col("max3") >= col("cut_f") - lit(2e-6))
+      .count()
+    val ranked =
+      if (violations == 0) bottom3
+      else scoreExact(v).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    ranked
       .select(col("g"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
       .orderBy("g", "rn")
   }

@@ -44,7 +44,10 @@ object EventsStream {
     // derived data — they always read whatever bytes currently live at
     // the source — but the PART LIST of a directory table can change on
     // regeneration, so that case keys on the content fingerprint.
-    val src = java.nio.file.Paths.get(path)
+    // absolutize BEFORE linking: symlink targets are stored verbatim, so
+    // a relative sf dir would make links under /tmp resolve relative to
+    // the staging dir and dangle — silently streaming zero rows
+    val src = java.nio.file.Paths.get(path).toAbsolutePath.normalize
     val staged =
       if (java.nio.file.Files.isDirectory(src)) {
         val out = graft.Staging.path("graft_events_parts", path)
