@@ -354,6 +354,137 @@ object Dedup {
     * — one definition for every fingerprint-grouping oracle). */
   private val fpSql: String = FingerprintSql.sql("text")
 
+  /** The shared MinHash-LSH oracle program ([[Xxh64Sql]] rendering of
+    * shingle-hash → 16-lane MinHash → 8×2 band keys — the exact integer
+    * algebra of [[graft.functions.ShingleHashes]] /
+    * [[graft.functions.MinHashSignature]] / `bandKeys`): CTEs from a
+    * source CTE `src` holding `keys` + `text`, ending in `bands`
+    * (keys, band, key), `arr` (keys, s = the doc's distinct shingle-hash
+    * list), and `sigs` (keys, h). One generator for both the whole-corpus
+    * LSH oracle and the incremental banded-index oracle — the two sides'
+    * signature algebra must never drift, on the SQL side exactly as on
+    * the Spark side. */
+  private def lshOracleProgram(
+      src: String, keys: Seq[String]): Seq[(String, String)] = {
+    val k = keys.mkString(", ")
+    val kq = keys.map("s." + _).mkString(", ")
+    val seedVals = graft.functions.MinHashSignature.seeds(16).zipWithIndex
+      .map { case (s, i) => s"($i, ${Xxh64Sql.u64(s.toString)})" }
+      .mkString(", ")
+    val onKeys = keys.map(c => s"a.$c = b2.$c").mkString(" AND ")
+    val ka = keys.map("a." + _).mkString(", ")
+    Seq(
+      "ws" -> (s"SELECT $k, list_filter(string_split(text, ' '), " +
+        s"x -> x <> '') AS ws FROM $src"),
+      "gr" -> (s"SELECT $k, unnest(list_distinct(list_transform(" +
+        "range(1, len(ws) - 1), i -> ws[CAST(i AS INT)] || ' ' || " +
+        "ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)]))) AS s " +
+        "FROM ws")
+    ) ++ Xxh64Sql.strHash("sh", "gr", keys, "s", "h") ++ Seq(
+      "sigs" -> s"SELECT DISTINCT $k, h FROM sh_h",
+      "sd" -> s"SELECT * FROM (VALUES $seedVals) v(lane, seed)",
+      "lane_in" -> (s"SELECT $kq, s.h, d.lane, d.seed FROM sigs s " +
+        "CROSS JOIN sd d")
+    ) ++ Xxh64Sql.longHash("lh", "lane_in", keys ++ Seq("h", "lane"),
+      "h", "seed", "rh") ++ Seq(
+      "mh" -> (s"SELECT $k, lane, MIN(rh) AS v FROM lh_h GROUP BY " +
+        (1 to keys.size + 1).mkString(", ")),
+      "bd0" -> (s"SELECT $ka, a.lane // 2 AS band, a.v AS m1, b2.v AS m2 " +
+        s"FROM mh a JOIN mh b2 ON $onKeys AND b2.lane = a.lane + 1 " +
+        "WHERE a.lane % 2 = 0")
+    ) ++ Xxh64Sql.longHash("b1", "bd0", keys ++ Seq("band", "m1", "m2"),
+      "m1", "CAST(42 AS HUGEINT)", "hk1") ++
+      Xxh64Sql.longHash("b2", "b1_h", keys ++ Seq("band", "m2"),
+        "m2", Xxh64Sql.u64("hk1"), "key") ++ Seq(
+      "bands" -> s"SELECT $k, band, key FROM b2_h",
+      "arr" -> (s"SELECT $k, list(h) AS s FROM sigs GROUP BY " +
+        (1 to keys.size).mkString(", ")))
+  }
+
+  /** q_dedup_minhash_lsh's oracle: the [[lshOracleProgram]] over the
+    * whole corpus, then the same band-bucket candidate join and exact
+    * integer Jaccard confirm the Spark side runs. */
+  private def minhashLshOracleSql: String = Xxh64Sql.render(
+    Seq("d0" -> "SELECT doc_id, text FROM documents") ++
+      lshOracleProgram("d0", Seq("doc_id")) ++ Seq(
+      "cand" -> ("SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
+        "AND a.doc_id < b.doc_id")),
+    """SELECT c.doc_a, c.doc_b,
+      |  CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS n_inter,
+      |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS INT)
+      |    AS n_union
+      |FROM cand c
+      |JOIN arr sa ON sa.doc_id = c.doc_a
+      |JOIN arr sb ON sb.doc_id = c.doc_b
+      |WHERE 2 * len(list_intersect(sa.s, sb.s))
+      |      >= len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+      |ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** q_dedup_incremental_lsh's oracle: the same program over the
+    * side-tagged base ∪ batch union (hash chains run once for both
+    * sides), base×batch band-bucket candidates, exact 3·|∩| ≥ |A|+|B|
+    * confirm. */
+  private def incrementalLshOracleSql: String = {
+    val scr = Scramble.sql("doc_id")
+    Xxh64Sql.render(
+      Seq(
+        "base" -> s"SELECT doc_id, text FROM documents WHERE $scr % 4 <> 0",
+        "batch" -> (s"SELECT doc_id, text FROM documents WHERE $scr % 4 = 0 " +
+          "UNION ALL SELECT doc_id + 1000000000, text || ' zz9x' FROM base " +
+          s"WHERE $scr % 9 = 1"),
+        "du" -> ("SELECT 0 AS side, doc_id, text FROM base " +
+          "UNION ALL SELECT 1, doc_id, text FROM batch")) ++
+        lshOracleProgram("du", Seq("side", "doc_id")) ++ Seq(
+        "cand" -> ("SELECT DISTINCT b.doc_id AS batch_doc, " +
+          "a.doc_id AS base_doc FROM bands a JOIN bands b " +
+          "ON a.band = b.band AND a.key = b.key " +
+          "WHERE a.side = 0 AND b.side = 1")),
+      """SELECT c.batch_doc, c.base_doc,
+        |  CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS n_shared,
+        |  CAST(len(sa.s) AS INT) AS n_batch_shingles,
+        |  CAST(len(sb.s) AS INT) AS n_base_shingles
+        |FROM cand c
+        |JOIN arr sa ON sa.side = 1 AND sa.doc_id = c.batch_doc
+        |JOIN arr sb ON sb.side = 0 AND sb.doc_id = c.base_doc
+        |WHERE 3 * len(list_intersect(sa.s, sb.s)) >= len(sa.s) + len(sb.s)
+        |ORDER BY batch_doc, base_doc""".stripMargin)
+  }
+
+  /** q_dedup_simhash's oracle: per-token xxhash64 ([[Xxh64Sql]]), 64
+    * per-bit occurrence sums per doc, sign-packed signature, the same
+    * 4×16-bit multi-block candidate scheme, Hamming ≤ 4 via
+    * bit_count(xor). */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until 64)
+      .map(i => s"SUM((hu // ${BigInt(1) << i}) % 2) AS c$i")
+      .mkString(", ")
+    val sigTerm = (0 until 64)
+      .map(i => s"(CASE WHEN 2*c$i > n THEN CAST(${BigInt(1) << i} " +
+        "AS HUGEINT) ELSE 0 END)")
+      .mkString(" + ")
+    Xxh64Sql.render(
+      Seq("tok" -> ("SELECT doc_id, unnest(list_filter(" +
+        "string_split(text, ' '), x -> x <> '')) AS w FROM documents")) ++
+        Xxh64Sql.strHash("th", "tok", Seq("doc_id"), "w", "h") ++ Seq(
+        "thu" -> s"SELECT doc_id, ${Xxh64Sql.u64("h")} AS hu FROM th_h",
+        "cnt" -> s"SELECT doc_id, COUNT(*) AS n, $bitSums FROM thu GROUP BY 1",
+        "sig" -> s"SELECT doc_id, $sigTerm AS sig FROM cnt",
+        "blk" -> ("SELECT doc_id, sig, b, (sig // (CASE b WHEN 0 THEN 1 " +
+          "WHEN 1 THEN 65536 WHEN 2 THEN 4294967296 " +
+          "ELSE 281474976710656 END)) % 65536 AS key " +
+          "FROM sig, unnest([0, 1, 2, 3]) AS t(b)"),
+        "cand" -> ("SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, " +
+          "a.sig AS sa, b2.sig AS sb FROM blk a JOIN blk b2 ON a.b = b2.b " +
+          "AND a.key = b2.key AND a.doc_id < b2.doc_id")),
+      """SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(CAST(sa AS UBIGINT), CAST(sb AS UBIGINT)))
+        |    AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(CAST(sa AS UBIGINT), CAST(sb AS UBIGINT))) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** INCREMENTAL cross-snapshot dedup — the nightly-pipeline shape: dedup
     * an incoming batch against the existing corpus snapshot WITHOUT
     * reprocessing the base, then merge survivors so the output IS the
@@ -760,13 +891,15 @@ object Dedup {
     * Banding's s-curve (8 bands × 2 rows: ~90% per-pair candidate
     * probability AT the J = ½ boundary, →1 rapidly above) is the
     * documented trade for skew safety — borderline pairs can be missed,
-    * planted near-identical ones effectively never. No oracle (xxhash64
-    * signatures are Spark-specific); day-2 scan discipline matches
-    * q_dedup_incremental_indexed (PlanSpec: index paths present, only
-    * the batch-construction scans of documents, batch/candidate side
-    * always the broadcast build side). */
-  val qDedupIncrementalLsh: QueryDef = QueryDef.noOracle(
-    "q_dedup_incremental_lsh") { (spark, dir) =>
+    * planted near-identical ones effectively never. ORACLE-CHECKED
+    * since round 12: [[incrementalLshOracleSql]] re-derives the full
+    * xxhash64 signature/band algebra in DuckDB ([[Xxh64Sql]]), so the
+    * emitted pair list is hash-compared bit-for-bit; day-2 scan
+    * discipline matches q_dedup_incremental_indexed (PlanSpec: index
+    * paths present, only the batch-construction scans of documents,
+    * batch/candidate side always the broadcast build side). */
+  val qDedupIncrementalLsh: QueryDef = QueryDef.oracle(
+    "q_dedup_incremental_lsh", incrementalLshOracleSql) { (spark, dir) =>
     val idx = lshIndexPath(spark, dir)
     val baseBands = spark.read.parquet(s"$idx/bands")
       .select(col("id").as("base_doc"), col("band"), col("key"))
@@ -808,11 +941,15 @@ object Dedup {
     *   2. 8 bands × 2 rows: band key = hash of its minhash slice;
     *   3. candidates = equi-join on (band, key) — a hash join, no n² scan;
     *   4. verify candidates with exact Jaccard, keep ≥ 0.5.
-    * Output: confirmed near-dup pairs. No oracle (xxhash64 is Spark-
-    * specific); DedupSpec asserts LSH recall == 1.0 vs the exact
+    * Output: confirmed near-dup pairs. ORACLE-CHECKED since round 12:
+    * [[minhashLshOracleSql]] renders the identical shingle-hash →
+    * MinHash → band-key integer algebra in DuckDB via [[Xxh64Sql]] (a
+    * faithful SQL implementation of Spark's XXH64), so the driver
+    * hash-compares the confirmed pair list exactly; DedupSpec
+    * additionally asserts LSH recall == 1.0 vs the exact
     * q_dedup_ngram_jaccard pairs, and precision via the verify step. */
-  val qDedupMinhashLsh: QueryDef = QueryDef.noOracle("q_dedup_minhash_lsh") {
-    (spark, dir) =>
+  val qDedupMinhashLsh: QueryDef = QueryDef.oracle(
+    "q_dedup_minhash_lsh", minhashLshOracleSql) { (spark, dir) =>
       // cached: the shingle-hash arrays feed the signature build AND both
       // sides of the candidate-verification rejoin (hashes, not strings —
       // graft_minhash consumes them directly and exact-Jaccard
@@ -863,9 +1000,11 @@ object Dedup {
     * longs instead of two 64-element arrays, and Hamming distance is one
     * `bit_count(xor)`. One shuffle on doc_id, then 4 equi-joins-by-
     * explode on (block, value): hash joins, no n² scan. Kept at Hamming
-    * ≤ 4. No oracle (xxhash64); DedupSpec pins planted-dup recall. */
-  val qDedupSimhash: QueryDef = QueryDef.noOracle("q_dedup_simhash") {
-    (spark, dir) =>
+    * ≤ 4. ORACLE-CHECKED since round 12 via [[simhashOracleSql]] (the
+    * [[Xxh64Sql]] token-hash twin + the same per-bit vote and multi-block
+    * algebra in DuckDB); DedupSpec pins planted-dup recall. */
+  val qDedupSimhash: QueryDef = QueryDef.oracle(
+    "q_dedup_simhash", simhashOracleSql) { (spark, dir) =>
       val tok = Tables(spark, dir).documents
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
         .select(col("doc_id"), xxhash64(col("w")).as("h"))
