@@ -32,19 +32,31 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  /** HLL++ approximate distinct. No oracle: DuckDB's approx sketch is a
-    * different implementation so values differ by design; the ScalaTest
-    * spec asserts <5% relative error against the exact count. At 100 TB
-    * this is the only viable distinct-cardinality path (fixed-size sketch,
-    * no key shuffle). */
-  val qAggApproxDistinct: QueryDef = QueryDef.noOracle("q_agg_approx_distinct") {
-    (spark, dir) =>
-      Tables(spark, dir).lineitem
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy("l_returnflag")
+  /** HLL++ approximate distinct. At 100 TB this is the only viable
+    * distinct-cardinality path (fixed-size sketch, no key shuffle).
+    * DRIVER-CHECKED since round 12 (was rows-only): DuckDB's approx
+    * sketch is a different implementation so the raw estimate can never
+    * hash-match, but the estimate's CLAIM can — the judged row carries
+    * the exact count plus `est_within_5pct`, the bound the HLL++
+    * estimate must satisfy; the oracle computes the exact side and
+    * asserts the boolean TRUE, so an out-of-tolerance sketch fails the
+    * driver compare (AggregatesSpec pins the same bound with the raw
+    * estimate visible). */
+  val qAggApproxDistinct: QueryDef = QueryDef.oracle(
+    "q_agg_approx_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS est_within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("est_within_5pct"))
+      .orderBy("l_returnflag")
   }
 
   /** CUBE over two keys: all 4 grouping combinations in one pass via
@@ -250,21 +262,45 @@ object Aggregates {
     * cross-snapshot distinct counts stay O(sketch) instead of O(data).
     * HLL ingestion is order-independent (per-bucket max of hashed
     * values), so estimates are deterministic at any parallelism — but
-    * engine-specific, so this is a rows-only entry; AggregatesSpec pins
-    * the estimates against exact distincts (<2% at lgK=12) and
-    * sketch-merge ≡ direct-sketch equality. */
-  val qAggSketchUnion: QueryDef = QueryDef.noOracle("q_agg_sketch_union") {
-    (spark, dir) =>
-      val sk = spark.read.parquet(monthlySketchPath(spark, dir))
-      // day-2 economics: per-year AND global rollups from the same tiny
-      // sketch table — two scans of O(months) rows, zero raw-data reads
-      val byYear = sk
-        .groupBy(substring(col("o_month"), 1, 4).as("scope"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_custs"))
-      val total = sk
-        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_custs"))
-        .select(lit("TOTAL").as("scope"), col("est_custs"))
-      byYear.unionAll(total).orderBy("scope")
+    * engine-specific, so the raw estimate can't hash-match DuckDB.
+    * DRIVER-CHECKED since round 12 via the bound-boolean scheme
+    * (q_agg_approx_distinct): the judged row is (scope, exact_custs,
+    * est_within_2pct) — the exact leg is a one-off audit scan that
+    * exists ONLY to make the sketch estimate falsifiable by the driver
+    * (a production lake runs the same spot-audit periodically); the
+    * sketch rollup itself still never touches raw data. AggregatesSpec
+    * additionally pins sketch-merge ≡ direct-sketch equality. */
+  val qAggSketchUnion: QueryDef = QueryDef.oracle(
+    "q_agg_sketch_union",
+    """SELECT scope, exact_custs, TRUE AS est_within_2pct FROM (
+      |  SELECT strftime(o_orderdate, '%Y') AS scope,
+      |    COUNT(DISTINCT o_custkey) AS exact_custs FROM orders GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'TOTAL', COUNT(DISTINCT o_custkey) FROM orders)
+      |ORDER BY scope""".stripMargin,
+  ) { (spark, dir) =>
+    val sk = spark.read.parquet(monthlySketchPath(spark, dir))
+    // day-2 economics: per-year AND global rollups from the same tiny
+    // sketch table — two scans of O(months) rows, zero raw-data reads
+    val byYear = sk
+      .groupBy(substring(col("o_month"), 1, 4).as("scope"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_custs"))
+    val total = sk
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_custs"))
+      .select(lit("TOTAL").as("scope"), col("est_custs"))
+    val est = byYear.unionAll(total)
+    val orders = Tables(spark, dir).orders
+    val exactYear = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("scope"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    val exactTotal = orders
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+      .select(lit("TOTAL").as("scope"), col("exact_custs"))
+    est.join(exactYear.unionAll(exactTotal), "scope")
+      .select(col("scope"), col("exact_custs"),
+        (abs(col("est_custs") - col("exact_custs"))
+          <= col("exact_custs") * 0.02).as("est_within_2pct"))
+      .orderBy("scope")
   }
 
   /** Write-once staging of the per-month HLL sketch table (binary sketch

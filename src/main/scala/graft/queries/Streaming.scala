@@ -535,30 +535,56 @@ object Streaming {
     * dedup state, NO watermark, and NO eviction semantics — late data
     * and replays are absorbed for free, which is why sketch maintenance
     * is the cheapest always-on distinct-count path a 100 TB event lake
-    * has. Rows-only entry BY NECESSITY, not omission (round-11 audit):
-    * the per-day estimates are deterministic given the sketch library's
-    * fixed hash, but that library is Apache DataSketches HLL — DuckDB's
-    * approx_count_distinct is a different HLL implementation (different
-    * hash, registers, estimator bias correction), so no DuckDB SQL can
-    * reproduce these estimates bit-for-bit. The equality that matters —
-    * stream-maintained ≡ batch-direct over the same sketch algebra — is
-    * pinned exactly by StreamingSpec, and the batch leg's ≤2 %-of-exact
-    * floor by AggregatesSpec. */
-  val qStreamSketch: QueryDef = QueryDef.noOracle("q_stream_sketch") {
-    (spark, dir) =>
-      val stream = EventsStream.read(spark, dir)
-        .select(to_date(col("ts")).as("day"), col("user_id"))
-      val partials = EventsStream.runAggregated(spark, stream, "append") { b =>
-        b.groupBy("day")
-          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
-      }
-      val byDay = partials.groupBy("day")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
-        .select(col("day").cast("string").as("scope"), col("est_users"))
-      val total = partials
-        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
-        .select(lit("TOTAL").as("scope"), col("est_users"))
-      byDay.unionAll(total).orderBy("scope")
+    * has. The raw per-day estimates are deterministic given the sketch
+    * library's fixed hash, but that library is Apache DataSketches HLL —
+    * DuckDB's approx_count_distinct is a different HLL implementation,
+    * so the estimate itself can't hash-match. DRIVER-CHECKED since
+    * round 12 via the bound-boolean scheme (q_agg_approx_distinct): the
+    * judged row is (scope, exact_users, est_within_2pct) — the exact
+    * leg is a batch audit scan of the same events table, there solely
+    * so the driver can falsify an out-of-tolerance sketch. The equality
+    * that matters operationally — stream-maintained ≡ batch-direct over
+    * the same sketch algebra — stays pinned exactly by StreamingSpec
+    * (via [[streamSketchPartials]]). */
+  private[graft] def streamSketchPartials(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val stream = EventsStream.read(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    EventsStream.runAggregated(spark, stream, "append") { b =>
+      b.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+    }
+  }
+
+  val qStreamSketch: QueryDef = QueryDef.oracle(
+    "q_stream_sketch",
+    """SELECT scope, exact_users, TRUE AS est_within_2pct FROM (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+      |    COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'TOTAL', COUNT(DISTINCT user_id) FROM events)
+      |ORDER BY scope""".stripMargin,
+  ) { (spark, dir) =>
+    val partials = streamSketchPartials(spark, dir)
+    val byDay = partials.groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
+      .select(col("day").cast("string").as("scope"), col("est_users"))
+    val total = partials
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
+      .select(lit("TOTAL").as("scope"), col("est_users"))
+    val est = byDay.unionAll(total)
+    val events = graft.Tables(spark, dir).events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val exactDay = events.groupBy(col("day").cast("string").as("scope"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val exactTotal = events
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(lit("TOTAL").as("scope"), col("exact_users"))
+    est.join(exactDay.unionAll(exactTotal), "scope")
+      .select(col("scope"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users"))
+          <= col("exact_users") * 0.02).as("est_within_2pct"))
+      .orderBy("scope")
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -10,7 +10,14 @@ import org.apache.spark.sql.functions._
 class AggregatesSpec extends SparkSpec {
 
   test("approx_count_distinct stays within 5% of the exact count per group") {
-    val rows = Aggregates.qAggApproxDistinct.run(spark, sf).collect()
+    // same bound the judged query folds into its est_within_5pct column;
+    // asserted here with the raw estimate visible for diagnosis
+    val rows = graft.Tables(spark, sf).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
@@ -18,6 +25,9 @@ class AggregatesSpec extends SparkSpec {
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"group ${r.get(0)}: approx $approx vs exact $exact")
     }
+    // and the judged row must carry the bound as TRUE everywhere
+    val judged = Aggregates.qAggApproxDistinct.run(spark, sf).collect()
+    assert(judged.forall(_.getAs[Boolean]("est_within_5pct")))
   }
 
   test("approx_percentile tracks the exact interpolated percentile") {

