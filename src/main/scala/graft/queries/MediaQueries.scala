@@ -119,11 +119,17 @@ object MediaQueries {
 
   /** Decode → 16-bin histogram features, folded per kind with
     * exact-decimal sums (deterministic under any partitioning). Image
-    * rows run a REAL PPM pixel decode; audio rows a REAL WAV/PCM16
-    * decode (histogram over the decoded sample bytes); video keeps the
-    * byte-histogram stub. ORACLE-CHECKED since round 11 via the
-    * closed-form histogram CTEs ([[mediaHistCtes]]) — the hash match
-    * proves the decode→featurize path end-to-end, the same way
+    * rows run a REAL pixel decode — since round 12 over
+    * [[Media.codecMediaTable]], where two thirds of the image corpus is
+    * transcoded to PNG/BMP and decoded through `javax.imageio.ImageIO`
+    * (the remaining third through the hand-rolled PPM parser); audio
+    * rows a REAL WAV/PCM16 decode (histogram over the decoded sample
+    * bytes); video keeps the byte-histogram stub. ORACLE-CHECKED since
+    * round 11 via the closed-form histogram CTEs ([[mediaHistCtes]]) —
+    * the oracle is UNCHANGED by the transcode because PNG/BMP are
+    * lossless: the decoded raster, and hence every judged feature, is
+    * bit-identical to the PPM derivation, so the hash match now proves
+    * the ImageIO decode path end-to-end, the same way
     * q_media_audio/q_media_video prove the container roundtrips. */
   val qMediaFeatures: QueryDef = QueryDef.oracle(
     "q_media_features",
@@ -148,7 +154,7 @@ object MediaQueries {
     // parts-per-billion INTEGERS carry the same information with no
     // engine-specific cast semantics anywhere (the q_embed_quantize
     // half-up pattern).
-    Media.extractFeatures(Media.mediaTable(spark, dir)).toDF()
+    Media.extractFeatures(Media.codecMediaTable(spark, dir)).toDF()
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), max(col("dim")).as("dim"),
         // cast each floor(...) term to long BEFORE the sum so the
@@ -368,7 +374,11 @@ object MediaQueries {
 
   private[queries] def mediaDedupClusters(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val feats = Media.extractFeatures(Media.mediaTable(spark, dir)).toDF()
+    // codecMediaTable (round 12): the dedup signatures derive from
+    // ImageIO-decoded PNG/BMP rasters for 2/3 of the image corpus —
+    // bit-identical features (lossless containers), so the banded
+    // oracle below is untouched
+    val feats = Media.extractFeatures(Media.codecMediaTable(spark, dir)).toDF()
       .select(col("media_id"), col("feature"))
     graft.operators.ConnectedComponents.summarized(mediaDedupPairs(feats))(
       Dedup.clusterSummary)

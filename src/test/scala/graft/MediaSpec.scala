@@ -266,4 +266,59 @@ class MediaSpec extends SparkSpec {
       assert(frames.forall(f => f._1 == m.width && f._2 == m.height))
     }
   }
+
+  test("ImageIO codecs: PNG/BMP lossless, GIF palette-exact, JPEG real decode") {
+    val w = 13; val h = 7
+    // a raster with many distinct colors (beyond any 256 palette)
+    val px = Array.tabulate(w * h * 3)(i => ((i * 37 + i / 3) % 256).toByte)
+    for (fmt <- Seq("png", "bmp")) {
+      val enc = Media.encodeImage(fmt, w, h, px)
+      val Some((dw, dh, dp)) = Media.decodeImage(enc)
+      assert(dw == w && dh == h && dp.sameElements(px),
+        s"$fmt roundtrip must be bit-lossless")
+    }
+    // GIF: palette container — lossless iff ≤256 distinct colors
+    val gray = Array.tabulate(w * h * 3)(i => ((i / 3) % 256).toByte)
+    // make r=g=b per pixel so distinct colors ≤ 256
+    for (p <- 0 until w * h; c <- 0 until 3) gray(3 * p + c) = (p % 251).toByte
+    val gif = Media.encodeImage("gif", w, h, gray)
+    val Some((gw, gh, gp)) = Media.decodeImage(gif)
+    assert(gw == w && gh == h && gp.sameElements(gray),
+      "gif roundtrip of a <=256-color raster must be exact")
+    // JPEG: real decode (dims + determinism + bounded distortion on a
+    // smooth raster); exact pixel recovery is not a JPEG property
+    val smooth = Array.tabulate(w * h * 3)(i => ((i / 3) % 64 + 96).toByte)
+    val jpg = Media.encodeImage("jpg", w, h, smooth)
+    val Some((jw, jh, jp)) = Media.decodeImage(jpg)
+    assert(jw == w && jh == h && jp.length == w * h * 3)
+    val Some((_, _, jp2)) = Media.decodeImage(jpg)
+    assert(jp.sameElements(jp2), "JPEG decode must be deterministic")
+    val meanErr = jp.indices.map(i =>
+      math.abs((jp(i) & 0xff) - (smooth(i) & 0xff))).sum.toDouble / jp.length
+    assert(meanErr < 16.0, s"smooth-raster JPEG mean error $meanErr")
+    // PPM still routes through the fast byte parser under decodeImage
+    assert(Media.decodeImage(Media.encodePpm(w, h, px))
+      .exists(_._3.sameElements(px)))
+    // garbage is data, not an exception
+    assert(Media.decodeImage(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+    assert(Media.decodeImage(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0, 0, 0)).isEmpty)
+  }
+
+  test("codec table transcode is feature-invariant: ImageIO raster == PPM raster") {
+    val codec = Media.codecMediaTable(spark, sf).collect()
+    val ppmById = media.collect().map(m => m.media_id -> m).toMap
+    assert(codec.count(m => m.kind == "image" &&
+      m.payload.length >= 4 && m.payload(0) == 0x89.toByte) > 0,
+      "PNG payloads must exist in the codec table")
+    assert(codec.count(m => m.kind == "image" &&
+      m.payload(0) == 'B' && m.payload(1) == 'M') > 0,
+      "BMP payloads must exist in the codec table")
+    codec.filter(_.kind == "image").foreach { m =>
+      val Some((w, h, px)) = Media.decodeImage(m.payload)
+      val Some((w0, h0, px0)) = Media.decodePpm(ppmById(m.media_id).payload)
+      assert(w == w0 && h == h0 && px.sameElements(px0),
+        s"media ${m.media_id}: transcoded raster must be bit-identical")
+    }
+  }
 }
