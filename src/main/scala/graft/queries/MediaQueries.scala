@@ -302,17 +302,23 @@ object MediaQueries {
     * + aggregates — never an all-pairs scan — and the payload itself
     * stays at the scan (only 16 floats + 4 longs ride the shuffles).
     *
-    * ORACLE (round 11): the closed-form histogram CTEs state every
-    * media's decoded 16-bin float signature in SQL, and the oracle then
-    * runs an all-pairs scan with the FULL BANDED SEMANTICS stated
-    * declaratively: a pair qualifies iff SOME band's four quantized
-    * cells (floor(f·256) — ·2⁸ is exact in ANY float width, so the
-    * cells are engine-independent integers) agree AND the ordered-fold
-    * cosine is ≥ 0.9999. The xxhash64 band key is NOT SQL-expressible,
-    * but it only RENAMES the cell 4-tuple — band-key equality ⟺ cell
-    * equality (collisions could only add pairs, at ~2⁻⁶⁴) — so this IS
-    * the operator's complete semantics, hash included, and the match
-    * holds at every sf. An unconditional-recall oracle (plain cosine ≥
+    * ORACLE (round 11; pair stage restructured round 12): the
+    * closed-form histogram CTEs state every media's decoded 16-bin
+    * float signature in SQL, and the oracle then states the FULL BANDED
+    * SEMANTICS declaratively: a pair qualifies iff SOME band's four
+    * quantized cells (floor(f·256) — ·2⁸ is exact in ANY float width,
+    * so the cells are engine-independent integers) agree AND the
+    * ordered-fold cosine is ≥ 0.9999. The xxhash64 band key is NOT
+    * SQL-expressible, but it only RENAMES the cell 4-tuple — band-key
+    * equality ⟺ cell equality (collisions could only add pairs, at
+    * ~2⁻⁶⁴) — so this IS the operator's complete semantics, hash
+    * included, and the match holds at every sf. The round-12 rewrite
+    * replaced the OR-of-bands join predicate (which forced DuckDB into
+    * an all-pairs nested loop — the sf1-infeasibility the round-11
+    * verdict flagged) with four per-band EQUI-joins on the cell
+    * 4-tuples unioned then DISTINCTed — the same hash-join shape the
+    * Spark side runs, same emitted set, linear in band-bucket mass
+    * instead of quadratic in corpus size. An unconditional-recall oracle (plain cosine ≥
     * 0.9999, the round-11 first attempt) is impossible here by
     * MEASUREMENT: at sf0.1, 36 of 73 cosine-qualifying pairs differ by
     * ±1 cell in 5–11 bins spread across all four bands — histogram
@@ -336,9 +342,30 @@ object MediaQueries {
         |  SELECT media_id, f,
         |    list_transform(f, t -> FLOOR(CAST(t AS DOUBLE) * 256)) AS q
         |  FROM fv),
+        |bcand AS MATERIALIZED (
+        |  SELECT DISTINCT da, db FROM (
+        |    SELECT x.media_id AS da, y.media_id AS db FROM cells x
+        |    JOIN cells y ON x.q[1] = y.q[1] AND x.q[2] = y.q[2]
+        |      AND x.q[3] = y.q[3] AND x.q[4] = y.q[4]
+        |      AND x.media_id < y.media_id
+        |    UNION ALL
+        |    SELECT x.media_id, y.media_id FROM cells x
+        |    JOIN cells y ON x.q[5] = y.q[5] AND x.q[6] = y.q[6]
+        |      AND x.q[7] = y.q[7] AND x.q[8] = y.q[8]
+        |      AND x.media_id < y.media_id
+        |    UNION ALL
+        |    SELECT x.media_id, y.media_id FROM cells x
+        |    JOIN cells y ON x.q[9] = y.q[9] AND x.q[10] = y.q[10]
+        |      AND x.q[11] = y.q[11] AND x.q[12] = y.q[12]
+        |      AND x.media_id < y.media_id
+        |    UNION ALL
+        |    SELECT x.media_id, y.media_id FROM cells x
+        |    JOIN cells y ON x.q[13] = y.q[13] AND x.q[14] = y.q[14]
+        |      AND x.q[15] = y.q[15] AND x.q[16] = y.q[16]
+        |      AND x.media_id < y.media_id)),
         |pr AS MATERIALIZED (
         |  SELECT da, db FROM (
-        |    SELECT x.media_id AS da, y.media_id AS db,
+        |    SELECT c.da, c.db,
         |      list_reduce(list_transform(list_zip(x.f, y.f),
         |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
         |        (acc, v) -> acc + v) AS dot,
@@ -348,15 +375,8 @@ object MediaQueries {
         |      list_reduce(list_transform(y.f,
         |        t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
         |        (acc, v) -> acc + v) AS nb
-        |    FROM cells x JOIN cells y ON x.media_id < y.media_id
-        |      AND ((x.q[1] = y.q[1] AND x.q[2] = y.q[2]
-        |            AND x.q[3] = y.q[3] AND x.q[4] = y.q[4])
-        |        OR (x.q[5] = y.q[5] AND x.q[6] = y.q[6]
-        |            AND x.q[7] = y.q[7] AND x.q[8] = y.q[8])
-        |        OR (x.q[9] = y.q[9] AND x.q[10] = y.q[10]
-        |            AND x.q[11] = y.q[11] AND x.q[12] = y.q[12])
-        |        OR (x.q[13] = y.q[13] AND x.q[14] = y.q[14]
-        |            AND x.q[15] = y.q[15] AND x.q[16] = y.q[16])))
+        |    FROM bcand c JOIN cells x ON x.media_id = c.da
+        |    JOIN cells y ON y.media_id = c.db)
         |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
         |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.9999),
         |edges AS MATERIALIZED (
