@@ -5,7 +5,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Graft.builder is the tested session contract (UTC, extensions,
     // nanos handling) — the mains must not hand-roll drifting copies
-    val spark = Graft.builder(s"local[$cpus]", cpus.toInt)
+    // SPARK_GRAFT_CONF: optional comma-separated k=v session-conf
+    // overrides — the lever for the SCALE.md "config at scale" proof
+    // runs (e.g. shuffle partitions / maxPartitionBytes / broadcast
+    // threshold at sf1) without forking the bench harness
+    val builder0 = Graft.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       // shuffle files and broadcasts are reclaimed by the ContextCleaner,
       // which only acts when the JVM GCs their references — with a large
@@ -13,6 +17,11 @@ object Bench {
       // session doesn't accrete dead shuffle state (default is 30 min,
       // i.e. longer than the whole run)
       .config("spark.cleaner.periodicGC.interval", "1min")
+    val spark = sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(',')
+      .filter(_.contains('=')).foldLeft(builder0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed session warm-up: spins up executor threads and the codegen

@@ -1200,10 +1200,17 @@ object Dedup {
     // offset past the observed max (a column-pruned scan, aggregate-sized
     // result — the same class of scalar the CC convergence check pays)
     val off = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    // ±5% pseudo-random zigzag modulation, EXACT RATIONAL arithmetic
+    // (round 12; was cos(i) — libm, whose last-bit rounding is not
+    // specified identically across engines, which blocked the oracle):
+    // m(i) = (i·37 mod 200 − 100)/100 ∈ [−1, 1) — same paraphrase-grade
+    // cos(v, v′) ≈ 0.998 twins, but every operation is an IEEE op both
+    // engines perform bit-identically
     val twins = base.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + off).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          (x * (lit(1.0d) + lit(0.05d) * cos(i.cast("double"))))
+          (x * (lit(1.0d) + lit(0.05d) *
+            ((i.cast("long") * 37 % 200 - 100).cast("double") / lit(100.0d))))
             .cast("float")).as("embedding"))
     val pairs = Similarity
       .annNearDupPairs(base.unionByName(twins), 0.9, bandBits = 8, nBands = 6)

