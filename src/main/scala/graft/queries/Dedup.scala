@@ -1145,6 +1145,103 @@ object Dedup {
     graft.operators.ConnectedComponents.summarized(pairs)(clusterSummary)
   }
 
+  /** Decimal-exact norm / pairwise-cosine / connected-component oracle
+    * fragments shared by the embedding-ANN dedup oracles (same algebra
+    * as the q_dedup_embedding oracle — one definition per
+    * exactness-critical fragment). */
+  private val annNrmSql =
+    "CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) " +
+      "AS DECIMAL(30,12))) FROM unnest(embedding) t(e)) AS DOUBLE)"
+  private val annDcosSql =
+    "CAST((SELECT SUM(CAST(CAST(t.x AS DOUBLE) * CAST(t.y AS DOUBLE) " +
+      "AS DECIMAL(30,12))) FROM (SELECT unnest(a.embedding) AS x, " +
+      "unnest(b.embedding) AS y) t) AS DOUBLE) / sqrt(a.nrm * b.nrm)"
+  private val annCcSql =
+    """edges AS MATERIALIZED (
+      |  SELECT va AS a, vb AS b FROM pairs UNION ALL SELECT vb, va FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+      |comp AS (SELECT src AS v, MIN(dst) AS cluster FROM reach GROUP BY 1)
+      |SELECT cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(SUM(cluster) AS BIGINT) AS sum_canonical
+      |FROM (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_dedup_embedding_ann's oracle: hyperplane buckets via
+    * [[VecSql.lshBucket]], the any-band-agrees test as one 2-bit-lane
+    * bit trick on xor(bucket_a, bucket_b) (lane OR-fold ≠ all-lanes
+    * mask ⟺ some band's 2 bits agree — band-key equality IS cell
+    * equality), the float-cosine prefilter at threshold − 1e-6
+    * ([[VecSql.cos]], bit-identical to graft_cosine), then the
+    * decimal-exact ≥ 0.4 verify and the recursive-CTE cluster rollup.
+    * The pair loop is bounded by the judged query's own fixed slice
+    * (≤2048 even vec_ids), so the oracle is constant-cost in sf. */
+  private def embeddingAnnOracleSql: String = {
+    val mask = (0 until 24).map(i => 1L << (2 * i)).sum
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+      |  SELECT vec_id, embedding, ${VecSql.lshBucket("embedding", 48)} AS bucket
+      |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 4096),
+      |cand AS MATERIALIZED (
+      |  SELECT x.vec_id AS va, y.vec_id AS vb
+      |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+      |  WHERE ((xor(x.bucket, y.bucket) | (xor(x.bucket, y.bucket) // 2))
+      |         & $mask) <> $mask
+      |    AND ${VecSql.cos("x.embedding", "y.embedding")} >= 0.4 - 0.000001),
+      |n AS MATERIALIZED (
+      |  SELECT vec_id, embedding, $annNrmSql AS nrm FROM embeddings
+      |  WHERE vec_id % 2 = 0 AND vec_id < 4096),
+      |pairs AS MATERIALIZED (
+      |  SELECT va, vb FROM (
+      |    SELECT c.va, c.vb, $annDcosSql AS cos
+      |    FROM cand c JOIN n a ON a.vec_id = c.va JOIN n b ON b.vec_id = c.vb)
+      |  WHERE cos >= 0.4),
+      |""".stripMargin + annCcSql
+  }
+
+  /** q_dedup_embedding_ann09's oracle: the twin construction restated
+    * in SQL (exact rational modulation — the whole reason round 12
+    * replaced cos(i)), 6×8-bit band keys by shift/mask, banded
+    * candidates via per-band equi-joins (hash-join shape, scales with
+    * bucket mass), float prefilter at 0.9 − 1e-6, decimal ≥ 0.9
+    * verify, cluster rollup. */
+  private def embeddingAnn09OracleSql: String = {
+    val twin = "list_transform(range(1, len(embedding) + 1), i -> " +
+      "CAST(embedding[CAST(i AS INT)] * (1.0 + 0.05 * " +
+      "(CAST((i - 1) * 37 % 200 - 100 AS DOUBLE) / 100.0)) AS FLOAT4))"
+    s"""WITH RECURSIVE b0 AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings),
+      |tw AS MATERIALIZED (
+      |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM b0) AS vec_id,
+      |    $twin AS embedding
+      |  FROM b0 WHERE vec_id % 50 = 0),
+      |u AS MATERIALIZED (SELECT * FROM b0 UNION ALL SELECT * FROM tw),
+      |e AS MATERIALIZED (
+      |  SELECT vec_id, embedding, ${VecSql.lshBucket("embedding", 48)} AS bucket
+      |  FROM u),
+      |bb AS MATERIALIZED (
+      |  SELECT vec_id, b, (bucket // (CASE b WHEN 0 THEN 1099511627776
+      |    WHEN 1 THEN 4294967296 WHEN 2 THEN 16777216 WHEN 3 THEN 65536
+      |    WHEN 4 THEN 256 ELSE 1 END)) % 256 AS key
+      |  FROM e, unnest([0, 1, 2, 3, 4, 5]) t(b)),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      |  FROM bb x JOIN bb y ON x.b = y.b AND x.key = y.key
+      |    AND x.vec_id < y.vec_id),
+      |pre AS MATERIALIZED (
+      |  SELECT c.va, c.vb FROM cand c
+      |  JOIN e ea ON ea.vec_id = c.va JOIN e eb ON eb.vec_id = c.vb
+      |  WHERE ${VecSql.cos("ea.embedding", "eb.embedding")} >= 0.9 - 0.000001),
+      |n AS MATERIALIZED (SELECT vec_id, embedding, $annNrmSql AS nrm FROM u),
+      |pairs AS MATERIALIZED (
+      |  SELECT va, vb FROM (
+      |    SELECT p.va, p.vb, $annDcosSql AS cos
+      |    FROM pre p JOIN n a ON a.vec_id = p.va JOIN n b ON b.vec_id = p.vb)
+      |  WHERE cos >= 0.9),
+      |""".stripMargin + annCcSql
+  }
+
   /** Embedding near-dup dedup, ANN candidate path — the composition the
     * 100 TB deployment runs: banded-LSH candidate generation (equi-join
     * on (band, key), never n²) → the same decimal-exact cosine verify →
@@ -1153,9 +1250,12 @@ object Dedup {
     * recall math: exhaustive at the high-similarity regime ANN dedup is
     * built for, probabilistic at this catalog's deliberately wide 0.4
     * threshold (DedupSpec pins precision 1.0 + the recall floor + the
-    * planted-near-identical recall-1.0 proof). Rows-only driver check
-    * (hyperplane buckets aren't ANSI-SQL-expressible). */
-  val qDedupEmbeddingAnn: QueryDef = QueryDef.noOracle("q_dedup_embedding_ann") {
+    * planted-near-identical recall-1.0 proof). ORACLE-CHECKED since
+    * round 12 via [[embeddingAnnOracleSql]] — hyperplane buckets,
+    * banding, prefilter, decimal verify, and cluster rollup all
+    * restated in DuckDB, bit-for-bit. */
+  val qDedupEmbeddingAnn: QueryDef = QueryDef.oracle(
+    "q_dedup_embedding_ann", embeddingAnnOracleSql) {
     (spark, dir) =>
       // DEMO SLICE, FIXED-SIZE (round 11; ≤2048 even vec_ids — the whole
       // even half at sf ≤ 0.1): at 0.4 the 2-bit bands leave ~96% of
@@ -1190,10 +1290,12 @@ object Dedup {
     * the regime where it can't (per-pair miss (1−0.851)⁶ ≈ 1e-5; the
     * fixed hyperplanes make the outcome deterministic and DedupSpec pins
     * twin recall 1.0 exactly). Same verify, same fixpoint rollup.
-    * Rows-only driver check (hyperplane buckets aren't ANSI-SQL-
-    * expressible); the spec pins the exact cluster census instead. */
-  val qDedupEmbeddingAnn09: QueryDef = QueryDef.noOracle(
-    "q_dedup_embedding_ann09") { (spark, dir) =>
+    * ORACLE-CHECKED since round 12 via [[embeddingAnn09OracleSql]]
+    * (twin construction, buckets, banding, verify, rollup — the whole
+    * pipeline restated in DuckDB); the spec keeps the exact cluster
+    * census as the independent closed-form statement. */
+  val qDedupEmbeddingAnn09: QueryDef = QueryDef.oracle(
+    "q_dedup_embedding_ann09", embeddingAnn09OracleSql) { (spark, dir) =>
     val base = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
     // twin ids must never collide with real ids at ANY scale factor:
