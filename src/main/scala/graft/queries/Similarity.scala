@@ -414,10 +414,10 @@ object Similarity {
 
   /** IVF coarse-quantizer training: deterministic seed centroids (every
     * 53rd vector — k is a CONFIG at scale, centroids always broadcast),
-    * one Lloyd refinement step (assignment via [[ivfNearest]], update a
-    * posexplode + per-(cluster, dim) mean). All stages are DataFrame
-    * plans; nothing is collected to the driver, so the same code shape
-    * trains on 100 TB. */
+    * one Lloyd refinement step (assignment via [[ivfNearest]], update
+    * the exact fixed-point [[graft.functions.VectorCentroid]]). All
+    * stages are DataFrame plans; nothing is collected to the driver, so
+    * the same code shape trains on 100 TB. */
   private def ivfCentroids(n: DataFrame): DataFrame = {
     // FIXED-COUNT seeds (≤16 at any sf): the unbounded `% 53` rule made
     // k grow with the corpus, so the broadcast n×k assignment was
@@ -426,13 +426,20 @@ object Similarity {
     // IVF index; corpus growth changes list sizes, never k itself.
     val seed = n.filter(col("vec_id") % 53 === 0 && col("vec_id") < 53 * 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // Lloyd update via VectorCentroid (round 12; was a posexplode +
+    // avg(double)): avg's partial-merge order is partition-dependent,
+    // so the trained centroids carried nondeterministic low bits — fine
+    // for a recall floor, fatal for an oracle. The fixed-point
+    // aggregator is order-independent at any parallelism AND carries
+    // the q_udaf_centroid-proven DuckDB twin, which is what turns the
+    // whole IVF pipeline driver-checkable; it is also one partial+final
+    // aggregate of (dim+1) longs per cluster instead of an explode of
+    // every (vector × dim) row.
     ivfNearest(n, seed, "cluster")
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos").agg(avg(col("v")).as("m"))
       .groupBy("cluster")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m").cast("float")).as("ce"))
-      .select(col("cluster").as("cid"), col("ce"))
+      .agg(graft.functions.VectorCentroid.centroid(col("embedding")).as("cd"))
+      .select(col("cluster").as("cid"),
+        col("cd").cast("array<float>").as("ce"))
   }
 
   /** nprobe nearest centroids per query vector (vec_id < 8), the query
@@ -450,7 +457,72 @@ object Similarity {
       .select(col("q_id"), col("eq"), col("cid").as("probe"))
   }
 
-  val qSimIvfAnn: QueryDef = QueryDef.noOracle("q_sim_ivf_ann") { (spark, dir) =>
+  /** Per-vector nearest-centroid assignment as an oracle fragment: rank
+    * the broadcast centroid table by the [[VecSql.cos]] float fold
+    * (bit-identical to graft_cosine), keep rank ≤ `keep`. One
+    * definition for seed assignment, Lloyd reassignment, and query
+    * probes — the same single algebra the Spark side routes through
+    * [[ivfNearest]]/[[ivfProbes]]. */
+  private def ivfAssignSql(v: String, cents: String, ce: String,
+      keep: Int, cols: String): String =
+    s"""SELECT $cols FROM (
+       |    SELECT v.vec_id, v.embedding, c.cid AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${VecSql.cos("v.embedding", s"c.$ce")} DESC, c.cid)
+       |        AS rn
+       |    FROM $v v, $cents c) WHERE rn <= $keep""".stripMargin
+
+  /** The one-Lloyd-step IVF training in SQL: seed centroids, float-fold
+    * assignment, the micro-rounded fixed-point mean per (cluster, dim)
+    * — the exact q_udaf_centroid algebra [[graft.functions.VectorCentroid]]
+    * computes — narrowed to float32 per element exactly as the Spark
+    * side narrows. Produces CTEs `seedc`, `a1`, `cm`, `cent`; `$v` must
+    * provide (vec_id, embedding). */
+  private def ivfTrainSql(v: String): String =
+    s"""seedc AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding AS ce FROM $v
+       |  WHERE vec_id % 53 = 0 AND vec_id < 848),
+       |a1 AS MATERIALIZED (
+       |  ${ivfAssignSql(v, "seedc", "ce", 1, "vec_id, embedding, cluster")}),
+       |cm AS MATERIALIZED (
+       |  SELECT cluster, pos,
+       |    CAST(SUM(CAST(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)
+       |      AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM a1, unnest(range(1, len(embedding) + 1)) t(pos)
+       |  GROUP BY 1, 2),
+       |cent AS MATERIALIZED (
+       |  SELECT cluster AS cid, list(CAST(m AS FLOAT4) ORDER BY pos) AS ce
+       |  FROM cm GROUP BY 1)""".stripMargin
+
+  /** q_sim_ivf_ann's oracle: train (one Lloyd step), reassign, probe 2
+    * nearest lists per query, exact float-fold scoring within the
+    * probed lists, top-5. Every stage is the bit-exact SQL twin of the
+    * Spark pipeline — turning the Lloyd update into the fixed-point
+    * centroid (round 12) is what made the training SQL-expressible. */
+  private def ivfAnnOracleSql: String =
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |${ivfTrainSql("n")},
+       |a2 AS MATERIALIZED (
+       |  ${ivfAssignSql("n", "cent", "ce", 1, "vec_id, embedding, cluster")}),
+       |probe AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, embedding AS eq, cluster AS probe FROM (
+       |    SELECT v.vec_id, v.embedding, c.cid AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${VecSql.cos("v.embedding", "c.ce")} DESC, c.cid)
+       |        AS rn
+       |    FROM n v, cent c WHERE v.vec_id < 8) WHERE rn <= 2),
+       |p AS (
+       |  SELECT pr.q_id, a.vec_id AS n_id,
+       |    ${VecSql.cos("pr.eq", "a.embedding")} AS cos
+       |  FROM a2 a JOIN probe pr ON a.cluster = pr.probe
+       |    AND a.vec_id <> pr.q_id)
+       |SELECT q_id, rn, n_id, ROUND(cos, 6) AS cos FROM (
+       |  SELECT q_id, n_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS rn FROM p)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  val qSimIvfAnn: QueryDef = QueryDef.oracle(
+    "q_sim_ivf_ann", ivfAnnOracleSql) { (spark, dir) =>
     import graft.functions.GraftFunctions.cosineSim
     val n = graft.Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
@@ -1066,6 +1138,57 @@ object Similarity {
         element_at(col("codes"), s + 1) * lit(pqSubs) + lit(s + 1))
     }.reduce(_ + _)
 
+  /** q_sim_ivfpq's oracle: the full composed index build + query path —
+    * normalized-and-float-narrowed corpus, PQ codebook/distances/encode
+    * (the [[pqOracleCoreFrom]] core over the float corpus), IVF
+    * training and probes ([[ivfTrainSql]]/[[ivfAssignSql]]), per-query
+    * LUTs, and the 8-lookup ADC chain — each stage the proven bit-exact
+    * fragment from its standalone oracle. */
+  private def ivfPqOracleSql: String = {
+    val adc = (1 to pqSubs).map(s => s"qr.l[e.codes[$s]*8 + $s]")
+      .mkString(" + ")
+    pqOracleCoreFrom(
+      """WITH n0 AS MATERIALIZED (
+        |  SELECT vec_id, embedding,
+        |    CAST((SELECT SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+        |      AS DECIMAL(30,12))) FROM unnest(embedding) t(e)) AS DOUBLE) AS nrm
+        |  FROM embeddings),
+        |v AS MATERIALIZED (
+        |  SELECT vec_id, CASE WHEN nrm > 0
+        |      THEN list_transform(embedding,
+        |        x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS FLOAT4))
+        |      ELSE list_transform(embedding, x -> CAST(0.0 AS FLOAT4)) END
+        |    AS embedding
+        |  FROM n0)""".stripMargin) +
+      s""",
+        |enc AS MATERIALIZED (
+        |  SELECT vec_id, list(code ORDER BY sub) AS codes FROM a GROUP BY vec_id),
+        |${ivfTrainSql("v")},
+        |a2 AS MATERIALIZED (
+        |  ${ivfAssignSql("v", "cent", "ce", 1, "vec_id, cluster")}),
+        |probe AS MATERIALIZED (
+        |  SELECT vec_id AS q_id, cluster AS probe FROM (
+        |    SELECT v.vec_id, c.cid AS cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${VecSql.cos("v.embedding", "c.ce")} DESC, c.cid)
+        |        AS rn
+        |    FROM v, cent c WHERE v.vec_id < 8) WHERE rn <= 2),
+        |lut AS MATERIALIZED (
+        |  SELECT vec_id AS q_id, list(dist ORDER BY code, sub) AS l
+        |  FROM d WHERE vec_id < 8 GROUP BY vec_id),
+        |qr AS MATERIALIZED (
+        |  SELECT p.q_id, p.probe, l.l FROM probe p JOIN lut l ON l.q_id = p.q_id),
+        |sc AS (
+        |  SELECT qr.q_id, e.vec_id AS n_id, $adc AS adist
+        |  FROM enc e JOIN a2 ON a2.vec_id = e.vec_id
+        |  JOIN qr ON a2.cluster = qr.probe AND e.vec_id <> qr.q_id)
+        |SELECT q_id, rn, n_id, ROUND(adist, 6) AS adist FROM (
+        |  SELECT q_id, n_id, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adist ASC, n_id ASC) AS rn
+        |  FROM sc) WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** IVF×PQ — the composition a 100 TB embedding store actually runs as
     * its ANN index: IVF routing picks WHICH vectors to score (nprobe=2
     * of 16 inverted lists ⇒ ~1/8 of the corpus per query), PQ's ADC
@@ -1079,10 +1202,15 @@ object Similarity {
     * standalone (q_sim_ivf_ann routes + exact-scores; q_sim_pq_search
     * ADC-scores everything); this entry is their composition, and the
     * phase boundaries staying DataFrames is exactly what makes the
-    * composition a two-line change. Rows-only driver check (the Lloyd
-    * centroid training isn't reasonably ANSI-SQL-expressible);
-    * SimilaritySpec pins the recall floor vs the exact q_sim_topk. */
-  val qSimIvfPq: QueryDef = QueryDef.noOracle("q_sim_ivfpq") { (spark, dir) =>
+    * composition a two-line change. ORACLE-CHECKED since round 12
+    * ([[ivfPqOracleSql]]): the Lloyd training became SQL-expressible
+    * when the update moved to the fixed-point centroid, and every other
+    * stage (normalize-and-narrow, codebook, encode, LUT, probes, ADC
+    * chain) was already built on the ordered-fold exactness vehicle —
+    * the full index build AND query path are driver hash-compared.
+    * SimilaritySpec keeps the recall floor vs the exact q_sim_topk. */
+  val qSimIvfPq: QueryDef = QueryDef.oracle(
+    "q_sim_ivfpq", ivfPqOracleSql) { (spark, dir) =>
     // unit-normalized, narrowed once to float32: the routing cosine is
     // the native float loop, and PQ's fold widens back to double — at
     // this point in the pipeline the vectors are index artifacts, not
