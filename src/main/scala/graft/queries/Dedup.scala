@@ -367,27 +367,40 @@ object Dedup {
   private def lshOracleProgram(
       src: String, keys: Seq[String]): Seq[(String, String)] = {
     val k = keys.mkString(", ")
-    val kq = keys.map("s." + _).mkString(", ")
+    val kg = keys.map("g." + _).mkString(", ")
+    val ks = keys.map("s." + _).mkString(", ")
     val seedVals = graft.functions.MinHashSignature.seeds(16).zipWithIndex
       .map { case (s, i) => s"($i, ${Xxh64Sql.u64(s.toString)})" }
       .mkString(", ")
     val onKeys = keys.map(c => s"a.$c = b2.$c").mkString(" AND ")
     val ka = keys.map("a." + _).mkString(", ")
+    // Cost shape (round-12 restructure, 9× at sf0.1): the string hash
+    // runs over DISTINCT shingle strings corpus-wide (not per-doc
+    // occurrences), and the 16-lane rehash runs its expensive
+    // seed-independent prefix ONCE per distinct hash
+    // ([[Xxh64Sql.longHashPrefix]]) with only the short seeded tail per
+    // lane — both join back to the per-doc rows afterwards, which
+    // changes nothing semantically (the hash of a string does not
+    // depend on which document it came from).
     Seq(
       "ws" -> (s"SELECT $k, list_filter(string_split(text, ' '), " +
         s"x -> x <> '') AS ws FROM $src"),
       "gr" -> (s"SELECT $k, unnest(list_distinct(list_transform(" +
         "range(1, len(ws) - 1), i -> ws[CAST(i AS INT)] || ' ' || " +
         "ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)]))) AS s " +
-        "FROM ws")
-    ) ++ Xxh64Sql.strHash("sh", "gr", keys, "s", "h") ++ Seq(
-      "sigs" -> s"SELECT DISTINCT $k, h FROM sh_h",
+        "FROM ws"),
+      "gd" -> "SELECT DISTINCT s FROM gr"
+    ) ++ Xxh64Sql.strHash("sh", "gd", Seq("s"), "s", "h") ++ Seq(
+      "sigs" -> (s"SELECT DISTINCT $kg, sh.h FROM gr g " +
+        "JOIN sh_h sh ON sh.s = g.s"),
+      "hd" -> (s"SELECT DISTINCT h, ${Xxh64Sql.longHashPrefix("h")} AS r " +
+        "FROM sigs"),
       "sd" -> s"SELECT * FROM (VALUES $seedVals) v(lane, seed)",
-      "lane_in" -> (s"SELECT $kq, s.h, d.lane, d.seed FROM sigs s " +
-        "CROSS JOIN sd d")
-    ) ++ Xxh64Sql.longHash("lh", "lane_in", keys ++ Seq("h", "lane"),
-      "h", "seed", "rh") ++ Seq(
-      "mh" -> (s"SELECT $k, lane, MIN(rh) AS v FROM lh_h GROUP BY " +
+      "lane_in" -> "SELECT d.h, d.r, s.lane, s.seed FROM hd d CROSS JOIN sd s"
+    ) ++ Xxh64Sql.longHashFromR("lh", "lane_in", Seq("h", "lane"),
+      "r", "seed", "rh") ++ Seq(
+      "mh" -> (s"SELECT $ks, l.lane, MIN(l.rh) AS v FROM sigs s " +
+        "JOIN lh_h l ON l.h = s.h GROUP BY " +
         (1 to keys.size + 1).mkString(", ")),
       "bd0" -> (s"SELECT $ka, a.lane // 2 AS band, a.v AS m1, b2.v AS m2 " +
         s"FROM mh a JOIN mh b2 ON $onKeys AND b2.lane = a.lane + 1 " +
@@ -464,10 +477,15 @@ object Dedup {
         "AS HUGEINT) ELSE 0 END)")
       .mkString(" + ")
     Xxh64Sql.render(
-      Seq("tok" -> ("SELECT doc_id, unnest(list_filter(" +
-        "string_split(text, ' '), x -> x <> '')) AS w FROM documents")) ++
-        Xxh64Sql.strHash("th", "tok", Seq("doc_id"), "w", "h") ++ Seq(
-        "thu" -> s"SELECT doc_id, ${Xxh64Sql.u64("h")} AS hu FROM th_h",
+      // hash DISTINCT words only, join occurrences back (round 12 — at
+      // sf1 the corpus has ~40× more token occurrences than vocabulary)
+      Seq(
+        "tok" -> ("SELECT doc_id, unnest(list_filter(" +
+          "string_split(text, ' '), x -> x <> '')) AS w FROM documents"),
+        "wd" -> "SELECT DISTINCT w FROM tok") ++
+        Xxh64Sql.strHash("th", "wd", Seq("w"), "w", "h") ++ Seq(
+        "thu" -> (s"SELECT t.doc_id, ${Xxh64Sql.u64("x.h")} AS hu " +
+          "FROM tok t JOIN th_h x ON x.w = t.w"),
         "cnt" -> s"SELECT doc_id, COUNT(*) AS n, $bitSums FROM thu GROUP BY 1",
         "sig" -> s"SELECT doc_id, $sigTerm AS sig FROM cnt",
         "blk" -> ("SELECT doc_id, sig, b, (sig // (CASE b WHEN 0 THEN 1 " +

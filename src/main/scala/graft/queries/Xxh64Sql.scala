@@ -183,6 +183,27 @@ object Xxh64Sql {
       chain(pfx, s"${pfx}_p0", cols, s"SELECT $k, ${cols.last._1} AS $out")
   }
 
+  /** Seed-independent prefix of hashLong — r = rotl(u64(v)·P2, 31)·P1,
+    * the expensive 60% of the chain, a function of the VALUE only. The
+    * k-lane MinHash rehash computes r once per distinct value and runs
+    * only the short seeded tail per lane ([[longHashFromR]]) — the
+    * restructure that took the sf0.1 LSH oracles from ~160 s to ~18 s. */
+  def longHashPrefix(vcol: String): String =
+    mulc(rotl(mulc(u64(vcol), P2), 31), P1)
+
+  /** The seeded tail of hashLong given a precomputed [[longHashPrefix]]
+    * column `rcol`: h = fmix(rotl(xor(seed + P5 + 8, r), 27)·P1 + P4). */
+  def longHashFromR(pfx: String, src: String, keys: Seq[String], rcol: String,
+      seedExpr: String, out: String): Seq[(String, String)] = {
+    val k = keys.mkString(", ")
+    val h0 = add(seedExpr, (P5 + 8).toString)
+    val cols = Seq(
+      s"${pfx}_h1" -> xor(h0, rcol),
+      s"${pfx}_h2" -> add(mulc(rotl(s"${pfx}_h1", 27), P1), P4.toString)
+    ) ++ fmixSteps(pfx, s"${pfx}_h2")
+    chain(pfx, src, cols, s"SELECT $k, ${cols.last._1} AS $out")
+  }
+
   /** Render a CTE list + final SELECT into one statement. */
   def render(steps: Seq[(String, String)], finalSelect: String): String =
     steps.map { case (n, q) => s"$n AS ($q)" }
