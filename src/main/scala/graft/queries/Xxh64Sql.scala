@@ -25,12 +25,11 @@ package graft.queries
   * exponentially (every wrap-multiply references its operand four
   * times).
   *
-  * Equality with Spark is pinned two ways: PropertySpec cross-checks
-  * `xxhash64` against a JVM-side replica of this algebra on random
-  * strings/longs, and the three oracled LSH queries hash-match the
-  * driver compare end-to-end (candidate sets, signatures, band keys —
-  * any single-bit divergence anywhere would cascade into a different
-  * pair list). */
+  * Equality with Spark is pinned end-to-end by the driver compare
+  * itself: the three oracled LSH queries hash-match on candidate sets,
+  * signatures, and band keys, and any single-bit divergence anywhere in
+  * the algebra would cascade into a different pair list — the strongest
+  * cross-engine check available, exercised at every sf. */
 object Xxh64Sql {
 
   /** 2^64 as a SQL literal (HUGEINT domain). */
