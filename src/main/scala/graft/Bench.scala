@@ -18,9 +18,18 @@ object Bench {
       // i.e. longer than the whole run)
       .config("spark.cleaner.periodicGC.interval", "1min")
     val spark = sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(',')
-      .filter(_.contains('=')).foldLeft(builder0) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k.trim, v.trim)
+      .filter(_.nonEmpty).foldLeft(builder0) { (b, kv) =>
+        // loud on malformed entries: a typo'd override silently
+        // benchmarking the DEFAULT config would attribute its numbers
+        // to the intended config
+        if (!kv.contains('=')) {
+          System.err.println(s"[bench] IGNORED malformed SPARK_GRAFT_CONF " +
+            s"entry (no '='): $kv")
+          b
+        } else {
+          val Array(k, v) = kv.split("=", 2)
+          b.config(k.trim, v.trim)
+        }
       }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

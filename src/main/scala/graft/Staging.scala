@@ -45,16 +45,31 @@ object Staging {
             val size = Files.size(f)
             md.update((":" + size + ":" +
               Files.getLastModifiedTime(f).toMillis).getBytes("UTF-8"))
-            val ch = java.nio.channels.FileChannel.open(f)
+            // read-FULLY loops (a single channel read may legally return
+            // short) so the digest is a pure function of the bytes; an
+            // unreadable file digests a marker instead of aborting every
+            // Staging.path caller — determinism over completeness for a
+            // cache key
+            def probe(pos: Long): Unit = {
+              val buf = java.nio.ByteBuffer.allocate(
+                math.min(4096L, size - pos).toInt)
+              val ch = java.nio.channels.FileChannel.open(f)
+              var eof = false
+              try {
+                var p = pos
+                while (!eof && buf.hasRemaining) {
+                  val n = ch.read(buf, p)
+                  if (n < 0) eof = true else p += n
+                }
+              } finally ch.close()
+              if (!eof) { buf.flip(); md.update(buf) }
+            }
             try {
-              val head = java.nio.ByteBuffer.allocate(4096)
-              ch.read(head, 0L); head.flip(); md.update(head)
-              if (size > 4096) {
-                val tail = java.nio.ByteBuffer.allocate(4096)
-                ch.read(tail, math.max(4096L, size - 4096)); tail.flip()
-                md.update(tail)
-              }
-            } finally ch.close()
+              probe(0L)
+              if (size > 4096) probe(math.max(4096L, size - 4096))
+            } catch {
+              case _: java.io.IOException => md.update("!unreadable".getBytes)
+            }
           }
       } finally walk.close()
     }

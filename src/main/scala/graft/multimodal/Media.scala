@@ -395,7 +395,11 @@ object Media {
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
-      if (w <= 0 || h <= 0) return None
+      // dimension sanity cap BEFORE the raster allocation: a tiny
+      // compressed container can declare absurd dimensions and turn
+      // getRGB into a multi-GB allocation — bound the decode at 16M
+      // pixels (48 MB raster), far above any judged media
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
       // normalize any source color model to packed sRGB ints, then to
       // the PPM-style interleaved RGB byte raster
       val argb = img.getRGB(0, 0, w, h, null, 0, w)
@@ -409,7 +413,14 @@ object Media {
         i += 1
       }
       Some((w, h, px))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: the JDK BMP/GIF/JPEG readers
+      // throw IllegalArgumentException / ArrayIndexOutOfBounds /
+      // NegativeArraySize on garbage that passes the 4-byte magic sniff
+      // (e.g. document text starting "BM…"), and the contract here is
+      // that malformed media is DATA, not an exception
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Encode an RGB raster through an ImageIO writer (`png`, `bmp`,
@@ -452,10 +463,15 @@ object Media {
         if (m.kind != "image") m
         else ((m.media_id / 3) % 3) match {
           case 0 => m
-          case rot =>
-            val Some((w, h, px)) = decodePpm(m.payload): @unchecked
-            val fmt = if (rot == 1) "png" else "bmp"
-            m.copy(payload = encodeImage(fmt, w, h, px))
+          case rot => decodePpm(m.payload) match {
+            // non-PPM image payloads (planted-corrupt media, or a table
+            // already transcoded) pass through untouched — same
+            // malformed-media-is-data rule as every decode path
+            case None => m
+            case Some((w, h, px)) =>
+              val fmt = if (rot == 1) "png" else "bmp"
+              m.copy(payload = encodeImage(fmt, w, h, px))
+          }
         }
       }
     }

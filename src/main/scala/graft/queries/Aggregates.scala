@@ -37,15 +37,18 @@ object Aggregates {
     * DRIVER-CHECKED since round 12 (was rows-only): DuckDB's approx
     * sketch is a different implementation so the raw estimate can never
     * hash-match, but the estimate's CLAIM can — the judged row carries
-    * the exact count plus `est_within_5pct`, the bound the HLL++
+    * the exact count plus `est_within_10pct`, the 5σ bound the HLL++
     * estimate must satisfy; the oracle computes the exact side and
     * asserts the boolean TRUE, so an out-of-tolerance sketch fails the
-    * driver compare (AggregatesSpec pins the same bound with the raw
-    * estimate visible). */
+    * driver compare. The judged bound is 10% = 5σ of the requested
+    * rsd 0.02 — it tests sketch BROKENNESS (wrong algebra, lost
+    * partials), not statistical luck, so a fresh corpus draw can't flip
+    * a healthy sketch red; AggregatesSpec pins the tighter 5%
+    * observed-behavior bound with the raw estimate visible. */
   val qAggApproxDistinct: QueryDef = QueryDef.oracle(
     "q_agg_approx_distinct",
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
-      |  TRUE AS est_within_5pct
+      |  TRUE AS est_within_10pct
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     Tables(spark, dir).lineitem
@@ -55,7 +58,7 @@ object Aggregates {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts"))
-          <= col("exact_parts") * 0.05).as("est_within_5pct"))
+          <= col("exact_parts") * 0.10).as("est_within_10pct"))
       .orderBy("l_returnflag")
   }
 
@@ -265,14 +268,16 @@ object Aggregates {
     * engine-specific, so the raw estimate can't hash-match DuckDB.
     * DRIVER-CHECKED since round 12 via the bound-boolean scheme
     * (q_agg_approx_distinct): the judged row is (scope, exact_custs,
-    * est_within_2pct) — the exact leg is a one-off audit scan that
+    * est_within_8pct) — the exact leg is a one-off audit scan that
     * exists ONLY to make the sketch estimate falsifiable by the driver
     * (a production lake runs the same spot-audit periodically); the
-    * sketch rollup itself still never touches raw data. AggregatesSpec
-    * additionally pins sketch-merge ≡ direct-sketch equality. */
+    * sketch rollup itself still never touches raw data. The judged
+    * bound is 8% = ~5σ of lgK=12's ~1.6% RSE (brokenness test, not a
+    * statistical coin-flip on a fresh corpus); AggregatesSpec pins the
+    * observed ≤2% plus sketch-merge ≡ direct-sketch equality. */
   val qAggSketchUnion: QueryDef = QueryDef.oracle(
     "q_agg_sketch_union",
-    """SELECT scope, exact_custs, TRUE AS est_within_2pct FROM (
+    """SELECT scope, exact_custs, TRUE AS est_within_8pct FROM (
       |  SELECT strftime(o_orderdate, '%Y') AS scope,
       |    COUNT(DISTINCT o_custkey) AS exact_custs FROM orders GROUP BY 1
       |  UNION ALL
@@ -299,7 +304,7 @@ object Aggregates {
     est.join(exactYear.unionAll(exactTotal), "scope")
       .select(col("scope"), col("exact_custs"),
         (abs(col("est_custs") - col("exact_custs"))
-          <= col("exact_custs") * 0.02).as("est_within_2pct"))
+          <= col("exact_custs") * 0.08).as("est_within_8pct"))
       .orderBy("scope")
   }
 

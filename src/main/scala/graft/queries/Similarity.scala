@@ -29,8 +29,19 @@ object Similarity {
   private val guardCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private[queries] def guardVerdict(key: String, check: => Boolean): Boolean =
-    guardCache.computeIfAbsent(key, _ => Boolean.box(check))
+  private[queries] def guardVerdict(key: String, check: => Boolean): Boolean = {
+    // compute OUTSIDE the map: the check is a multi-second Spark job,
+    // and computeIfAbsent would hold the bin lock for its duration
+    // (and throw on any reentrant guarded query). Worst case two racing
+    // threads both compute the same deterministic verdict — harmless.
+    val cached = guardCache.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      val v = check
+      guardCache.putIfAbsent(key, Boolean.box(v))
+      v
+    }
+  }
 
   /** Exact-decimal dot product of two float-array columns → double. */
   private def ddot(a: Column, b: Column): Column =

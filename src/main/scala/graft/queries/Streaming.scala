@@ -540,12 +540,14 @@ object Streaming {
     * DuckDB's approx_count_distinct is a different HLL implementation,
     * so the estimate itself can't hash-match. DRIVER-CHECKED since
     * round 12 via the bound-boolean scheme (q_agg_approx_distinct): the
-    * judged row is (scope, exact_users, est_within_2pct) — the exact
+    * judged row is (scope, exact_users, est_within_8pct) — the exact
     * leg is a batch audit scan of the same events table, there solely
-    * so the driver can falsify an out-of-tolerance sketch. The equality
-    * that matters operationally — stream-maintained ≡ batch-direct over
-    * the same sketch algebra — stays pinned exactly by StreamingSpec
-    * (via [[streamSketchPartials]]). */
+    * so the driver can falsify an out-of-tolerance sketch. The judged
+    * bound is 8% = ~5σ of lgK=12's RSE — a brokenness test, never a
+    * statistical coin-flip on a fresh corpus (per-day groups are mostly
+    * sketch-exact in sparse mode anyway; StreamingSpec pins the
+    * operationally-exact property, stream-maintained ≡ batch-direct
+    * over the same sketch algebra, via [[streamSketchPartials]]). */
   private[graft] def streamSketchPartials(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val stream = EventsStream.read(spark, dir)
@@ -558,7 +560,7 @@ object Streaming {
 
   val qStreamSketch: QueryDef = QueryDef.oracle(
     "q_stream_sketch",
-    """SELECT scope, exact_users, TRUE AS est_within_2pct FROM (
+    """SELECT scope, exact_users, TRUE AS est_within_8pct FROM (
       |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
       |    COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1
       |  UNION ALL
@@ -583,7 +585,7 @@ object Streaming {
     est.join(exactDay.unionAll(exactTotal), "scope")
       .select(col("scope"), col("exact_users"),
         (abs(col("est_users") - col("exact_users"))
-          <= col("exact_users") * 0.02).as("est_within_2pct"))
+          <= col("exact_users") * 0.08).as("est_within_8pct"))
       .orderBy("scope")
   }
 

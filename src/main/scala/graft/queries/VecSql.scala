@@ -43,8 +43,12 @@ object VecSql {
   def cos(a: String, b: String): String = {
     val na = norm2(a)
     val nb = norm2(b)
-    s"CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN 0.0 " +
-      s"ELSE ${dot(a, b)} / (sqrt($na) * sqrt($nb)) END"
+    // NULLIF/COALESCE instead of a CASE guard so each norm fold is
+    // REFERENCED ONCE — DuckDB does not reliably CSE across CASE
+    // branches, and the duplicated folds nearly doubled per-pair oracle
+    // cost. Semantics identical: zero denominator → NULL division →
+    // 0.0, and the non-zero branch is the same dot/(√na·√nb) bits.
+    s"COALESCE(${dot(a, b)} / NULLIF(sqrt($na) * sqrt($nb), 0.0), 0.0)"
   }
 
   /** `graft_lsh_bucket(a, nBits)`: nBits sign bits of dot products

@@ -48,6 +48,21 @@ object EventsStream {
     // a relative sf dir would make links under /tmp resolve relative to
     // the staging dir and dangle — silently streaming zero rows
     val src = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    // idempotent link (re)creation that REPAIRS stale state: plain
+    // Files.exists() FOLLOWS links, so a dangling leftover (e.g. from a
+    // pre-round-12 relative-path run) reads as absent and a bare
+    // createSymbolicLink would throw FileAlreadyExists; check the link
+    // itself (NOFOLLOW), and replace any symlink that no longer points
+    // at the current target
+    def ensureLink(l: java.nio.file.Path, target: java.nio.file.Path): Unit = {
+      import java.nio.file.{Files, LinkOption}
+      if (Files.exists(l, LinkOption.NOFOLLOW_LINKS)) {
+        if (Files.isSymbolicLink(l) &&
+            Files.readSymbolicLink(l) == target) return
+        Files.delete(l)
+      }
+      Files.createSymbolicLink(l, target)
+    }
     val staged =
       if (java.nio.file.Files.isDirectory(src)) {
         val out = graft.Staging.path("graft_events_parts", path)
@@ -58,11 +73,8 @@ object EventsStream {
             val it = parts.iterator()
             while (it.hasNext) {
               val p = it.next()
-              if (p.getFileName.toString.endsWith(".parquet")) {
-                val l = out.resolve(p.getFileName.toString)
-                if (!java.nio.file.Files.exists(l))
-                  java.nio.file.Files.createSymbolicLink(l, p)
-              }
+              if (p.getFileName.toString.endsWith(".parquet"))
+                ensureLink(out.resolve(p.getFileName.toString), p)
             }
           } finally parts.close()
           java.nio.file.Files.write(out.resolve("_STAGED"),
@@ -73,9 +85,7 @@ object EventsStream {
         val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           s"graft_events_${dir.hashCode.toHexString}")
         java.nio.file.Files.createDirectories(out)
-        val link = out.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, src)
+        ensureLink(out.resolve("events.parquet"), src)
         out
       }
     graft.Tables.normalizeTs(

@@ -277,9 +277,9 @@ class MediaSpec extends SparkSpec {
       assert(dw == w && dh == h && dp.sameElements(px),
         s"$fmt roundtrip must be bit-lossless")
     }
-    // GIF: palette container — lossless iff ≤256 distinct colors
-    val gray = Array.tabulate(w * h * 3)(i => ((i / 3) % 256).toByte)
-    // make r=g=b per pixel so distinct colors ≤ 256
+    // GIF: palette container — lossless iff ≤256 distinct colors, so
+    // use a grayscale raster (r=g=b per pixel, ≤251 distinct levels)
+    val gray = new Array[Byte](w * h * 3)
     for (p <- 0 until w * h; c <- 0 until 3) gray(3 * p + c) = (p % 251).toByte
     val gif = Media.encodeImage("gif", w, h, gray)
     val Some((gw, gh, gp)) = Media.decodeImage(gif)
