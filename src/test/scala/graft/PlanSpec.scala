@@ -228,6 +228,20 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in the media dedup path:\n$p")
   }
 
+  test("media features read the staged codec table, never re-encode") {
+    // codecMediaTable is write-once (media at rest IS the encoded
+    // container): the steady-state plan scans the staged parquet —
+    // decode is the operator under test, the synthetic corpus's
+    // re-encode is not allowed back on the per-execution path.
+    // (q_media_dedup shares the same table builder but its returned
+    // plan sits above the connected-components fixpoint's checkpoints,
+    // so the scan is structurally invisible there.)
+    val q = Registry.all.find(_.name == "q_media_features").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_codec_media"),
+      s"q_media_features does not read the staged codec table:\n${p.take(4000)}")
+  }
+
   test("vocab ranking window is partitioned by count, never the whole vocabulary") {
     // the distributed dense-rank: the only row_number over the token table
     // must be PARTITIONED BY the frequency value; an unpartitioned window
