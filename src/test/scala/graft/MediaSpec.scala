@@ -305,6 +305,27 @@ class MediaSpec extends SparkSpec {
       Array[Byte](0xFF.toByte, 0xD8.toByte, 0, 0, 0)).isEmpty)
   }
 
+  test("decodeImage never throws: random garbage behind every magic prefix is data") {
+    // the malformed-media-is-data contract, fuzzed: random payloads —
+    // bare, and behind each sniffed magic prefix (which routes them into
+    // the JDK readers, whose failure modes include RuntimeExceptions) —
+    // must decode to None or a valid raster, never an exception
+    val rnd = new scala.util.Random(42)
+    val magics = Seq(
+      Array[Byte](0xFF.toByte, 0xD8.toByte),
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      "GIF89a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"),
+      "P6\n".getBytes("US-ASCII"),
+      Array.emptyByteArray)
+    for (_ <- 0 until 50; magic <- magics) {
+      val body = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(body)
+      val r = Media.decodeImage(magic ++ body) // must not throw
+      r.foreach { case (w, h, px) => assert(px.length == w * h * 3) }
+    }
+  }
+
   test("codec table transcode is feature-invariant: ImageIO raster == PPM raster") {
     val codec = Media.codecMediaTable(spark, sf).collect()
     val ppmById = media.collect().map(m => m.media_id -> m).toMap
