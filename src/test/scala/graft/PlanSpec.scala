@@ -24,6 +24,7 @@ class PlanSpec extends SparkSpec {
   private val nonEquiByDesign = Set(
     "q_join_theta", "q_join_range", "q_scalar_subquery", "q_exists_subquery",
     "q_sim_cosine_pairs", "q_sim_topk", "q_sim_topk_fast", "q_sim_ivf_ann",
+    "q_sim_ivf_incremental", // query-side probe ranking vs k≤16 broadcast centroids
     "q_sim_pq_search", // 8-row broadcast LUT vs corpus codes: non-equi by design
     "q_sim_ivfpq", // centroid assignment + broadcast probe rows (IVF shape)
     "q_dedup_embedding", // pair stage = q_sim_cosine_pairs' all-pairs scan
@@ -226,6 +227,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in the media dedup path:\n$p")
+  }
+
+  test("incremental IVF ANN: day-2 plan reads the persisted index, never retrains") {
+    // the nightly-index contract, vector-search edition: centroids and
+    // inverted lists come off disk; no Lloyd step (the fixed-point
+    // centroid aggregate) and no corpus-wide assignment may appear in
+    // the query-time plan — SimilaritySpec separately pins the answer
+    // equal to the from-scratch q_sim_ivf_ann, so a silent retrain
+    // would have nowhere to hide
+    val q = Registry.all.find(_.name == "q_sim_ivf_incremental").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivf_index"),
+      s"persisted IVF index absent from the day-2 plan:\n${p.take(4000)}")
+    assert(!p.toLowerCase.contains("vectorcentroid"),
+      s"centroid TRAINING aggregate in the day-2 plan:\n${p.take(4000)}")
   }
 
   test("media features read the staged codec table, never re-encode") {

@@ -228,6 +228,17 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("incremental IVF index answers equal the from-scratch q_sim_ivf_ann") {
+    // training is deterministic (fixed seeds + fixed-point Lloyd
+    // update), so probing the persisted index must give byte-identical
+    // rankings to rebuilding everything — the property that lets the
+    // day-2 entry share q_sim_ivf_ann's oracle verbatim
+    val scratch = Similarity.qSimIvfAnn.run(spark, sf).collect().toSeq
+    val indexed = Similarity.qSimIvfIncremental.run(spark, sf).collect().toSeq
+    assert(scratch == indexed,
+      s"from-index diverged from from-scratch: ${indexed.diff(scratch)}")
+  }
+
   test("semantic dedup prunes a planted identical twin; removal rule holds") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf).embeddings
