@@ -76,7 +76,57 @@ object Staging {
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
-  /** /tmp staging path for artifact `prefix` derived from `srcDir`. */
-  def path(prefix: String, srcDir: String): Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"${prefix}_${fingerprint(srcDir)}")
+  /** /tmp staging path for artifact `prefix` derived from `srcDir`.
+    *
+    * `version` is the PRODUCING CODE's identity (round-12 advice): the
+    * content fingerprint covers the data, but a change to the builder's
+    * algebra (transcode rotation, centroid arithmetic, band layout)
+    * would otherwise silently reuse the stale artifact under the same
+    * path and surface as a baffling oracle hash mismatch instead of a
+    * rebuild. Builders bump their version constant when their algebra
+    * changes; artifact identity = data fingerprint × code version. */
+  def path(prefix: String, srcDir: String, version: Int = 1): Path =
+    Paths.get(sys.props("java.io.tmpdir"),
+      s"${prefix}_v${version}_${fingerprint(srcDir)}")
+
+  /** Write-once build with ATOMIC publication (round-12 advice: the
+    * bare check-then-build let two JVMs sharing /tmp — a test suite and
+    * a bench run — interleave `mode("overwrite")` writes, with one
+    * reading a directory the other was mid-rewrite). `build` runs
+    * against a process-unique temp sibling; the finished tree is
+    * renamed into place in one filesystem operation, so readers only
+    * ever see absent-or-complete. Losing a publication race is benign:
+    * the build is deterministic (that's the staging contract), so the
+    * winner's bytes are ours — the loser just deletes its temp tree.
+    * Returns `out` with `marker` guaranteed present. */
+  def buildOnce(out: Path, marker: String)(build: Path => Unit): Path = {
+    if (Files.exists(out.resolve(marker))) return out
+    val tmp = out.resolveSibling(out.getFileName.toString +
+      s".build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    Files.createDirectories(tmp)
+    try {
+      build(tmp)
+      if (!Files.exists(tmp.resolve(marker)))
+        Files.write(tmp.resolve(marker), Array.emptyByteArray)
+      try Files.move(tmp, out, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // destination appeared since our check: a concurrent builder
+        // published first — use theirs, drop ours
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.FileSystemException
+            if Files.exists(out.resolve(marker)) => ()
+      }
+    } finally if (Files.exists(tmp)) deleteRecursively(tmp)
+    out
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toArray.sortBy(-_.getNameCount)
+      .foreach(f => try Files.deleteIfExists(f) catch {
+        case _: java.io.IOException => ()
+      })
+    finally walk.close()
+  }
 }

@@ -464,8 +464,13 @@ object Media {
     * operator under test), not the synthetic corpus's re-encode. */
   def codecMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    val out = graft.Staging.path("graft_codec_media", dir)
-    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+    // version = transcode-rotation identity (bump when the rotation or
+    // encode formats change — round-12 advice: the content fingerprint
+    // covers the data, not the producing algebra); buildOnce publishes
+    // atomically so concurrent JVMs can't interleave overwrite writes
+    val out = graft.Staging.buildOnce(
+        graft.Staging.path("graft_codec_media", dir, version = 1),
+        "_SUCCESS") { tmp =>
       mediaTable(spark, dir).mapPartitions { it =>
         it.map { m =>
           if (m.kind != "image") m
@@ -482,7 +487,7 @@ object Media {
             }
           }
         }
-      }.write.mode("overwrite").parquet(out.toString)
+      }.write.mode("overwrite").parquet(tmp.toString)
     }
     spark.read.parquet(out.toString).as[MediaRow]
   }

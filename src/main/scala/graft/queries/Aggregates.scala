@@ -316,13 +316,14 @@ object Aggregates {
     // content-fingerprinted path (graft.Staging): regenerated testdata →
     // fresh fingerprint → restage, so a rows-only query can never serve
     // sketches of a dataset that no longer exists
-    val out = graft.Staging.path("graft_sketch_orders_month", dir)
-    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+    graft.Staging.buildOnce(
+        graft.Staging.path("graft_sketch_orders_month", dir, version = 1),
+        "_SUCCESS") { tmp =>
       Tables(spark, dir).orders
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
         .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sketch"))
-        .coalesce(1).write.mode("overwrite").parquet(out.toString)
-    out.toString
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    }.toString
   }
 
   val all: Seq[QueryDef] = Seq(

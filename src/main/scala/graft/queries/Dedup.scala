@@ -653,21 +653,21 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     // content-fingerprinted (graft.Staging): a regenerated base corpus
     // gets a fresh index path, never a stale fp/bloom pair
-    val out = graft.Staging.path("graft_dedup_base_index", dir)
-    if (!java.nio.file.Files.exists(out.resolve("_INDEX_READY"))) {
+    // version = builder-algebra identity (fingerprint fn + bloom sizing);
+    // buildOnce publishes atomically (round-12 advice)
+    graft.Staging.buildOnce(
+        graft.Staging.path("graft_dedup_base_index", dir, version = 1),
+        "_INDEX_READY") { tmp =>
       val (base, _) = baseBatchSplit(spark, dir, perturb = false)
       val fp = graft.functions.GraftFunctions.fingerprint(col("text"))
       val baseFp = base.select(fp.as("fp")).distinct()
       baseFp.repartitionByRange(16, col("fp")).sortWithinPartitions("fp")
-        .write.mode("overwrite").parquet(out.resolve("fps").toString)
+        .write.mode("overwrite").parquet(tmp.resolve("fps").toString)
       val sketch = graft.functions.BloomProbe.sketch(
-        spark.read.parquet(out.resolve("fps").toString), col("fp"), 300000L)
-      java.nio.file.Files.write(out.resolve("sketch.bin"),
+        spark.read.parquet(tmp.resolve("fps").toString), col("fp"), 300000L)
+      java.nio.file.Files.write(tmp.resolve("sketch.bin"),
         if (sketch == null) Array.emptyByteArray else sketch)
-      java.nio.file.Files.write(out.resolve("_INDEX_READY"),
-        Array.emptyByteArray)
-    }
-    out.toString
+    }.toString
   }
 
   /** INCREMENTAL dedup READING the persisted index — day 2 of
@@ -857,25 +857,25 @@ object Dedup {
     * because no textual key exists. */
   private[graft] def lshIndexPath(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val out = graft.Staging.path("graft_dedup_lsh_index", dir)
-    if (!java.nio.file.Files.exists(out.resolve("_INDEX_READY"))) {
+    // version = builder-algebra identity (shingle/minhash/band layout);
+    // buildOnce publishes atomically (round-12 advice)
+    graft.Staging.buildOnce(
+        graft.Staging.path("graft_dedup_lsh_index", dir, version = 1),
+        "_INDEX_READY") { tmp =>
       val (base, _) = baseBatchSplit(spark, dir, perturb = false)
       val arrays = base
         .select(col("doc_id").as("base_doc"),
           graft.functions.GraftFunctions.shingleHashes(col("text")).as("s"))
         .filter(size(col("s")) > 0)
       arrays.repartition(16, col("base_doc"))
-        .write.mode("overwrite").parquet(out.resolve("arrays").toString)
+        .write.mode("overwrite").parquet(tmp.resolve("arrays").toString)
       // bands derive FROM the staged arrays (one base-text pass total)
-      val staged = spark.read.parquet(out.resolve("arrays").toString)
+      val staged = spark.read.parquet(tmp.resolve("arrays").toString)
       bandKeys(staged, col("base_doc"))
         .repartitionByRange(16, col("band"), col("key"))
         .sortWithinPartitions("band", "key")
-        .write.mode("overwrite").parquet(out.resolve("bands").toString)
-      java.nio.file.Files.write(out.resolve("_INDEX_READY"),
-        Array.emptyByteArray)
-    }
-    out.toString
+        .write.mode("overwrite").parquet(tmp.resolve("bands").toString)
+    }.toString
   }
 
   /** (band, key, id) rows from (id, s: shingle-hash array) — the

@@ -215,12 +215,20 @@ object Similarity {
     val ok = Similarity.guardVerdict("topk:" + graft.Staging.fingerprint(dir), {
       val candCk = candPipeline.localCheckpoint()
       val top5 = phase2(candCk).localCheckpoint()
-      val cut = candCk.filter(col("rf") === 32)
-        .select(col("q_id"), col("cos_f").as("cut_f"))
-      top5.groupBy("q_id").agg(min(col("cos")).as("min5"))
-        .join(cut, Seq("q_id"))
-        .filter(col("min5") <= col("cut_f") + lit(2e-12))
-        .count() == 0
+      try {
+        val cut = candCk.filter(col("rf") === 32)
+          .select(col("q_id"), col("cos_f").as("cut_f"))
+        top5.groupBy("q_id").agg(min(col("cos")).as("min5"))
+          .join(cut, Seq("q_id"))
+          .filter(col("min5") <= col("cut_f") + lit(2e-12))
+          .count() == 0
+      } finally {
+        // release the checkpoint RDD blocks once the verdict is computed:
+        // they are per-corpus-fingerprint, so in a long-lived session that
+        // touches many corpora they would otherwise pin executor storage
+        // for the JVM's lifetime (round-12 advice)
+        top5.unpersist(); candCk.unpersist()
+      }
     })
     if (ok) {
       phase2(candPipeline)
@@ -563,22 +571,23 @@ object Similarity {
     * scoring sees exactly the float32 values the index stores. */
   private[graft] def ivfIndexPath(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val out = graft.Staging.path("graft_ivf_index", dir)
-    if (!java.nio.file.Files.exists(out.resolve("_INDEX_READY"))) {
+    // version = builder-algebra identity (bump when the centroid/layout
+    // algebra changes); buildOnce publishes atomically — two JVMs sharing
+    // /tmp can no longer interleave overwrite writes (round-12 advice)
+    graft.Staging.buildOnce(
+        graft.Staging.path("graft_ivf_index", dir, version = 1),
+        "_INDEX_READY") { tmp =>
       val n = graft.Tables(spark, dir).embeddings
         .select(col("vec_id"), col("embedding"))
       ivfCentroids(n).coalesce(1)
-        .write.mode("overwrite").parquet(out.resolve("centroids").toString)
-      val cents = spark.read.parquet(out.resolve("centroids").toString)
+        .write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      val cents = spark.read.parquet(tmp.resolve("centroids").toString)
       ivfNearest(n, cents, "cluster")
         .select(col("cluster"), col("vec_id"), col("embedding"))
         .repartitionByRange(16, col("cluster"))
         .sortWithinPartitions("cluster")
-        .write.mode("overwrite").parquet(out.resolve("lists").toString)
-      java.nio.file.Files.write(out.resolve("_INDEX_READY"),
-        Array.emptyByteArray)
-    }
-    out.toString
+        .write.mode("overwrite").parquet(tmp.resolve("lists").toString)
+    }.toString
   }
 
   /** INCREMENTAL IVF ANN — the day-2 form of q_sim_ivf_ann and the
@@ -769,12 +778,17 @@ object Similarity {
       "outliers:" + graft.Staging.fingerprint(dir), {
         val candCk = candPipeline.localCheckpoint()
         val b3 = bottom3(candCk.select(col("vec_id"))).localCheckpoint()
-        val cut = candCk.filter(col("rf") === 32)
-          .select(col("g"), col("cos_f").as("cut_f"))
-        b3.groupBy("g").agg(max(col("cos")).as("max3"))
-          .join(cut, Seq("g"))
-          .filter(col("max3") >= col("cut_f") - lit(2e-6))
-          .count() == 0
+        try {
+          val cut = candCk.filter(col("rf") === 32)
+            .select(col("g"), col("cos_f").as("cut_f"))
+          b3.groupBy("g").agg(max(col("cos")).as("max3"))
+            .join(cut, Seq("g"))
+            .filter(col("max3") >= col("cut_f") - lit(2e-6))
+            .count() == 0
+        } finally {
+          // see q_sim_topk's guard: checkpoint blocks die with the verdict
+          b3.unpersist(); candCk.unpersist()
+        }
       })
     val ranked =
       if (ok) bottom3(candPipeline.select(col("vec_id")))

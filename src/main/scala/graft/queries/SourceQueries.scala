@@ -23,16 +23,16 @@ object SourceQueries {
       fmt: String, df: => DataFrame,
       partitionCols: Seq[String] = Nil, coalesce1: Boolean = true): String = {
     // content-fingerprinted (graft.Staging): regenerated testdata lands
-    // in a fresh staged path instead of silently reusing stale copies
-    val out = graft.Staging.path(s"graft_src_${table}_$fmt", dir)
-    // key on _SUCCESS, not the directory: a crashed partial write must
-    // be overwritten, not trusted
-    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
-      (if (coalesce1) df.coalesce(1) else df).write.mode("overwrite")
-        .format(fmt)
-        .option("header", "true").partitionBy(partitionCols: _*)
-        .save(out.toString)
-    out.toString
+    // in a fresh staged path instead of silently reusing stale copies;
+    // buildOnce publishes atomically (absent-or-complete, never partial)
+    graft.Staging.buildOnce(
+        graft.Staging.path(s"graft_src_${table}_$fmt", dir), "_SUCCESS") {
+      tmp =>
+        (if (coalesce1) df.coalesce(1) else df).write.mode("overwrite")
+          .format(fmt)
+          .option("header", "true").partitionBy(partitionCols: _*)
+          .save(tmp.toString)
+    }.toString
   }
 
   /** CSV nation ⋈ JSON region → nations per region. The oracle reads the
@@ -202,8 +202,9 @@ object SourceQueries {
     * (shared with LayoutSpec). */
   private[graft] def zorderedOrdersPath(
       spark: SparkSession, dir: String): String = {
-    val out = graft.Staging.path("graft_src_orders_zorder_parquet", dir)
-    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+    graft.Staging.buildOnce(
+        graft.Staging.path("graft_src_orders_zorder_parquet", dir),
+        "_SUCCESS") { tmp =>
       val t = Tables(spark, dir)
       val withDay = t.orders
         .withColumn("dd", datediff(col("o_orderdate"),
@@ -220,9 +221,8 @@ object SourceQueries {
         .drop("dd", "b1", "b2")
       withZ.repartitionByRange(64, col("zval"))
         .sortWithinPartitions("zval")
-        .write.mode("overwrite").parquet(out.toString)
-    }
-    out.toString
+        .write.mode("overwrite").parquet(tmp.toString)
+    }.toString
   }
 
   /** Small-file COMPACTION — the lake-maintenance pass every 100 TB table
@@ -279,17 +279,17 @@ object SourceQueries {
   private[graft] def compactedDocsPath(
       spark: SparkSession, dir: String): String = {
     val frag = fragmentedDocsPath(spark, dir)
-    val out = graft.Staging.path("graft_src_docs_compact_parquet", dir)
-    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+    graft.Staging.buildOnce(
+        graft.Staging.path("graft_src_docs_compact_parquet", dir),
+        "_SUCCESS") { tmp =>
       val bytes = parquetBytes(frag)
       val target = 128L << 20
       val nFiles = math.max(1L, (bytes + target - 1) / target).toInt
       spark.read.parquet(frag)
         .repartitionByRange(nFiles, col("doc_id"))
         .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(out.toString)
-    }
-    out.toString
+        .write.mode("overwrite").parquet(tmp.toString)
+    }.toString
   }
 
   /** Total bytes of a staged layout's parquet data files — fs metadata
@@ -343,19 +343,18 @@ object SourceQueries {
     * the added int `quality` column (n_chars % 7 — deterministic). */
   private[graft] def evolvedDocsPath(
       spark: SparkSession, dir: String): String = {
-    val out = graft.Staging.path("graft_src_docs_evo_parquet", dir)
-    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+    graft.Staging.buildOnce(
+        graft.Staging.path("graft_src_docs_evo_parquet", dir),
+        "_SUCCESS") { tmp =>
       val docs = Tables(spark, dir).documents
       docs.filter(col("doc_id") % 2 === 0)
         .coalesce(1).write.mode("overwrite")
-        .parquet(out.resolve("batch=1").toString)
+        .parquet(tmp.resolve("batch=1").toString)
       docs.filter(col("doc_id") % 2 === 1)
         .withColumn("quality", (col("n_chars") % 7).cast("int"))
         .coalesce(1).write.mode("overwrite")
-        .parquet(out.resolve("batch=2").toString)
-      java.nio.file.Files.writeString(out.resolve("_SUCCESS"), "")
-    }
-    out.toString
+        .parquet(tmp.resolve("batch=2").toString)
+    }.toString
   }
 
   val all: Seq[QueryDef] =

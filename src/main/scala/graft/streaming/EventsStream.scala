@@ -65,22 +65,21 @@ object EventsStream {
     }
     val staged =
       if (java.nio.file.Files.isDirectory(src)) {
-        val out = graft.Staging.path("graft_events_parts", path)
-        if (!java.nio.file.Files.exists(out.resolve("_STAGED"))) {
-          java.nio.file.Files.createDirectories(out)
-          val parts = java.nio.file.Files.list(src)
-          try {
-            val it = parts.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              if (p.getFileName.toString.endsWith(".parquet"))
-                ensureLink(out.resolve(p.getFileName.toString), p)
-            }
-          } finally parts.close()
-          java.nio.file.Files.write(out.resolve("_STAGED"),
-            Array.emptyByteArray)
+        // buildOnce closes the round-12 delete-then-create race: the link
+        // farm appears atomically, never half-populated
+        graft.Staging.buildOnce(
+            graft.Staging.path("graft_events_parts", path), "_STAGED") {
+          tmp =>
+            val parts = java.nio.file.Files.list(src)
+            try {
+              val it = parts.iterator()
+              while (it.hasNext) {
+                val p = it.next()
+                if (p.getFileName.toString.endsWith(".parquet"))
+                  ensureLink(tmp.resolve(p.getFileName.toString), p)
+              }
+            } finally parts.close()
         }
-        out
       } else {
         val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           s"graft_events_${dir.hashCode.toHexString}")

@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** sf-MULTIPLIER testdata generator for scale experiments beyond the
@@ -13,15 +14,52 @@ import org.apache.spark.sql.functions._
   * key offsets that preserve referential integrity (order keys shift in
   * lockstep across orders and lineitem), while region/nation/customer/
   * supplier/part copy through, so each customer simply has mult× the
-  * orders. Copy payloads are DECORRELATED so candidate densities stay
-  * ~linear instead of every row gaining mult−1 synthetic twins:
-  * document copies get a per-copy text marker (n_chars recomputed —
-  * every closed-form media/text oracle derives from the text, so they
-  * stay valid), and embedding copies get a deterministic sign-flip
-  * pattern (norm-preserving, cosine-decorrelating). Copy 0 is the
-  * original corpus byte-for-byte, so planted structures (duplicate
-  * clusters, near-dup pairs) survive at their original density. */
+  * orders. Copy 0 is the original corpus byte-for-byte, so planted
+  * structures (duplicate clusters, near-dup pairs) survive at their
+  * original density, and each copy's INTERNAL structure replicates
+  * that density — near-dup mass grows linearly with the data, the way
+  * a real corpus's does.
+  *
+  * COMPOSE-SAFE since round 13 (sf1 → sf10 → … without collisions):
+  *
+  *   - Key strides are DERIVED from the source's actual max key (next
+  *     power of 10), not constants. The round-12 constant strides made
+  *     a second application collide: `d + c0·1M` re-offset by `c1·1M`
+  *     assigns copies (c0=1,c1=2) and (c0=2,c1=1) the same doc_id with
+  *     different payloads — a broken primary key.
+  *   - Document copies are decorrelated at the SHINGLE level, not just
+  *     byte level: a per-copy token is woven between every word, so
+  *     every word-3-gram of copy N contains "cN" and copies share zero
+  *     shingles with each other or the original. The round-12 tail
+  *     marker (`text || " cN"`) left copies ~0.95-Jaccard near-dups of
+  *     each other — C(mult,2) synthetic candidate pairs per document,
+  *     quadratic in mult. Planted near-dup PAIRS survive inside each
+  *     copy: two texts sharing word bigrams share the corresponding
+  *     (w_i, cN, w_j) trigrams after weaving. n_chars is recomputed, so
+  *     every closed-form text/media oracle stays valid (oracles are
+  *     exact over whatever the data is).
+  *   - Embedding copies sign-flip on a 64-bit multiplicative mix of
+  *     (dimension, copy) — every copy gets a DISTINCT flip pattern. The
+  *     round-12 pattern `(j + 7·cp) mod 3` only depended on cp mod 3,
+  *     so copies 3,6,9,… were byte-identical: ⌊mult/3⌋-sized groups of
+  *     exact twins per vector, quadratic pair mass at mult ≥ 4. Flips
+  *     are norm-preserving, and identical flips cancel inside a copy's
+  *     dot products, so within-copy cosine structure is EXACTLY the
+  *     original's (planted ANN neighborhoods replicate per copy) while
+  *     cross-copy cosines shrink toward noise.
+  */
 object ScaleGen {
+
+  /** Smallest power of 10 strictly greater than the column's max —
+    * a human-readable collision-free stride at any composition depth. */
+  private def stride(spark: SparkSession, path: String, key: String): Long = {
+    val mx = spark.read.parquet(path)
+      .agg(max(col(key).cast("long"))).head.getLong(0)
+    var s = 1L
+    while (s <= mx) s *= 10
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
@@ -38,38 +76,55 @@ object ScaleGen {
     def fan(t: String) =
       spark.read.parquet(s"$src/$t.parquet").crossJoin(broadcast(cp))
 
-    val KO = 10000000L // order-key stride per copy (max sf0.1 key ~ 600 k)
+    // orders and lineitem share the orderkey domain: one stride, shifted
+    // in lockstep, keeps every lineitem pointing at its copy's order
+    val ko = stride(spark, s"$src/orders.parquet", "o_orderkey")
     fan("orders")
-      .withColumn("o_orderkey", col("o_orderkey") + col("cp") * KO)
+      .withColumn("o_orderkey", col("o_orderkey") + col("cp") * ko)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     fan("lineitem")
-      .withColumn("l_orderkey", col("l_orderkey") + col("cp") * KO)
+      .withColumn("l_orderkey", col("l_orderkey") + col("cp") * ko)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val ke = stride(spark, s"$src/events.parquet", "event_id")
     fan("events")
-      .withColumn("event_id", col("event_id") + col("cp") * 100000000L)
+      .withColumn("event_id", col("event_id") + col("cp") * ke)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val kd = stride(spark, s"$src/documents.parquet", "doc_id")
     fan("documents")
       .withColumn("text",
         when(col("cp") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" c"), col("cp"))))
-      .withColumn("doc_id", col("doc_id") + col("cp") * 1000000L)
+          // weave " cN " between every pair of words: every word-3-gram
+          // of the copy carries its copy tag → zero shared shingles
+          // across copies; shared bigrams WITHIN a copy keep planted
+          // near-dup pairs near-dup
+          .otherwise(regexp_replace(col("text"), lit(" "),
+            concat(lit(" c"), col("cp"), lit(" ")))))
+      .withColumn("doc_id", col("doc_id") + col("cp") * kd)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val kv = stride(spark, s"$src/embeddings.parquet", "vec_id")
+    // xxhash64(j, cp) separates every (dimension, copy) pair with a real
+    // 64-bit avalanche, so "hash mod 3" flips ~1/3 of dimensions in a
+    // pattern unique to each copy (no residue-class algebra can make two
+    // copies' patterns coincide, unlike the former (j + 7·cp) mod 3)
     fan("embeddings")
       .withColumn("embedding",
         when(col("cp") === 0, col("embedding"))
           .otherwise(zip_with(col("embedding"),
             sequence(lit(0), size(col("embedding")) - 1),
-            (x, j) => when((j + col("cp") * 7) % 3 === 0, -x).otherwise(x))))
-      .withColumn("vec_id", col("vec_id") + col("cp") * 1000000L)
+            (x, j) => when(
+              pmod(xxhash64(j, col("cp")), lit(3)) === 0, -x)
+              .otherwise(x))))
+      .withColumn("vec_id", col("vec_id") + col("cp") * kv)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"SCALEGEN wrote ${mult}x of $src to $out")
+    println(s"SCALEGEN wrote ${mult}x of $src to $out " +
+      s"(strides: orders=$ko events=$ke docs=$kd vecs=$kv)")
     spark.stop()
   }
 }

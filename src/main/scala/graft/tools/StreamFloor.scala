@@ -36,19 +36,16 @@ object StreamFloor {
     // mirrors: same schemas, zero (resp. one) event rows — streaming
     // queries also read static side tables, so every table is mirrored
     def mirror(tag: String, eventRows: Int): String = {
-      val out = graft.Staging.path(s"graft_sf_$tag", sfDir)
-      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      graft.Staging.buildOnce(
+          graft.Staging.path(s"graft_sf_$tag", sfDir), "_SUCCESS") { tmp =>
         new java.io.File(sfDir).listFiles().map(_.getName)
           .filter(_.endsWith(".parquet")).foreach { t =>
             val n = if (t == "events.parquet") eventRows else 0
             spark.read.parquet(s"$sfDir/$t").limit(n)
               .coalesce(1).write.mode("overwrite")
-              .parquet(out.resolve(t).toString)
+              .parquet(tmp.resolve(t).toString)
           }
-        java.nio.file.Files.write(out.resolve("_SUCCESS"),
-          Array.emptyByteArray)
-      }
-      out.toString
+      }.toString
     }
     val empty = mirror("empty", 0)
     val onerow = mirror("onerow", 1)

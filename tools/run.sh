@@ -1,0 +1,22 @@
+#!/bin/bash
+# java -cp launcher for graft mains (Verify/Bench/tools) that mirrors
+# build.sbt's forked-JVM options, so long-running data generation and
+# validation can proceed WITHOUT holding the sbt project lock.
+#   tools/run.sh graft.tools.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10
+# SPARK_DRIVER_MEM overrides the heap (default: half of RAM, capped 48g).
+set -euo pipefail
+CLS=/root/repo/target/scala-2.13/classes
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+RAM_GB=$(awk '/MemTotal/{print int($2/1048576)}' /proc/meminfo)
+HEAP=${SPARK_DRIVER_MEM:-$(( RAM_GB/2 > 48 ? 48 : (RAM_GB/2 < 2 ? 2 : RAM_GB/2) ))g}
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"$HEAP" -XX:+ExplicitGCInvokesConcurrent \
+  -cp "$CLS:/opt/spark/jars/*" "$@"
