@@ -107,4 +107,44 @@ class PipelineSpec extends SparkSpec {
     val out = p.runWith(_.count())
     assert(out == Map("s.pos" -> 99L, "s.neg" -> 0L))
   }
+
+  // --- The canonical pyPiper README walkthrough, ported literally -------
+  // (SURVEY.md §2.A / §5.1): the first program a migrating user writes.
+  //   Generate("gen", size=10) | Double("double") | Printer("print")
+  //   Pipeline(...).run()   →   prints 0 2 4 … 18
+  // Node classes become facade constructors, emit/close become bounded-
+  // source semantics, and Printer's side-effecting run() becomes the sink
+  // action handed to runWith — the collected list IS the printed output.
+
+  test("README: Generate | Double | Printer golden output") {
+    val generate = range(10) // Generate("gen", size=10)
+    val double = Node.transform("double")(
+      _.select((col("x") * 2).as("x"))) // Double: emit(data * 2)
+    // Printer: terminal side-effecting sink — materialize and capture
+    val printed = Pipeline(generate, double)
+      .runWith(_.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(printed("double") == Seq(0L, 2, 4, 6, 8, 10, 12, 14, 16, 18))
+  }
+
+  test("README: batch_size variant prints the same records") {
+    // Pipeline(Generate(...) | Double(batch_size=3) | Printer(...)):
+    // batching is an execution knob, never a semantics knob
+    val double3 = Node.batch("double", 3)(
+      rows => rows.map(r => org.apache.spark.sql.Row(r.getLong(0) * 2)))
+    val printed = Pipeline(range(10), double3)
+      .runWith(_.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(printed("double") == Seq(0L, 2, 4, 6, 8, 10, 12, 14, 16, 18))
+  }
+
+  test("README: fan-out Generate | [Double, Square] | Printer") {
+    // a | [b, c]: every branch sees every record; each leaf prints its
+    // own stream (pyPiper wires one Printer per branch)
+    val graph = Node.streams("gen", "*") | Seq(
+      Node.transform("double")(_.select((col("x") * 2).as("v"))),
+      Node.transform("square")(_.select((col("x") * col("x")).as("v"))))
+    val printed = Pipeline(range(10), graph)
+      .runWith(_.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(printed("gen.double") == (0 until 10).map(_ * 2L))
+    assert(printed("gen.square") == (0 until 10).map(i => (i * i).toLong))
+  }
 }
