@@ -584,4 +584,112 @@ object Media {
       }
     }
   }
+
+  // --------------------------------------------------------------------
+  // Perceptual hash (round 13): the DCT pHash the round-12 verdict asked
+  // for, replacing the 16-bin global byte histogram as q_media_dedup's
+  // image signature. Entirely INTEGER fixed-point, so the oracle states
+  // the same hash in ANSI SQL from the closed-form raster derivation —
+  // no libm call anywhere on either side.
+
+  /** 8-point DCT-II basis, fixed-point: C(u)(x) = round(2¹⁴·cos((2x+1)uπ/16)).
+    * Two structural facts the pipeline leans on:
+    *   - every u ≠ 0 row sums to EXACTLY zero (the rounded values keep
+    *     the cosine antisymmetry), so a uniform gray shift δ moves only
+    *     the DC coefficient: ΔF(u,v) = δ·rowsum(u)·rowsum(v) = 0 for all
+    *     63 AC coefficients — the hash is provably brightness-invariant
+    *     (the gray weights 77+150+29 = 256 make the gray shift exact,
+    *     and (sum + δ·count) div count = p + δ keeps pooling exact);
+    *   - uniform 2¹⁴ scale per factor means all 63 AC coefficients share
+    *     one scale (2²⁸), so the mean-threshold compares like with like. */
+  private[graft] val DctC: Array[Array[Long]] = Array(
+    Array(16384L, 16384, 16384, 16384, 16384, 16384, 16384, 16384),
+    Array(16069L, 13623, 9102, 3196, -3196, -9102, -13623, -16069),
+    Array(15137L, 6270, -6270, -15137, -15137, -6270, 6270, 15137),
+    Array(13623L, -3196, -16069, -9102, 9102, 16069, 3196, -13623),
+    Array(11585L, -11585, -11585, 11585, 11585, -11585, -11585, 11585),
+    Array(9102L, -16069, 3196, 13623, -13623, -3196, 16069, -9102),
+    Array(6270L, -15137, 15137, -6270, -6270, 15137, -15137, 6270),
+    Array(3196L, -9102, 13623, -16069, 16069, -13623, 9102, -3196))
+
+  /** 63-bit DCT perceptual hash of an RGB raster.
+    *
+    * Gray (integer BT.601-shaped: (77r+150g+29b) >> 8) → 8×8 average
+    * pool (cell of pixel (x,y) is (x·8 div w, y·8 div h); integer mean)
+    * → 2-D fixed-point DCT-II → threshold each of the 63 AC coefficients
+    * against their mean, cross-multiplied (63·F > ΣF) so no division
+    * ever happens → bit k−1 set for coefficient k = u·8+v. Every step is
+    * exact 64-bit integer arithmetic: |F| ≤ 255·2²⁸·64 ≈ 2⁴², and the
+    * oracle SQL replays the identical algebra. */
+  def pHash64(w: Int, h: Int, px: Array[Byte]): Long = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 8 / w
+        val i = 3 * (y * w + x)
+        val g = (77 * (px(i) & 0xff) + 150 * (px(i + 1) & 0xff) +
+          29 * (px(i + 2) & 0xff)) >> 8
+        sums(cy * 8 + cx) += g
+        cnts(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val p = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      if (cnts(k) > 0) p(k) = sums(k) / cnts(k)
+      k += 1
+    }
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var cx = 0
+        while (cx < 8) {
+          var cy = 0
+          while (cy < 8) {
+            acc += p(cy * 8 + cx) * DctC(u)(cx) * DctC(v)(cy)
+            cy += 1
+          }
+          cx += 1
+        }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    var s = 0L
+    k = 1
+    while (k < 64) { s += f(k); k += 1 }
+    var ph = 0L
+    k = 1
+    while (k < 64) {
+      if (63L * f(k) > s) ph |= 1L << (k - 1)
+      k += 1
+    }
+    ph
+  }
+
+  /** (media_id, phash) for every DECODABLE image row — batched
+    * per-partition decode (payloads never ride a shuffle; 8 bytes of
+    * hash per image do). Undecodable image payloads emit no signature:
+    * a hash of undecoded bytes would be a storage hash, not a
+    * perceptual one, and pairing by it belongs to exact dedup. */
+  def imagePhashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { m =>
+        decodeImage(m.payload).map { case (w, h, px) =>
+          (m.media_id, pHash64(w, h, px))
+        }
+      }
+    }.toDF("media_id", "phash")
+  }
 }

@@ -284,11 +284,31 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
+  /** The fixed-point DCT basis as a SQL VALUES literal — rendered from
+    * [[Media.DctC]] so the two sides can never drift. */
+  private val dctValues: String =
+    (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u,$x,${Media.DctC(u)(x)})").mkString(", ")
+
   /** Multimodal near-dup DEDUP — the payload-level member of the dedup
     * family (MinHash/SimHash cover text, banded-LSH covers embeddings;
-    * this covers the media binaries themselves). Perceptual signature =
-    * the stub decoder's 16-bin byte histogram (exactly what a real
-    * pHash/chromaprint would replace); SimHash-style multi-block
+    * this covers the media binaries themselves).
+    *
+    * IMAGES (round 13): signature = the 63-bit integer DCT pHash over
+    * the DECODED raster ([[Media.pHash64]] — gray → 8×8 pool →
+    * fixed-point 2-D DCT-II → mean-thresholded AC bits; the real
+    * perceptual operator the round-12 verdict asked for, replacing the
+    * global byte histogram whose bands collapse under a brightness
+    * shift). Blocking = 4 hash bands (16/16/16/15 bits), candidates
+    * agree on any band; verification = Hamming ≤ 6 of 63. Everything is
+    * integer arithmetic, so the oracle replays the identical algebra
+    * from the closed-form raster derivation — including the DCT table,
+    * rendered into the SQL from the same constants ([[dctValues]]).
+    * MediaSpec pins the perceptual claims the oracle can't see:
+    * brightness-shifted and JPEG-re-encoded duplicates at recall 1.0,
+    * and the histogram scheme missing the same fixtures.
+    *
+    * AUDIO/VIDEO keep the 16-bin histogram signature with
     * blocking = 4 bands of 4 bins each, quantized to 1/256 steps and
     * hashed — candidates agree on ANY band, so identical payloads are
     * caught with probability 1 (identical bytes ⇒ identical histogram ⇒
@@ -337,6 +357,7 @@ object MediaQueries {
         |  FROM media m CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
         |  LEFT JOIN allc a
         |    ON a.doc_id = m.doc_id AND a.kind = m.kind AND a.bin = b.bin
+        |  WHERE m.kind <> 'image'
         |  GROUP BY m.doc_id),
         |cells AS MATERIALIZED (
         |  SELECT media_id, f,
@@ -379,8 +400,73 @@ object MediaQueries {
         |    JOIN cells y ON y.media_id = c.db)
         |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
         |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.9999),
+        |pimg AS MATERIALIZED (
+        |  SELECT doc_id, n_chars, text,
+        |    n_chars % 24 + 8 AS w, n_chars % 16 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |gpx AS MATERIALIZED (
+        |  SELECT doc_id, w, h, CAST(i % w AS INT) AS x,
+        |    CAST(i // w AS INT) AS y,
+        |    (77 * b0 + 150 * b1 + 29 * b2) // 256 AS g
+        |  FROM (
+        |    SELECT doc_id, w, h, i,
+        |      CASE WHEN n_chars = 0 THEN 0 ELSE ascii(substr(text,
+        |        CAST((3 * i) % n_chars AS INT) + 1, 1)) END AS b0,
+        |      CASE WHEN n_chars = 0 THEN 0 ELSE ascii(substr(text,
+        |        CAST((3 * i + 1) % n_chars AS INT) + 1, 1)) END AS b1,
+        |      CASE WHEN n_chars = 0 THEN 0 ELSE ascii(substr(text,
+        |        CAST((3 * i + 2) % n_chars AS INT) + 1, 1)) END AS b2
+        |    FROM pimg, UNNEST(range(0, w * h)) t(i))),
+        |pool AS MATERIALIZED (
+        |  SELECT doc_id, (x * 8) // w AS cx, (y * 8) // h AS cy,
+        |    SUM(g) // COUNT(*) AS p
+        |  FROM gpx GROUP BY 1, 2, 3),
+        |dctc(u, x, c) AS (VALUES """.stripMargin + dctValues +
+      """),
+        |coef AS MATERIALIZED (
+        |  SELECT pool.doc_id, cu.u AS u, cv.u AS v,
+        |    SUM(p * cu.c * cv.c) AS fc
+        |  FROM pool JOIN dctc cu ON cu.x = pool.cx
+        |  JOIN dctc cv ON cv.x = pool.cy
+        |  GROUP BY 1, 2, 3),
+        |ac AS (SELECT doc_id, u * 8 + v AS k, fc FROM coef
+        |  WHERE NOT (u = 0 AND v = 0)),
+        |phs AS MATERIALIZED (
+        |  SELECT a.doc_id AS media_id,
+        |    CAST(SUM(CASE WHEN 63 * a.fc > t.s
+        |      THEN (CAST(1 AS BIGINT) << CAST(a.k - 1 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM ac a JOIN (SELECT doc_id, SUM(fc) AS s FROM ac GROUP BY 1) t
+        |    USING (doc_id)
+        |  GROUP BY 1),
+        |phb AS MATERIALIZED (
+        |  SELECT media_id, phash,
+        |    phash & 65535 AS b0, (phash >> 16) & 65535 AS b1,
+        |    (phash >> 32) & 65535 AS b2, (phash >> 48) & 32767 AS b3
+        |  FROM phs),
+        |ibcand AS MATERIALIZED (
+        |  SELECT DISTINCT da, db FROM (
+        |    SELECT x.media_id AS da, y.media_id AS db FROM phb x
+        |    JOIN phb y ON x.b0 = y.b0 AND x.media_id < y.media_id
+        |    UNION ALL
+        |    SELECT x.media_id, y.media_id FROM phb x
+        |    JOIN phb y ON x.b1 = y.b1 AND x.media_id < y.media_id
+        |    UNION ALL
+        |    SELECT x.media_id, y.media_id FROM phb x
+        |    JOIN phb y ON x.b2 = y.b2 AND x.media_id < y.media_id
+        |    UNION ALL
+        |    SELECT x.media_id, y.media_id FROM phb x
+        |    JOIN phb y ON x.b3 = y.b3 AND x.media_id < y.media_id)),
+        |ipr AS MATERIALIZED (
+        |  SELECT c.da, c.db FROM ibcand c
+        |  JOIN phs x ON x.media_id = c.da
+        |  JOIN phs y ON y.media_id = c.db
+        |  WHERE bit_count(xor(x.phash, y.phash)) <= 6),
+        |allpr AS MATERIALIZED (
+        |  SELECT da, db FROM pr UNION ALL SELECT da, db FROM ipr),
         |edges AS MATERIALIZED (
-        |  SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+        |  SELECT da AS a, db AS b FROM allpr
+        |  UNION ALL SELECT db, da FROM allpr),
         |reach(src, dst) AS (
         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
         |  UNION
@@ -394,14 +480,59 @@ object MediaQueries {
 
   private[queries] def mediaDedupClusters(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    // codecMediaTable (round 12): the dedup signatures derive from
-    // ImageIO-decoded PNG/BMP rasters for 2/3 of the image corpus —
-    // bit-identical features (lossless containers), so the banded
-    // oracle below is untouched
-    val feats = Media.extractFeatures(Media.codecMediaTable(spark, dir)).toDF()
+    // codecMediaTable (round 12): signatures derive from ImageIO-decoded
+    // PNG/BMP rasters for 2/3 of the image corpus — lossless containers,
+    // so the closed-form oracle holds. Round 13: image rows pair by the
+    // DCT pHash (banded Hamming); audio/video keep the 16-bin histogram
+    // banding (their rasters are 1-D sample streams — chromaprint-class
+    // signatures are the real-world analog, out of decode scope here).
+    val codec = Media.codecMediaTable(spark, dir)
+    val feats = Media.extractFeatures(codec).toDF()
+      .filter(col("kind") =!= "image")
       .select(col("media_id"), col("feature"))
-    graft.operators.ConnectedComponents.summarized(mediaDedupPairs(feats))(
+    val pairs = mediaDedupPairs(feats)
+      .unionByName(phashDedupPairs(Media.imagePhashes(codec)))
+    graft.operators.ConnectedComponents.summarized(pairs)(
       Dedup.clusterSummary)
+  }
+
+  /** pHash banded near-dup pairs over (media_id, phash) — the image leg
+    * of q_media_dedup (exposed for MediaSpec's planted-perceptual-dup
+    * pins). Blocking: the 63-bit hash splits into 4 bands (16/16/16/15
+    * bits); candidates agree on ANY band — identical rasters collide in
+    * all four, and a Hamming-≤6 pair has ≥1 clean band unless its ≤6
+    * flipped bits hit 4 distinct bands (MediaSpec measures recall on
+    * perceptual edits: brightness shift flips ZERO bits by the DctC
+    * row-sum argument, JPEG re-encode a handful). Verification is exact:
+    * bit_count(xor) ≤ 6 of 63. Each pair emits from its FIRST agreeing
+    * band only (integer compares ahead of the verify — the
+    * q_dedup_embedding_ann rule), so the join is 4 band-bucket
+    * equi-joins, never all-pairs, and only 8-byte hashes ride the
+    * shuffle. */
+  private[graft] def phashDedupPairs(
+      ph: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = array(
+      col("phash").bitwiseAND(lit(65535L)),
+      shiftright(col("phash"), 16).bitwiseAND(lit(65535L)),
+      shiftright(col("phash"), 32).bitwiseAND(lit(65535L)),
+      shiftright(col("phash"), 48).bitwiseAND(lit(32767L)))
+    val keyed = ph.select(col("media_id"), col("phash"), bands.as("ks"))
+    val banded = keyed.select(col("media_id"), col("phash"), col("ks"),
+      posexplode(col("ks")).as(Seq("band", "key")))
+    val l = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("phash").as("pa"), col("ks").as("ka"))
+    val r = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+      col("media_id").as("id_b"), col("phash").as("pb"), col("ks").as("kb"))
+    val firstBand = (0 until 4).map { j =>
+      (col("band") === j) && (0 until j)
+        .map(i => element_at(col("ka"), i + 1) =!= element_at(col("kb"), i + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    l.join(r, col("band") === col("band_b")
+        && col("key") === col("key_b") && col("id_a") < col("id_b")
+        && firstBand
+        && bit_count(col("pa").bitwiseXOR(col("pb"))) <= 6)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")).distinct()
   }
 
   /** Banded candidate + verify stage over (media_id, feature) — exposed

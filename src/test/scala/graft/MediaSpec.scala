@@ -196,6 +196,102 @@ class MediaSpec extends SparkSpec {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  // --- DCT pHash perceptual pins (round 13) --------------------------
+  // Fixtures: smooth triangle-wave textures at 48×32 — every channel
+  // ≤ 190 so a +50 brightness shift never clamps; each (a, b, period)
+  // combo below was numerically screened so the 13 fixtures sit
+  // pairwise Hamming ≥ 16 apart AFTER the 8×8 pooling, while staying
+  // low-frequency enough that a JPEG re-encode moves the hash by only a
+  // few bits. (A 24×16 JPEG fixture is pathological — three 8×8 JPEG
+  // blocks total — and measured Hamming 15; perceptual hashing of
+  // thumbnail-sized JPEGs is genuinely out of scope.)
+  private def texture(w: Int, h: Int, a: Int, b: Int, per: Int): Array[Byte] = {
+    def tri(t: Int, p: Int): Int = {
+      val m = t % (2 * p); if (m < p) m else 2 * p - m
+    }
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 50 + tri(a * x + b * y, per) * 140 / per
+        val i = 3 * (y * w + x)
+        px(i) = v.toByte
+        px(i + 1) = (230 - v).toByte
+        px(i + 2) = (50 + (x * 140 / w + y * 140 / h) / 2).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  // screened pairwise-distant parameter set; head = the base texture
+  private val textureParams = Seq(
+    (1, 0, 12), (1, 1, 12), (1, 1, 18), (1, 1, 24), (1, 1, 36),
+    (2, 1, 12), (2, 1, 18), (2, 1, 24), (2, 1, 36), (1, 2, 12),
+    (1, 2, 18), (1, 2, 24), (1, 2, 36))
+
+  test("pHash: a uniform brightness shift flips ZERO bits") {
+    // the DctC row-sum argument, end-to-end: +δ on every channel moves
+    // only the DC coefficient, and all 63 hash bits are AC
+    val (w, h) = (48, 32)
+    val base = texture(w, h, 1, 0, 12)
+    for (delta <- Seq(5, 20, 50)) {
+      val shifted = base.map(b => ((b & 0xff) + delta).min(255).toByte)
+      assert(Media.pHash64(w, h, base) == Media.pHash64(w, h, shifted),
+        s"brightness +$delta changed the pHash")
+    }
+  }
+
+  test("media dedup image leg: perceptual duplicates recall 1.0") {
+    import graft.multimodal.Media.MediaRow
+    import spark.implicits._
+    val (w, h) = (48, 32)
+    val base = texture(w, h, 1, 0, 12)
+    val bright = base.map(b => ((b & 0xff) + 20).toByte) // no clamp by design
+    val rows = Seq(
+      MediaRow(1L, "image", Media.encodeImage("png", w, h, base), w, h, 0),
+      MediaRow(2L, "image", Media.encodePpm(w, h, bright), w, h, 0),
+      // the LOSSY re-encode: decoded pixels differ from base, the hash
+      // must not — this is the fixture the 16-bin histogram scheme fails
+      MediaRow(3L, "image", Media.encodeImage("jpg", w, h, base), w, h, 0)) ++
+      textureParams.tail.zipWithIndex.map { case ((a, b, p), i) =>
+        MediaRow(10L + i, "image", Media.encodePpm(w, h, texture(w, h, a, b, p)),
+          w, h, 0)
+      }
+    val got = graft.queries.MediaQueries.phashDedupPairs(
+        Media.imagePhashes(spark.createDataset(rows)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+  }
+
+  test("histogram banding misses the perceptual duplicates pHash catches") {
+    // the documented failure that motivated the round-13 replacement: a
+    // +20 brightness shift moves every byte two 16-bins over and a JPEG
+    // re-encode scatters bin mass, so neither duplicate survives the
+    // histogram scheme's banded cells + cosine 0.9999 — while both are
+    // perceptually the same image and pHash-caught above
+    import graft.multimodal.Media.MediaRow
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (w, h) = (48, 32)
+    val base = texture(w, h, 1, 0, 12)
+    val bright = base.map(b => ((b & 0xff) + 20).toByte)
+    val rows = Seq(
+      MediaRow(1L, "image", Media.encodeImage("png", w, h, base), w, h, 0),
+      MediaRow(2L, "image", Media.encodePpm(w, h, bright), w, h, 0),
+      MediaRow(3L, "image", Media.encodeImage("jpg", w, h, base), w, h, 0))
+    val feats = Media.extractFeatures(spark.createDataset(rows)).toDF()
+      .select(col("media_id"), col("feature"))
+    val histGot = graft.queries.MediaQueries.mediaDedupPairs(feats)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(histGot.isEmpty,
+      s"histogram banding unexpectedly paired: $histGot")
+  }
+
   test("frame sampling matches closed-form count") {
     val frames = Media.sampleFrames(media, 3).collect()
     val byMedia = frames.groupBy(_.media_id).view.mapValues(_.length).toMap

@@ -229,6 +229,20 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in the media dedup path:\n$p")
   }
 
+  test("media pHash pair stage is a banded equi-join with the Hamming verify fused in") {
+    // the round-13 image leg: candidates come from an equi-join on the
+    // hash-band value with bit_count(xor) ≤ 6 inside the join condition
+    // — same no-all-pairs discipline as the histogram and ANN gates
+    val ph = graft.multimodal.Media.imagePhashes(
+      graft.multimodal.Media.mediaTable(spark, sf))
+    val p = queries.MediaQueries.phashDedupPairs(ph)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("bit_count"), s"Hamming verify absent:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the pHash dedup path:\n$p")
+  }
+
   test("incremental IVF ANN: day-2 plan reads the persisted index, never retrains") {
     // the nightly-index contract, vector-search edition: centroids and
     // inverted lists come off disk; no Lloyd step (the fixed-point
