@@ -692,4 +692,54 @@ object Media {
       }
     }.toDF("media_id", "phash")
   }
+
+  /** Staged JPEG corpus + its DECODE-ONCE rasters — the round-13 bridge
+    * that puts LOSSY decode under the oracle. One write-once build:
+    *
+    *   containers/ — (media_id, payload): every corpus image raster
+    *     re-encoded as JPEG (media at rest, the compressed container a
+    *     real multimodal lake stores);
+    *   rasters/    — (media_id, width, height, raster ARRAY<INT>): the
+    *     containers decoded ONCE at build time, pixels as a plain int
+    *     list so DuckDB can fold over them (a BLOB column would be
+    *     opaque to SQL byte arithmetic).
+    *
+    * JPEG decode is lossy, so no closed-form oracle can state the
+    * pixels — but it is DETERMINISTIC for a given JDK, so the judged
+    * query re-decodes containers/ at query time and the oracle states
+    * the same integer features over rasters/: a hash match proves the
+    * query-time decode bit-equals the staged decode AND that the two
+    * engines agree on the feature algebra. Cross-JDK portability is the
+    * documented caveat (MediaSpec) — within one container image the
+    * equality is exact. */
+  def jpegMediaPath(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    graft.Staging.buildOnce(
+        graft.Staging.path("graft_jpeg_media", dir, version = 1),
+        "_JPEG_READY") { tmp =>
+      mediaTable(spark, dir).filter(_.kind == "image")
+        .mapPartitions { it =>
+          it.flatMap { m =>
+            decodePpm(m.payload).map { case (w, h, px) =>
+              (m.media_id, encodeImage("jpg", w, h, px))
+            }
+          }
+        }.toDF("media_id", "payload")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("media_id"))
+        .sortWithinPartitions("media_id")
+        .write.mode("overwrite").parquet(tmp.resolve("containers").toString)
+      spark.read.parquet(tmp.resolve("containers").toString)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload) =>
+            decodeImage(payload).map { case (w, h, px) =>
+              (id, w, h, px.map(b => b & 0xff))
+            }
+          }
+        }.toDF("media_id", "width", "height", "raster")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("media_id"))
+        .sortWithinPartitions("media_id")
+        .write.mode("overwrite").parquet(tmp.resolve("rasters").toString)
+    }.toString
+  }
 }

@@ -568,7 +568,65 @@ object MediaQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")).distinct()
   }
 
+  /** JPEG under the oracle (round 13) — the lossy-codec member of the
+    * judged decode family. The corpus images are staged ONCE as real
+    * JPEG containers plus their decode-once rasters
+    * ([[Media.jpegMediaPath]]); the judged query then re-decodes the
+    * CONTAINERS at query time (the operator under test — a genuine
+    * ImageIO JPEG decode per image) and folds integer features of the
+    * decoded pixels; the oracle states the identical features over the
+    * staged raster table. JPEG decode is deterministic per JDK, so a
+    * hash match proves (a) the query-time decode bit-equals the staged
+    * decode and (b) both engines agree on the feature algebra — the
+    * strongest judgment available for a lossy codec (closed-form pixel
+    * oracles exist only for lossless containers; MediaSpec documents
+    * the cross-JDK caveat). The __STAGED marker resolves to the
+    * content-fingerprinted staged path at Verify dump time. Scale
+    * shape: decode is scan-local per-row work over the container
+    * parquet, features are one hash aggregate; payloads never ride a
+    * shuffle (the only exchange is the output sort). */
+  val qMediaJpeg: QueryDef = QueryDef.oracle(
+    "q_media_jpeg",
+    """WITH r AS (
+      |  SELECT media_id, width, height, raster
+      |  FROM read_parquet('__STAGED:graft_jpeg_media:v1__/rasters/*.parquet')),
+      |b AS (
+      |  SELECT media_id, width, height, len(raster) AS nb,
+      |    unnest(raster) AS v, generate_subscripts(raster, 1) AS i
+      |  FROM r)
+      |SELECT media_id, CAST(width AS INT) AS w, CAST(height AS INT) AS h,
+      |  CAST(MAX(nb) AS BIGINT) AS n_bytes,
+      |  CAST(SUM(v) AS BIGINT) AS sum_bytes,
+      |  CAST(SUM(i * v) AS BIGINT) AS wsum,
+      |  CAST(COUNT(*) FILTER (v % 16 = 0) AS BIGINT) AS h0,
+      |  CAST(COUNT(*) FILTER (v % 16 = 15) AS BIGINT) AS h15
+      |FROM b GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val path = Media.jpegMediaPath(spark, dir)
+    spark.read.parquet(s"$path/containers").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Media.decodeImage(payload).map { case (w, h, px) =>
+            var sum = 0L; var ws = 0L; var h0 = 0L; var h15 = 0L
+            var i = 0
+            while (i < px.length) {
+              val v = px(i) & 0xff
+              sum += v
+              ws += (i + 1).toLong * v
+              if (v % 16 == 0) h0 += 1
+              if (v % 16 == 15) h15 += 1
+              i += 1
+            }
+            (id, w, h, px.length.toLong, sum, ws, h0, h15)
+          }
+        }
+      }
+      .toDF("media_id", "w", "h", "n_bytes", "sum_bytes", "wsum", "h0", "h15")
+      .orderBy("media_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qMediaMetadata, qMediaFrames, qMediaFeatures, qMediaAudio,
-      qMediaVideo, qMediaDedup)
+      qMediaVideo, qMediaDedup, qMediaJpeg)
 }

@@ -292,6 +292,25 @@ class MediaSpec extends SparkSpec {
       s"histogram banding unexpectedly paired: $histGot")
   }
 
+  test("JPEG staging: decode-once rasters equal a fresh query-time decode") {
+    // the q_media_jpeg judging premise, pinned directly: JPEG decode is
+    // deterministic for a given JDK, so the staged raster table and a
+    // fresh decode of the same containers are bit-identical. CAVEAT
+    // (documented, not testable here): a DIFFERENT JDK's JPEG decoder
+    // may legally produce different low bits — the oracle equality is
+    // within-container-image, which is the driver's actual topology.
+    val (w, h) = (48, 32)
+    val base = texture(w, h, 1, 0, 12)
+    val jpeg = Media.encodeImage("jpg", w, h, base)
+    val d1 = Media.decodeImage(jpeg).get
+    val d2 = Media.decodeImage(jpeg).get
+    assert(d1._1 == d2._1 && d1._2 == d2._2)
+    assert(java.util.Arrays.equals(d1._3, d2._3),
+      "same-JVM JPEG decode is not deterministic")
+    // and the encode is deterministic too (same input -> same container)
+    assert(java.util.Arrays.equals(jpeg, Media.encodeImage("jpg", w, h, base)))
+  }
+
   test("frame sampling matches closed-form count") {
     val frames = Media.sampleFrames(media, 3).collect()
     val byMedia = frames.groupBy(_.media_id).view.mapValues(_.length).toMap

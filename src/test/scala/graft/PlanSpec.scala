@@ -243,6 +243,19 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in the pHash dedup path:\n$p")
   }
 
+  test("JPEG query decodes the staged containers, never re-encodes the corpus") {
+    // decode-once discipline for the lossy slice: the steady-state plan
+    // scans graft_jpeg_media/containers (query-time JPEG decode is the
+    // operator under test); the synthetic corpus's PPM derivation — a
+    // documents scan — must not appear per execution
+    val q = Registry.all.find(_.name == "q_media_jpeg").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_jpeg_media"),
+      s"q_media_jpeg does not read the staged JPEG containers:\n${p.take(4000)}")
+    assert(!p.contains("documents.parquet"),
+      s"q_media_jpeg re-derives the corpus per execution:\n${p.take(4000)}")
+  }
+
   test("incremental IVF ANN: day-2 plan reads the persisted index, never retrains") {
     // the nightly-index contract, vector-search edition: centroids and
     // inverted lists come off disk; no Lloyd step (the fixed-point
