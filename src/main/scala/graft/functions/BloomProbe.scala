@@ -38,4 +38,23 @@ object BloomProbe {
     else exprCol(new BloomFilterMightContain(
       Literal(sketchBytes, BinaryType),
       new XxHash64(Seq(colExpr(key)))))
+
+  /** Union of two serialized sketches — the nightly index-maintenance
+    * operation: a bloom over A ∪ B is the bitwise OR of blooms over A
+    * and B when both were sized identically (same expectedItems ⇒ same
+    * bit width and hash count; `mergeInPlace` enforces compatibility).
+    * Null/empty operands are the empty-set sketch — the other side
+    * passes through. KB-scale work, never touches the indexed data. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a == null || a.isEmpty) return b
+    if (b == null || b.isEmpty) return a
+    val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
 }

@@ -373,4 +373,55 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((100L to 108L).forall(labels(_) == 100L))
   }
+
+  test("bloom sketch union contains both sides, identity on null/empty") {
+    import graft.functions.BloomProbe
+    import org.apache.spark.sql.functions.{col, not}
+    val a = spark.range(100).toDF("k")
+    val b = spark.range(1000, 1100).toDF("k")
+    val sa = BloomProbe.sketch(a, col("k"), 300000L)
+    val sb = BloomProbe.sketch(b, col("k"), 300000L)
+    val m = BloomProbe.merge(sa, sb)
+    // no false negatives across either input — the bloom-union law
+    assert(a.unionByName(b)
+      .filter(not(BloomProbe.mightContain(m, col("k")))).count() == 0)
+    // and the merged sketch is genuinely selective (not all-ones)
+    assert(spark.range(500000, 501000).toDF("k")
+      .filter(BloomProbe.mightContain(m, col("k"))).count() < 100)
+    assert(BloomProbe.merge(null, sa).sameElements(sa))
+    assert(BloomProbe.merge(sa, Array.emptyByteArray).sameElements(sa))
+  }
+
+  test("index merge is load-bearing: replayed batch dedupes only via the merged index") {
+    // day-3's replay of day-2's batch must be caught by the MERGED index
+    // and missed by the base-only index — the discriminating evidence
+    // that the merge landed day-2's fingerprints
+    import org.apache.spark.sql.functions.col
+    val mergedIdx = graft.queries.Dedup.dedupMergedIndexPath(spark, sf)
+    val baseIdx = graft.queries.Dedup.dedupIndexPath(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val replay = docs
+      .filter(graft.queries.Scramble(col("doc_id")) % 8 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+    def kept(idxFps: org.apache.spark.sql.DataFrame,
+        sketch: Array[Byte]): Long =
+      graft.queries.Dedup.indexedAdmission(idxFps, sketch, replay)
+        .agg(org.apache.spark.sql.functions.sum(col("n_kept")))
+        .head().getLong(0)
+    val baseSketch = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(baseIdx, "sketch.bin"))
+    val mergedSketch = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mergedIdx, "sketch.bin"))
+    val baseFps = spark.read.parquet(s"$baseIdx/fps")
+    val mergedFps = baseFps.unionByName(
+      spark.read.parquet(s"$mergedIdx/fps_delta"))
+    // merged index: every replayed doc is a duplicate (recall 1.0)
+    assert(kept(mergedFps, mergedSketch) == 0L,
+      "replayed batch docs admitted through the merged index")
+    // base-only index: the replay's genuinely-new texts get admitted —
+    // so the zero above is the merge's doing, not the base's
+    assert(kept(baseFps, baseSketch) > 0L,
+      "base index already held the batch fingerprints; merge untested")
+  }
 }

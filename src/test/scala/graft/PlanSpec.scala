@@ -25,6 +25,7 @@ class PlanSpec extends SparkSpec {
     "q_join_theta", "q_join_range", "q_scalar_subquery", "q_exists_subquery",
     "q_sim_cosine_pairs", "q_sim_topk", "q_sim_topk_fast", "q_sim_ivf_ann",
     "q_sim_ivf_incremental", // query-side probe ranking vs k≤16 broadcast centroids
+    "q_sim_ivf_merge", // same probe ranking, over base+delta segments
     "q_sim_pq_search", // 8-row broadcast LUT vs corpus codes: non-equi by design
     "q_sim_ivfpq", // centroid assignment + broadcast probe rows (IVF shape)
     "q_dedup_embedding", // pair stage = q_sim_cosine_pairs' all-pairs scan
@@ -254,6 +255,58 @@ class PlanSpec extends SparkSpec {
       s"q_media_jpeg does not read the staged JPEG containers:\n${p.take(4000)}")
     assert(!p.contains("documents.parquet"),
       s"q_media_jpeg re-derives the corpus per execution:\n${p.take(4000)}")
+  }
+
+  test("IVF merge: delta build assigns against the frozen quantizer, no retrain, no base rescan") {
+    // the nightly-merge contract: the merge plan reads centroids off the
+    // persisted base index (graft_ivf_base_index), contains no centroid
+    // TRAINING aggregate, and scans embeddings exactly once — the batch
+    // construction; the base corpus and the base inverted lists appear
+    // nowhere (the delta is a new segment, not a rewrite)
+    val p = queries.Similarity.ivfMergeAssignments(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivf_base_index"),
+      s"frozen quantizer not read from the base index:\n${p.take(4000)}")
+    assert(!p.toLowerCase.contains("vectorcentroid"),
+      s"centroid TRAINING aggregate in the merge plan:\n${p.take(4000)}")
+    val scans = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"expected exactly 1 embeddings scan (the batch), found $scans:\n${p.take(4000)}")
+    assert(!p.contains("/lists"),
+      s"base inverted lists rescanned during merge:\n${p.take(4000)}")
+  }
+
+  test("IVF merge: query plan reads base index + delta, never retrains") {
+    val q = Registry.all.find(_.name == "q_sim_ivf_merge").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivf_base_index") &&
+      p.contains("graft_ivf_merge_delta"),
+      s"merged-index segments absent from the query plan:\n${p.take(4000)}")
+    assert(!p.toLowerCase.contains("vectorcentroid"),
+      s"centroid TRAINING aggregate in the merged-query plan:\n${p.take(4000)}")
+  }
+
+  test("dedup index merge: delta build probes the persisted index, one documents scan") {
+    val p = queries.Dedup.dedupMergeDelta(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_dedup_base_index"),
+      s"persisted fp index absent from the merge plan:\n${p.take(4000)}")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"expected exactly 1 documents scan (the batch), found $scans:\n${p.take(4000)}")
+    // exact-fingerprint merge: no shingle/minhash machinery anywhere
+    assert(!p.contains("graft_shingle") && !p.contains("graft_minhash"),
+      s"fuzzy machinery in the exact index merge:\n${p.take(4000)}")
+  }
+
+  test("dedup index merge: query plan reads base index + delta segments") {
+    val q = Registry.all.find(_.name == "q_dedup_index_merge").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_dedup_base_index") &&
+      p.contains("graft_dedup_merged_index"),
+      s"merged-index segments absent from the query plan:\n${p.take(4000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"non-broadcast join in the day-3 admission plan:\n${p.take(4000)}")
   }
 
   test("incremental IVF ANN: day-2 plan reads the persisted index, never retrains") {

@@ -228,6 +228,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("IVF merge: merged index answers equal from-scratch assignment against the frozen quantizer") {
+    // the merge invariant: (base lists built day-1) ∪ (batch delta
+    // assigned at merge) must answer identically to assigning the WHOLE
+    // corpus against the same frozen quantizer in one pass — if the
+    // merge dropped, duplicated, or re-clustered anything, the probe
+    // answers diverge somewhere
+    import org.apache.spark.sql.functions.col
+    val merged = Similarity.qSimIvfMerge.run(spark, sf).collect().toSeq
+    val baseIdx = Similarity.ivfBaseIndexPath(spark, sf)
+    val cents = spark.read.parquet(s"$baseIdx/centroids")
+    val n = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val scratchLists = Similarity.ivfNearest(n, cents, "cluster")
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+    val scratch = Similarity.ivfTopk(scratchLists, cents, n).collect().toSeq
+    assert(merged == scratch,
+      s"merged diverged from from-scratch: ${merged.diff(scratch)}")
+  }
+
   test("incremental IVF index answers equal the from-scratch q_sim_ivf_ann") {
     // training is deterministic (fixed seeds + fixed-point Lloyd
     // update), so probing the persisted index must give byte-identical
