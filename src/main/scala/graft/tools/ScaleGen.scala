@@ -27,17 +27,24 @@ import org.apache.spark.sql.functions._
   *     a second application collide: `d + c0·1M` re-offset by `c1·1M`
   *     assigns copies (c0=1,c1=2) and (c0=2,c1=1) the same doc_id with
   *     different payloads — a broken primary key.
-  *   - Document copies are decorrelated at the SHINGLE level, not just
-  *     byte level: a per-copy token is woven between every word, so
-  *     every word-3-gram of copy N contains "cN" and copies share zero
-  *     shingles with each other or the original. The round-12 tail
-  *     marker (`text || " cN"`) left copies ~0.95-Jaccard near-dups of
-  *     each other — C(mult,2) synthetic candidate pairs per document,
-  *     quadratic in mult. Planted near-dup PAIRS survive inside each
-  *     copy: two texts sharing word bigrams share the corresponding
-  *     (w_i, cN, w_j) trigrams after weaving. n_chars is recomputed, so
-  *     every closed-form text/media oracle stays valid (oracles are
-  *     exact over whatever the data is).
+  *   - Document copies are decorrelated at the SHINGLE level by a
+  *     DETERMINISTIC WORD SHUFFLE keyed on (doc_id, copy): the word
+  *     MULTISET — token counts, vocabulary, heavy hitters, char mass —
+  *     is preserved exactly (so token-level families scale perfectly
+  *     linearly), while word-order shingles (3-grams, substring spans,
+  *     minhash/simhash signatures) become unique per output document.
+  *     Two earlier schemes failed measurably: the round-12 tail marker
+  *     (`text || " cN"`) left copies ~0.95-Jaccard near-dups of each
+  *     other (quadratic candidate pairs in mult), and the first
+  *     round-13 fix (a per-copy token woven between every word) gave
+  *     every copy-N document ultra-hot shared `(cN, w, cN)` shingles —
+  *     whole copy classes collided in simhash/minhash bands and the sf1
+  *     dedup bench blew up ~3×. Shuffling shares NOTHING across
+  *     documents by construction. Near-dup structure lives in copy 0 at
+  *     its original density (noted in SCALE.md: planted pair counts are
+  *     constant under scaling, candidate/scan mass is what must scale
+  *     linearly). n_chars is recomputed; double spaces survive the
+  *     split/join round-trip as empty tokens, so char mass is exact.
   *   - Embedding copies sign-flip on a 64-bit multiplicative mix of
   *     (dimension, copy) — every copy gets a DISTINCT flip pattern. The
   *     round-12 pattern `(j + 7·cp) mod 3` only depended on cp mod 3,
@@ -96,12 +103,21 @@ object ScaleGen {
     fan("documents")
       .withColumn("text",
         when(col("cp") === 0, col("text"))
-          // weave " cN " between every pair of words: every word-3-gram
-          // of the copy carries its copy tag → zero shared shingles
-          // across copies; shared bigrams WITHIN a copy keep planted
-          // near-dup pairs near-dup
-          .otherwise(regexp_replace(col("text"), lit(" "),
-            concat(lit(" c"), col("cp"), lit(" ")))))
+          // deterministic per-(doc, copy) word shuffle: sort words by
+          // xxhash64(doc_id, cp, position) — multiset preserved, order
+          // (hence every shingle) decorrelated from every other doc
+          .otherwise(array_join(
+            transform(
+              array_sort(
+                zip_with(
+                  split(col("text"), " "),
+                  sequence(lit(0),
+                    greatest(size(split(col("text"), " ")) - 1, lit(0))),
+                  (w, i) => struct(
+                    xxhash64(col("doc_id"), col("cp"), i).as("k"),
+                    w.as("w")))),
+              s => s.getField("w")),
+            " ")))
       .withColumn("doc_id", col("doc_id") + col("cp") * kd)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("cp")
