@@ -1021,7 +1021,11 @@ object Dedup {
     * emitted pair list is hash-compared bit-for-bit; day-2 scan
     * discipline matches q_dedup_incremental_indexed (PlanSpec: index
     * paths present, only the batch-construction scans of documents,
-    * batch/candidate side always the broadcast build side). */
+    * every broadcast build side size-bounded: band rows are 24 bytes,
+    * candidate pairs are near-dup-mass-bounded, and the batch's
+    * multi-KB signature arrays always STREAM — the sf10 run proved a
+    * batch-arrays broadcast dies at exactly the scale this query
+    * exists for). */
   val qDedupIncrementalLsh: QueryDef = QueryDef.oracle(
     "q_dedup_incremental_lsh", incrementalLshOracleSql) { (spark, dir) =>
     val idx = lshIndexPath(spark, dir)
@@ -1036,15 +1040,22 @@ object Dedup {
       .cache() // feeds banding AND verification; harness-cleared
     val batchBands = bandKeys(batchArrays, col("batch_doc"))
       .select(col("id").as("batch_doc"), col("band"), col("key"))
-    // candidate id-pairs: GB-scale batch bands broadcast, the 100 TB
-    // base index streams; distinct BEFORE the array attach so the
-    // shuffle carries 16-byte pairs, not multi-KB signatures
+    // candidate id-pairs: batch BANDS broadcast (24-byte rows — MBs for
+    // any nightly batch; the one knob that goes shuffle-join if a batch
+    // ever reaches ~100M docs), the 100 TB base index streams; distinct
+    // BEFORE the array attach so nothing downstream carries band rows
     val cand = baseBands
       .join(broadcast(batchBands), Seq("band", "key"))
       .select(col("batch_doc"), col("base_doc")).distinct()
-    val candSa = cand
-      .join(broadcast(batchArrays.select(col("batch_doc"), col("s").as("sa"))),
-        "batch_doc")
+    // array attach: the CANDIDATE pairs are the broadcast side (bounded
+    // by near-dup mass — the operator's own contract) and the batch
+    // arrays STREAM past them. The round-12 orientation broadcast
+    // batchArrays — multi-KB signature rows, linear in batch size — and
+    // died at the sf10 decade run: a 135k-doc batch serialized ~1.5 GiB
+    // of task results into spark.driver.maxResultSize. Broadcasts must
+    // be bounded by a contract, never by "currently small".
+    val candSa = batchArrays.select(col("batch_doc"), col("s").as("sa"))
+      .join(broadcast(cand), "batch_doc")
     // the index streams past the broadcast candidates (same orientation
     // as the exact confirm in q_dedup_incremental_indexed)
     baseArrays.select(col("base_doc"), col("s").as("sb"))

