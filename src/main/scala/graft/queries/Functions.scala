@@ -160,28 +160,43 @@ object Functions {
       .orderBy("event_type")
   }
 
-  /** Bitwise family: AND/OR/XOR, shifts, bit_count — pure integer
-    * arithmetic, bit-identical across engines by construction. The
-    * per-key expressions mirror the hash/partition/bucketing tricks the
-    * engine itself uses (SimHash blocks, salt mixing), exposed as the
-    * user-facing surface. */
+  /** Bitwise family: AND/OR/XOR, shifts, bit_count, and the bitwise
+    * AGGREGATE (bit_xor fold) — pure integer arithmetic, bit-identical
+    * across engines by construction. The per-key expressions mirror the
+    * hash/partition/bucketing tricks the engine itself uses (SimHash
+    * blocks, salt mixing), exposed as the user-facing surface.
+    *
+    * Aggregate headroom is a SCALE property, proven by the sf10 decade
+    * run: the round-12 form summed xor(key, Scramble(custkey)) — ~2⁶¹
+    * addends whose SUM overflowed int64 under ANSI mode at sf10's row
+    * counts (sf1 passed with only 2.4× headroom left). Wide-addend
+    * checksums now fold through bit_xor (bounded at 64 bits for ANY
+    * corpus size — the right bitwise checksum aggregate), and the shift
+    * expression is masked to 16 bits before its SUM (overflow needs
+    * ~1.4e14 rows PER BUCKET — beyond a 100 TB orders table by orders
+    * of magnitude). sum_and/sum_bits addends are ≤255/≤63 and keep
+    * their plain sums (safe past 10¹⁶ rows). */
   val qFnBitwise: QueryDef = QueryDef.oracle(
     "q_fn_bitwise",
     s"""SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n,
       |  CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_and,
-      |  CAST(SUM(xor(o_orderkey, ${Scramble.sql("o_custkey")})) AS BIGINT) AS sum_xor,
-      |  CAST(SUM((o_orderkey << 3) | (o_custkey >> 2)) AS BIGINT) AS sum_shifts,
+      |  CAST(BIT_XOR(xor(o_orderkey, ${Scramble.sql("o_custkey")})) AS BIGINT) AS xor_fold,
+      |  CAST(SUM(((o_orderkey << 3) | (o_custkey >> 2)) & 65535) AS BIGINT) AS sum_shifts,
       |  CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS sum_bits
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     Tables(spark, dir).orders
-      .groupBy((col("o_orderkey") % 8).as("bucket"))
+      .select((col("o_orderkey") % 8).as("bucket"),
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseXOR(Scramble(col("o_custkey"))).as("xr"),
+        shiftleft(col("o_orderkey"), 3)
+          .bitwiseOR(shiftright(col("o_custkey"), 2))
+          .bitwiseAND(lit(65535L)).as("sh"))
+      .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         sum(col("o_orderkey").bitwiseAND(255)).as("sum_and"),
-        sum(col("o_orderkey").bitwiseXOR(Scramble(col("o_custkey"))))
-          .as("sum_xor"),
-        sum(shiftleft(col("o_orderkey"), 3)
-          .bitwiseOR(shiftright(col("o_custkey"), 2))).as("sum_shifts"),
+        expr("bit_xor(xr)").as("xor_fold"),
+        sum(col("sh")).as("sum_shifts"),
         sum(bit_count(col("o_orderkey")).cast("long")).as("sum_bits"))
       .orderBy("bucket")
   }
