@@ -28,9 +28,21 @@ object EventsStream {
   /** The events table as an unbounded source (single-file glob → one
     * micro-batch at test scale; a directory of files at production scale,
     * rate-limited by maxFilesPerTrigger). Nanos→µs as in Tables.events. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.normalizeTs(readTable(spark, dir, "events.parquet"))
+
+  /** Any corpus parquet table as an unbounded file-source stream — the
+    * events machinery generalized (same symlink staging, same
+    * single-file vs part-directory handling), minus the events-specific
+    * timestamp normalization. The vector-ingest query streams
+    * `embeddings.parquet` through this: at production scale the "table"
+    * is the landing directory new embedding batches arrive in, rate-
+    * limited by maxFilesPerTrigger. */
+  private[graft] def readTable(spark: SparkSession, dir: String,
+      file: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
+    val base = file.stripSuffix(".parquet")
+    val path = s"$dir/$file"
     val schema = schemas.computeIfAbsent(path,
       p => spark.read.parquet(p).schema)
     // the file source wants a directory of FILES; stage one containing
@@ -68,7 +80,7 @@ object EventsStream {
         // buildOnce closes the round-12 delete-then-create race: the link
         // farm appears atomically, never half-populated
         graft.Staging.buildOnce(
-            graft.Staging.path("graft_events_parts", path), "_STAGED") {
+            graft.Staging.path(s"graft_${base}_parts", path), "_STAGED") {
           tmp =>
             val parts = java.nio.file.Files.list(src)
             try {
@@ -82,13 +94,12 @@ object EventsStream {
         }
       } else {
         val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_events_${dir.hashCode.toHexString}")
+          s"graft_${base}_${dir.hashCode.toHexString}")
         java.nio.file.Files.createDirectories(out)
-        ensureLink(out.resolve("events.parquet"), src)
+        ensureLink(out.resolve(file), src)
         out
       }
-    graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(staged.toString))
+    spark.readStream.schema(schema).parquet(staged.toString)
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return

@@ -34,6 +34,7 @@ class PlanSpec extends SparkSpec {
     "q_text_bigrams", // two 1-row broadcast corpus-total scalar attaches
     "q_text_lm_score", // 1-row broadcast vocabulary-size scalar attach
     "q_dedup_semantic", // k≤16 broadcast centroid assignment (IVF shape)
+    "q_embed_project", // 8 broadcast projected queries vs corpus: all-pairs by design
     "q_text_bm25", // 1-row broadcast corpus-stats scalar attach
     "q_profile_drift") // 1-row broadcast snapshot-totals scalar attach
 
@@ -284,6 +285,21 @@ class PlanSpec extends SparkSpec {
       s"merged-index segments absent from the query plan:\n${p.take(4000)}")
     assert(!p.toLowerCase.contains("vectorcentroid"),
       s"centroid TRAINING aggregate in the merged-query plan:\n${p.take(4000)}")
+  }
+
+  test("streaming IVF ingest: read plan spans base index + streamed delta, never retrains") {
+    // the continuous-ingest contract mirrors the nightly merge's: the
+    // query-time plan reads the frozen base index plus the delta the
+    // stream appended (runAggregated's graft_stream_agg staging), with
+    // no centroid TRAINING aggregate anywhere — ingest assigned against
+    // frozen centroids, the read side only probes
+    val q = Registry.all.find(_.name == "q_stream_ivf_ingest").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivf_base_index") &&
+      p.contains("graft_stream_agg"),
+      s"base index + streamed delta absent from the read plan:\n${p.take(4000)}")
+    assert(!p.toLowerCase.contains("vectorcentroid"),
+      s"centroid TRAINING aggregate in the ingest read plan:\n${p.take(4000)}")
   }
 
   test("dedup index merge: delta build probes the persisted index, one documents scan") {

@@ -247,6 +247,92 @@ class SimilaritySpec extends SparkSpec {
       s"merged diverged from from-scratch: ${merged.diff(scratch)}")
   }
 
+  test("streaming IVF ingest equals the nightly merge, at any batching") {
+    import org.apache.spark.sql.functions.col
+    // the judged query: stream-ingested delta ∪ base lists must answer
+    // exactly like the nightly merge (same frozen quantizer, same rows)
+    val merged = Similarity.qSimIvfMerge.run(spark, sf).collect().toSeq
+    val ingested = Similarity.qStreamIvfIngest.run(spark, sf).collect().toSeq
+    assert(ingested == merged,
+      s"stream-ingested diverged from nightly merge: ${ingested.diff(merged)}")
+    // batching invariance, forced: the same batch slice laid out as 3
+    // files and streamed with maxFilesPerTrigger=1 (a 3-micro-batch
+    // schedule) must append the same delta CONTENT as the one-shot
+    // nightly assignment — any cross-batch drop, duplicate, or
+    // reassignment shifts some vector's cluster or multiplicity
+    val baseIdx = Similarity.ivfBaseIndexPath(spark, sf)
+    val cents = spark.read.parquet(s"$baseIdx/centroids")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ingest_spec_").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(graft.queries.Scramble(col("vec_id")) % 4 === 0)
+      .repartition(3).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val threeBatches = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val delta = graft.streaming.EventsStream
+      .runAggregated(spark, threeBatches, "append")(
+        Similarity.ivfIngestBatch(cents))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.toSeq
+    val oneShot = Similarity.ivfMergeAssignments(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.toSeq
+    assert(delta == oneShot,
+      s"3-batch ingest delta diverged from one-shot assignment " +
+        s"(${delta.size} vs ${oneShot.size} rows)")
+  }
+
+  test("JL projection: judged top-5 carries true cosines; projected space preserves retrieval signal") {
+    val rows = Similarity.qEmbedProject.run(spark, sf).collect()
+    assert(rows.length == 8 * 5)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      // ranked by PROJECTED cosine, descending
+      val cp = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cp.zip(cp.tail).forall { case (a, b) => a >= b })
+      // both cosines bounded (folds can exceed [-1,1] only via NaN bugs)
+      rs.foreach { r =>
+        assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+        assert(r.getDouble(4) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+      }
+    }
+    // signal floor: projected-space winners must carry real true-cosine
+    // signal, far above the corpus mean pair cosine (~0.0009 here) —
+    // measured 0.083 at sf0.001; half that as the regression floor.
+    // (Exact top-1 recall is NOT pinned: this corpus's top-1 margins
+    // are ~0.01, unrankable at ANY projected dimension — see the
+    // query's scaladoc; the operational claim is the planted-dup test.)
+    val meanCt = rows.map(_.getDouble(4)).sum / rows.length
+    assert(meanCt >= 0.04, s"projected winners' mean true cosine $meanCt")
+  }
+
+  test("JL projection: a planted duplicate survives projection as top-1") {
+    // the candidate-generation contract: a true near-dup (here an exact
+    // copy of vector 3 under id 9000) projects to cos ≈ 1 and MUST rank
+    // first in projected space — 1/√k noise cannot displace a cos-1
+    // pair, only fine-grained noise rankings
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val twin = n.filter(col("vec_id") === 3)
+      .select(lit(9000L).as("vec_id"), col("embedding"))
+    val pe = n.unionAll(twin)
+      .select(col("vec_id"), Similarity.jlProjected(col("embedding")).as("pemb"))
+    val q = pe.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("q_id"), col("pemb").as("pq"))
+    val top1 = pe.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Similarity.jlCos(col("pq"), col("pemb")).as("cp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cp").desc, col("n_id").asc)))
+      .filter(col("rn") === 1).head()
+    assert(top1.getLong(1) == 9000L && top1.getDouble(2) > 0.999,
+      s"planted twin not projected top-1: $top1")
+  }
+
   test("incremental IVF index answers equal the from-scratch q_sim_ivf_ann") {
     // training is deterministic (fixed seeds + fixed-point Lloyd
     // update), so probing the persisted index must give byte-identical
