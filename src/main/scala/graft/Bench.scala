@@ -163,8 +163,15 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    def pass(tag: String): Map[String, Double] = SparkEntry.queries.map {
-      case (name, fn) => name -> timed(tag, name, fn)
+    // SPARK_GRAFT_ONLY: optional comma-separated query-name subset — the
+    // lever for campaign runs at sfs where the full catalog is hours
+    // (the sf100 risk-family decade run). The artifact records sf dir +
+    // the subset it actually ran; the driver's per-round run leaves it
+    // unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def pass(tag: String): Map[String, Double] = SparkEntry.queries.collect {
+      case (name, fn) if only.forall(_(name)) => name -> timed(tag, name, fn)
     }
     // two passes: pass 1 (cold) keeps round-over-round continuity with the
     // r1/r2 single-pass totals; pass 2 (warm) is the steady-state number a

@@ -10,7 +10,10 @@ object QTime {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // GRAFT_SHUFFLE_PARTS: A/B the partition count without changing
+      // thread parallelism (the config-at-scale experiments)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("graft.streaming.statePartitions",
         sys.env.getOrElse("GRAFT_STATE_PARTS", "8"))
