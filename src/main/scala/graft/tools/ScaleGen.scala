@@ -45,6 +45,14 @@ import org.apache.spark.sql.functions._
   *     constant under scaling, candidate/scan mass is what must scale
   *     linearly). n_chars is recomputed; double spaces survive the
   *     split/join round-trip as empty tokens, so char mass is exact.
+  *   - BOTH decorrelation keys carry the table's key STRIDE as a
+  *     generation-level salt (strides grow ×mult per level, so no two
+  *     composition levels share one). A level-blind key aliases under
+  *     composition — document copy (0, a) replays level-1's (a, 0)
+  *     permutation on the same base text, and commutative sign-flip
+  *     XORs alias (a,b)/(b,a) and cancel on the diagonal — measured on
+  *     the pre-fix sf10 at exactly the predicted counts (45,008 dup
+  *     text pairs, 180,000 twin embedding pairs; see the inline notes).
   *   - Embedding copies sign-flip on a 64-bit multiplicative mix of
   *     (dimension, copy) — every copy gets a DISTINCT flip pattern. The
   *     round-12 pattern `(j + 7·cp) mod 3` only depended on cp mod 3,
@@ -104,8 +112,16 @@ object ScaleGen {
       .withColumn("text",
         when(col("cp") === 0, col("text"))
           // deterministic per-(doc, copy) word shuffle: sort words by
-          // xxhash64(doc_id, cp, position) — multiset preserved, order
-          // (hence every shingle) decorrelated from every other doc
+          // xxhash64(doc_id, cp, position, STRIDE) — multiset preserved,
+          // order (hence every shingle) decorrelated from every other
+          // doc. The stride term is the GENERATION-LEVEL salt (strides
+          // grow ×mult per composition level, so no two levels share
+          // one): without it, level-2 copy (0, a) re-shuffles the base
+          // text with the exact key level-1 used for copy (a, 0) —
+          // byte-identical text under two doc_ids. Measured on the
+          // pre-fix sf10: 45,008 exact-dup text pairs = the predicted
+          // 9 aliased (a,0)/(0,a) pairs × 5,000 base docs + the 8
+          // planted dups (sf1, single-level, showed exactly the 8).
           .otherwise(array_join(
             transform(
               array_sort(
@@ -114,7 +130,7 @@ object ScaleGen {
                   sequence(lit(0),
                     greatest(size(split(col("text"), " ")) - 1, lit(0))),
                   (w, i) => struct(
-                    xxhash64(col("doc_id"), col("cp"), i).as("k"),
+                    xxhash64(col("doc_id"), col("cp"), i, lit(kd)).as("k"),
                     w.as("w")))),
               s => s.getField("w")),
             " ")))
@@ -123,17 +139,27 @@ object ScaleGen {
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val kv = stride(spark, s"$src/embeddings.parquet", "vec_id")
-    // xxhash64(j, cp) separates every (dimension, copy) pair with a real
-    // 64-bit avalanche, so "hash mod 3" flips ~1/3 of dimensions in a
-    // pattern unique to each copy (no residue-class algebra can make two
-    // copies' patterns coincide, unlike the former (j + 7·cp) mod 3)
+    // xxhash64(j, cp, STRIDE) separates every (dimension, copy, LEVEL)
+    // triple with a real 64-bit avalanche, so "hash mod 3" flips ~1/3 of
+    // dimensions in a pattern unique to each copy (no residue-class
+    // algebra can make two copies' patterns coincide, unlike the former
+    // (j + 7·cp) mod 3). The stride term is the generation-level salt:
+    // sign-flip COMPOSITION is an XOR of per-level patterns, and with a
+    // level-blind key it commutes — copies (a,b)/(b,a) of one base
+    // vector alias, and the diagonal (a,a) XORs its own pattern away,
+    // reconstructing the ORIGINAL bytes under a fresh vec_id. Measured
+    // on the pre-fix sf10: 180,000 exact-twin embedding pairs = the
+    // predicted 90 aliased pairs (9 cross (a,0)/(0,a) + 36 symmetric
+    // (a,b)/(b,a) + C(10,2) diagonal-vs-original) × 2,000 base vectors;
+    // the single-level sf1 showed 0. Distinct per-level strides make
+    // the XOR algebra collision-free at any composition depth.
     fan("embeddings")
       .withColumn("embedding",
         when(col("cp") === 0, col("embedding"))
           .otherwise(zip_with(col("embedding"),
             sequence(lit(0), size(col("embedding")) - 1),
             (x, j) => when(
-              pmod(xxhash64(j, col("cp")), lit(3)) === 0, -x)
+              pmod(xxhash64(j, col("cp"), lit(kv)), lit(3)) === 0, -x)
               .otherwise(x))))
       .withColumn("vec_id", col("vec_id") + col("cp") * kv)
       .drop("cp")
