@@ -36,6 +36,7 @@ class PlanSpec extends SparkSpec {
     "q_dedup_semantic", // k≤16 broadcast centroid assignment (IVF shape)
     "q_embed_project", // 8 broadcast projected queries vs corpus: all-pairs by design
     "q_text_bm25", // 1-row broadcast corpus-stats scalar attach
+    "q_text_classify", // 1-row broadcast model-prior scalar attach
     "q_profile_drift") // 1-row broadcast snapshot-totals scalar attach
 
   for (q <- Registry.all if !q.name.startsWith("q_stream_")) {
@@ -338,6 +339,20 @@ class PlanSpec extends SparkSpec {
       s"persisted IVF index absent from the day-2 plan:\n${p.take(4000)}")
     assert(!p.toLowerCase.contains("vectorcentroid"),
       s"centroid TRAINING aggregate in the day-2 plan:\n${p.take(4000)}")
+  }
+
+  test("classifier inference reads the staged model, never retrains") {
+    // the model-registry contract (the IVF-index gate, model edition):
+    // weights and prior come off the staged parquet; the training ln —
+    // the only LOG in the whole family — must not appear anywhere in
+    // the inference plan. ClassifySpec separately pins staged ≡ fresh
+    // retrain, so a silent in-plan retrain would have nowhere to hide.
+    val q = Registry.all.find(_.name == "q_text_classify").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_nb_model"),
+      s"staged model absent from the inference plan:\n${p.take(4000)}")
+    assert(!p.contains("LOG("),
+      s"training log-odds computation in the inference plan:\n${p.take(4000)}")
   }
 
   test("media features read the staged codec table, never re-encode") {
