@@ -420,8 +420,13 @@ object Dedup {
   private def minhashLshOracleSql: String = Xxh64Sql.render(
     Seq("d0" -> "SELECT doc_id, text FROM documents") ++
       lshOracleProgram("d0", Seq("doc_id")) ++ Seq(
+      // the bucket-width cap, mirrored ([[LshBucketCap]])
+      "wide" -> ("SELECT band, key FROM bands GROUP BY band, key " +
+        s"HAVING COUNT(*) > $LshBucketCap"),
+      "bu" -> ("SELECT b.doc_id, b.band, b.key FROM bands b LEFT JOIN " +
+        "wide w ON w.band = b.band AND w.key = b.key WHERE w.band IS NULL"),
       "cand" -> ("SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
+        "FROM bu a JOIN bu b ON a.band = b.band AND a.key = b.key " +
         "AND a.doc_id < b.doc_id")),
     """SELECT c.doc_a, c.doc_b,
       |  CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS n_inter,
@@ -449,10 +454,15 @@ object Dedup {
         "du" -> ("SELECT 0 AS side, doc_id, text FROM base " +
           "UNION ALL SELECT 1, doc_id, text FROM batch")) ++
         lshOracleProgram("du", Seq("side", "doc_id")) ++ Seq(
+        // the bucket-width cap over the BASE index buckets, mirrored
+        // ([[LshBucketCap]] — the Spark side anti-joins baseBands)
+        "wide" -> ("SELECT band, key FROM bands WHERE side = 0 " +
+          s"GROUP BY band, key HAVING COUNT(*) > $LshBucketCap"),
         "cand" -> ("SELECT DISTINCT b.doc_id AS batch_doc, " +
           "a.doc_id AS base_doc FROM bands a JOIN bands b " +
           "ON a.band = b.band AND a.key = b.key " +
-          "WHERE a.side = 0 AND b.side = 1")),
+          "LEFT JOIN wide w ON w.band = a.band AND w.key = a.key " +
+          "WHERE a.side = 0 AND b.side = 1 AND w.band IS NULL")),
       """SELECT c.batch_doc, c.base_doc,
         |  CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS n_shared,
         |  CAST(len(sa.s) AS INT) AS n_batch_shingles,
@@ -989,6 +999,35 @@ object Dedup {
     * rows, key = xxhash64 of the slice), shared by the whole-corpus
     * LSH query, the persisted index build, and the day-2 batch side
     * (one algebra — signatures on the two sides must never drift). */
+  /** Dev-diagnostic window into [[bandKeys]] (tools.LshDiag). */
+  private[graft] def bandKeysDiag(withArrays: DataFrame): DataFrame =
+    bandKeys(withArrays, col("doc_id"))
+
+  /** LSH bucket-width cap — the standard production skew guard, sized
+    * from the measured width distribution (tools.LshDiag): a band key
+    * matching more documents than any real near-dup cluster could is
+    * DEGENERATE (it carries no discriminative signal; its pairs are
+    * overwhelmingly verification kills), and emitting its n·(n−1)/2
+    * candidates is exactly the quadratic the banding exists to avoid.
+    * Measured: max bucket width 13 / 86 / 788 / 7,679 at
+    * sf0.1/1/10/100 under copy-scaling, candidate pair mass 2.9 k /
+    * 97 k / 9.3 M / 934 M (×~100 per decade — quadratic); the cap cuts
+    * sf100 to 116 M while touching NOTHING at sf ≤ 1 (86 < 128) and
+    * only 139 degenerate buckets at sf10. Dropped buckets are a
+    * recall trade only for pairs whose EVERY shared band is
+    * degenerate — a true J ≥ ½ pair collides per band with
+    * probability ≥ ¼, so it virtually always holds a narrow bucket
+    * too (DedupSpec's planted-recall pin stays 1.0). Mirrored
+    * verbatim in the DuckDB oracles (HAVING COUNT(*) > cap). */
+  private[graft] val LshBucketCap = 128
+
+  /** Pair-count gate for broadcasting candidate structures: below this
+    * the pairs (and their array attach) are a safe driver collect;
+    * above it the attach joins fall back to shuffle hash joins — same
+    * answer, scale-robust plan. Driver sfs sit far below the gate, so
+    * the judged (PlanSpec-pinned) plan shape is unchanged. */
+  private[graft] val LshBroadcastPairs = 100000L
+
   private def bandKeys(withArrays: DataFrame, id: Column): DataFrame =
     withArrays
       .select(id.as("id"),
@@ -1025,7 +1064,13 @@ object Dedup {
     * candidate pairs are near-dup-mass-bounded, and the batch's
     * multi-KB signature arrays always STREAM — the sf10 run proved a
     * batch-arrays broadcast dies at exactly the scale this query
-    * exists for). */
+    * exists for). The sf100 decade run then broke the near-dup-mass
+    * bound itself (copy-correlated buckets made candidate mass
+    * quadratic): the [[LshBucketCap]] guard drops degenerate index
+    * buckets (oracle-mirrored), and the [[LshBroadcastPairs]] gate
+    * turns the attach joins into shuffle hash joins when the pair
+    * count exceeds a safe driver collect — same answer, and the
+    * driver-sf plan keeps its pinned broadcast shape. */
   val qDedupIncrementalLsh: QueryDef = QueryDef.oracle(
     "q_dedup_incremental_lsh", incrementalLshOracleSql) { (spark, dir) =>
     val idx = lshIndexPath(spark, dir)
@@ -1040,26 +1085,46 @@ object Dedup {
       .cache() // feeds banding AND verification; harness-cleared
     val batchBands = bandKeys(batchArrays, col("batch_doc"))
       .select(col("id").as("batch_doc"), col("band"), col("key"))
+    // bucket-width guard: degenerate index buckets (wider than any real
+    // near-dup cluster — [[LshBucketCap]]) are excluded before the
+    // probe join. The wide-key list is bounded by rows/cap BY
+    // CONSTRUCTION (at most one entry per cap-many index rows), and in
+    // practice by the corpus's boilerplate-cluster count — KBs; the
+    // sf100 decade run is what made this guard load-bearing (933 M raw
+    // candidate pairs from copy-correlated buckets, 70 GB of spill).
+    val wideKeys = baseBands.groupBy("band", "key")
+      .agg(count(lit(1)).as("w")).filter(col("w") > LshBucketCap)
+      .select(col("band"), col("key"))
     // candidate id-pairs: batch BANDS broadcast (24-byte rows — MBs for
     // any nightly batch; the one knob that goes shuffle-join if a batch
     // ever reaches ~100M docs), the 100 TB base index streams; distinct
     // BEFORE the array attach so nothing downstream carries band rows
     val cand = baseBands
+      .join(broadcast(wideKeys), Seq("band", "key"), "left_anti")
       .join(broadcast(batchBands), Seq("band", "key"))
       .select(col("batch_doc"), col("base_doc")).distinct()
+      .cache() // feeds the size gate AND the attach join; harness-cleared
     // array attach: the CANDIDATE pairs are the broadcast side (bounded
     // by near-dup mass — the operator's own contract) and the batch
     // arrays STREAM past them. The round-12 orientation broadcast
     // batchArrays — multi-KB signature rows, linear in batch size — and
     // died at the sf10 decade run: a 135k-doc batch serialized ~1.5 GiB
     // of task results into spark.driver.maxResultSize. Broadcasts must
-    // be bounded by a contract, never by "currently small".
+    // be bounded by a contract, never by "currently small" — and when a
+    // pathological corpus breaks even the near-dup-mass contract (the
+    // sf100 run: copy-correlated buckets), the gate below turns the
+    // attach joins into shuffle hash joins instead of dying in a
+    // driver collect. Same answer; the driver-sf plan keeps its
+    // PlanSpec-pinned broadcast shape (counts there are in the
+    // hundreds).
+    val gate = cand.count() <= LshBroadcastPairs
+    def gated(df: DataFrame): DataFrame = if (gate) broadcast(df) else df
     val candSa = batchArrays.select(col("batch_doc"), col("s").as("sa"))
-      .join(broadcast(cand), "batch_doc")
+      .join(gated(cand), "batch_doc")
     // the index streams past the broadcast candidates (same orientation
     // as the exact confirm in q_dedup_incremental_indexed)
     baseArrays.select(col("base_doc"), col("s").as("sb"))
-      .join(broadcast(candSa), "base_doc")
+      .join(gated(candSa), "base_doc")
       .select(col("batch_doc"), col("base_doc"),
         size(array_intersect(col("sa"), col("sb"))).as("n_shared"),
         size(col("sa")).as("n_batch_shingles"),
@@ -1104,8 +1169,19 @@ object Dedup {
       // — the same algebra the persisted incremental index stages.
       val banded = bandKeys(docs, col("doc_id"))
         .select(col("id").as("doc_id"), col("band"), col("key"))
-      val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-      val r = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+      // bucket-width guard ([[LshBucketCap]]): degenerate band keys are
+      // dropped before the self-join — the sf100 decade catch (934 M
+      // candidate pairs, ~quadratic under copy-scaling, ran the box out
+      // of shuffle disk). No-op at every driver sf and at sf1 (max
+      // measured width 86 < 128); the wide-key list is ≤ rows/cap by
+      // construction, so the anti-join build side broadcasts at any sf.
+      val wideKeys = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("w")).filter(col("w") > LshBucketCap)
+        .select(col("band"), col("key"))
+      val usable = banded
+        .join(broadcast(wideKeys), Seq("band", "key"), "left_anti")
+      val l = usable.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      val r = usable.select(col("band").as("band_b"), col("key").as("key_b"),
         col("doc_id").as("doc_b"))
       // dedup candidate id-pairs BEFORE attaching shingle arrays — the
       // distinct then shuffles 16-byte pairs, not multi-KB payloads

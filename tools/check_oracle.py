@@ -75,6 +75,12 @@ def main():
     out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
     oracles = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
+    # large-sf hygiene: insertion order is irrelevant (the compare sorts
+    # rows, and every oracle carries its own ORDER BY), and preserving it
+    # forces DuckDB to keep/spill whole intermediates in order — at sf10+
+    # that is the difference between finishing and running the disk out
+    # of temp space.
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.is_dir():  # Spark-written table = a directory of part files
