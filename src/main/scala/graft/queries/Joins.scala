@@ -26,7 +26,7 @@ object Joins {
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
 
-  private def registerCleanup(dir: java.nio.file.Path): Unit =
+  private[queries] def registerCleanup(dir: java.nio.file.Path): Unit =
     if (cleanupRegistered.add(dir))
       graft.streaming.EventsStream.deleteOnExit(dir)
 

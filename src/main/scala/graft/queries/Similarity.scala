@@ -419,16 +419,29 @@ object Similarity {
     * (vector × centroid) row WITH its embedding payload, k× the corpus
     * in bytes). max(struct) picks highest cos, then highest -cid =
     * lowest cid on ties — identical to ORDER BY cos DESC, cid ASC.
+    * The group key is the 8-byte vec_id ALONE; every other input
+    * column (the ~300-byte embedding array, ride-along ids) is carried
+    * INSIDE the max(struct) payload after the (cos, ncid) sort fields.
+    * Within a vec_id group the carried fields are constant, so they
+    * never decide the max — but keeping them out of the key means the
+    * hash aggregate hashes/compares a long, not a float array, on all
+    * k × corpus candidate rows (the array-keyed shape measured a heavy
+    * constant at sf100: 597.9 s warm for the IVF×PQ composition).
     * Shared by q_sim_ivf_ann and the IVF×PQ composition. */
   private[graft] def ivfNearest(vecs: DataFrame, cents: DataFrame,
       out: String): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
     val keys = vecs.columns.toIndexedSeq
+    val carry = keys.filterNot(_ == "vec_id")
     vecs.join(broadcast(cents), lit(true))
-      .groupBy(keys.map(col): _*)
-      .agg(max(struct(cosineSim(col("embedding"), col("ce")).as("cos"),
-        (-col("cid")).as("ncid"))).as("best"))
-      .select(keys.map(col) :+ (-col("best.ncid")).as(out): _*)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineSim(col("embedding"), col("ce")).as("cos") +:
+          (-col("cid")).as("ncid") +:
+          carry.map(c => col(c).as(c)): _*)).as("best"))
+      .select(keys.map(k =>
+        if (k == "vec_id") col(k) else col(s"best.$k").as(k)) :+
+        (-col("best.ncid")).as(out): _*)
   }
 
   /** IVF coarse-quantizer training: deterministic seed centroids (every
@@ -545,11 +558,18 @@ object Similarity {
     import graft.functions.GraftFunctions.cosineSim
     val n = graft.Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
-    val refined = ivfCentroids(n)
-    val indexed = ivfNearest(n, refined, "cluster")
+    // The trained quantizer feeds BOTH the corpus assignment and the
+    // query probes, and the assignment feeds the probe join — persisted
+    // (the q_sim_ivfpq discipline at :1607-1609), or Catalyst recomputes
+    // the corpus-wide Lloyd chain once per reference: measured ×15 per
+    // decade at sf100 (571.9 s warm vs sf10's 38.2 s) on the unpersisted
+    // shape. `refined` is ≤16 rows; `indexed` is the inverted-list table
+    // a production build writes anyway. Freed via Exec.materialized.
+    val refined = ivfCentroids(n).persist()
+    val indexed = ivfNearest(n, refined, "cluster").persist()
     val qProbe = ivfProbes(n, refined, nprobe = 2)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    indexed.join(broadcast(qProbe),
+    val res = indexed.join(broadcast(qProbe),
         col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosineSim(col("eq"), col("embedding")).as("cos"))
@@ -557,6 +577,7 @@ object Similarity {
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rn")
+    Exec.materialized(res, refined, indexed)
   }
 
   /** Staged PERSISTED IVF index — the nightly-maintained ANN artifact
