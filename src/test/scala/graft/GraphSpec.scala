@@ -113,4 +113,31 @@ class GraphSpec extends SparkSpec {
     assert(median(supp.map(_._2)) > median(cust.map(_._2)),
       "median supplier rank should exceed median customer rank")
   }
+
+  test("bucketed pagerank: bit-equal ranks, zero exchange on the edge side") {
+    val g = graft.queries.Graph
+    val edges = g.orderGraphEdges(spark, sf)
+    // full rank table bit-equality: the layout must not change a single
+    // micro-unit (integer algebra is layout-independent by construction)
+    val plain = g.pagerank(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val bucketedRanks = g.pagerankBucketed(spark, edges, 3, "graphspec")
+    val bucketed =
+      bucketedRanks.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(bucketed.sameElements(plain))
+    // plan pin: every iteration sort-merge-joins ranks INTO the bucketed
+    // edge layout — the corpus-sized side is never hash-exchanged (only
+    // rank-side `node` and the aggregation's `dst` partitionings may
+    // appear), and no broadcast sneaks back in via AQE
+    val plan = bucketedRanks.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("hashpartitioning(src"),
+      s"bucketed edge side must not exchange:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"merge hint must hold against AQE:\n$plan")
+    // and the judged top-20 matches the exchange-bearing judged query
+    val a = g.qGraphPagerank.run(spark, sf).collect().toSeq
+    val b = g.qGraphPagerankBucketed.run(spark, sf).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -35,6 +35,7 @@ class PlanSpec extends SparkSpec {
     "q_text_lm_score", // 1-row broadcast vocabulary-size scalar attach
     "q_dedup_semantic", // k≤16 broadcast centroid assignment (IVF shape)
     "q_embed_project", // 8 broadcast projected queries vs corpus: all-pairs by design
+    "q_embed_project_ivf", // query-side probe ranking vs k≤16 broadcast centroids
     "q_text_bm25", // 1-row broadcast corpus-stats scalar attach
     "q_text_classify", // 1-row broadcast model-prior scalar attach
     "q_profile_drift") // 1-row broadcast snapshot-totals scalar attach
@@ -286,6 +287,23 @@ class PlanSpec extends SparkSpec {
       s"merged-index segments absent from the query plan:\n${p.take(4000)}")
     assert(!p.toLowerCase.contains("vectorcentroid"),
       s"centroid TRAINING aggregate in the merged-query plan:\n${p.take(4000)}")
+  }
+
+  test("projected-IVF retrieval: scores the 8-dim sidecar, never retrains, never scans raw lists") {
+    // the composition contract: candidate scoring reads the projected
+    // sidecar (graft_ivf_jl_index/plists — 8-dim rows), the quantizer
+    // comes off the persisted index, no centroid-training aggregate runs
+    // at query time, and the 64-dim base lists are never rescanned (raw
+    // vectors are touched only via the embeddings table: probes + the
+    // ≤40-row exact re-score)
+    val q = Registry.all.find(_.name == "q_embed_project_ivf").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivf_jl_index"),
+      s"projected sidecar absent from the read plan:\n${p.take(4000)}")
+    assert(!p.toLowerCase.contains("vectorcentroid"),
+      s"centroid TRAINING aggregate at query time:\n${p.take(4000)}")
+    assert(!p.contains("/lists"),
+      s"64-dim base lists rescanned by the projected path:\n${p.take(4000)}")
   }
 
   test("streaming IVF ingest: read plan spans base index + streamed delta, never retrains") {
