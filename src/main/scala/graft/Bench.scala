@@ -212,7 +212,8 @@ object Bench {
       "q_text_bm25", "q_source_evolution", "q_agg_sketch_union",
       "q_graph_pagerank", "q_join_scd2", "q_profile_drift", "q_dedup_entity",
       "q_sim_pq", "q5_local_supplier", "q_sim_pq_search", "q_sim_ivfpq",
-      "q_graph_pagerank_converged")
+      "q_graph_pagerank_converged", "q_graph_pagerank_bucketed",
+      "q_embed_project_ivf")
     val qs = jmap(headline.flatMap(k => warm.get(k).map(k -> _)))
     // session-rot self-check: a steady-state session must not get SLOWER.
     // Any query whose warm pass exceeds 1.5x its cold pass AND 1.5 s

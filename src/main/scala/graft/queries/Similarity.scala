@@ -450,7 +450,7 @@ object Similarity {
     * the exact fixed-point [[graft.functions.VectorCentroid]]). All
     * stages are DataFrame plans; nothing is collected to the driver, so
     * the same code shape trains on 100 TB. */
-  private def ivfCentroids(n: DataFrame): DataFrame = {
+  private[graft] def ivfCentroids(n: DataFrame): DataFrame = {
     // FIXED-COUNT seeds (≤16 at any sf): the unbounded `% 53` rule made
     // k grow with the corpus, so the broadcast n×k assignment was
     // silently QUADRATIC — measured 86× warm cost at the round-11
@@ -476,7 +476,7 @@ object Similarity {
 
   /** nprobe nearest centroids per query vector (vec_id < 8), the query
     * side of IVF routing — 8 × nprobe rows, always broadcast. */
-  private def ivfProbes(n: DataFrame, cents: DataFrame,
+  private[graft] def ivfProbes(n: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
     n.filter(col("vec_id") < 8)
@@ -1418,7 +1418,7 @@ object Similarity {
     * vectors — codebooks are a CONFIG-sized broadcast at any corpus
     * size). Codes are DENSE ids 0..15 (seed vec_id div 61) so an ADC
     * lookup table indexes as `code*8 + sub` (see [[pqLut]]). */
-  private def pqCodebook(v: DataFrame): DataFrame =
+  private[graft] def pqCodebook(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % 61 === 0 && col("vec_id") < 976)
       .select(expr("vec_id div 61").cast("int").as("code"),
         col("embedding").as("ce"))
@@ -1434,7 +1434,7 @@ object Similarity {
     * (e.g. an IVF cluster id) ride along untouched. `cb` is always the
     * FULL-corpus codebook — a filtered `v` (query side) must still
     * score against the same 128 codes the corpus encoded with. */
-  private def pqDists(v: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqDists(v: DataFrame, cb: DataFrame): DataFrame = {
     val keys = v.columns.filter(_ != "embedding").toIndexedSeq
     val sliced = v
       .select(keys.map(col) :+ pqSliced(col("embedding"), "vslice").as("x"): _*)
@@ -1456,7 +1456,7 @@ object Similarity {
     * codes collect into a sub-ordered int array: the 8-byte compressed
     * representation an ADC scan reads instead of 256 B of floats.
     * Extra key columns ride through both aggregations. */
-  private def pqEncoded(v: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqEncoded(v: DataFrame, cb: DataFrame): DataFrame = {
     val keys = v.columns.filter(_ != "embedding").toIndexedSeq
     pqDists(v, cb)
       .groupBy((keys :+ "sub").map(col): _*)
@@ -1474,7 +1474,7 @@ object Similarity {
     * catalog's cosine top-k. Exact-decimal norm + one IEEE sqrt and
     * division per element: bit-identical in DuckDB. Zero vectors stay
     * all-zero (the q_sim_topk NaN guard, one stage earlier). */
-  private def normalized(v: DataFrame): DataFrame =
+  private[graft] def normalized(v: DataFrame): DataFrame =
     v.select(col("vec_id"), col("embedding"),
         ddot(col("embedding"), col("embedding")).as("nrm"))
       .select(col("vec_id"),
@@ -1629,7 +1629,7 @@ object Similarity {
     * `code·8 + sub + 1` — a function of the FIXED subspace count only,
     * so the same expression serves any codebook size (sub-major would
     * bake k into the index and break on corpora with fewer seeds). */
-  private def pqLut(qDists: DataFrame): DataFrame =
+  private[graft] def pqLut(qDists: DataFrame): DataFrame =
     qDists.groupBy(col("vec_id").as("q_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("code"), col("sub"), col("dist")))),
@@ -1638,7 +1638,7 @@ object Similarity {
   /** The ADC distance expression: 8 lookups + 7 left-associated adds
     * over `lut` (8×k doubles, (code, sub)-ordered) and `codes` (8 ints,
     * sub-ordered) — matches the oracle's explicit chain bit-for-bit. */
-  private def pqAdc: Column =
+  private[graft] def pqAdc: Column =
     (0 until pqSubs).map { s =>
       element_at(col("lut"),
         element_at(col("codes"), s + 1) * lit(pqSubs) + lit(s + 1))

@@ -79,6 +79,15 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val mult = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset — a PARTIAL corpus
+    // for targeted decade probes (e.g. documents,embeddings at sf1000,
+    // where the full fact fan-out would not fit the scratch disk). The
+    // scaling algebra per table is identical; skipped fact tables are
+    // simply not written, and dimension tables always copy through so
+    // any query touching only the subset runs unchanged.
+    val only = args.lift(3)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(t: String) = only.forall(_(t))
     val spark = graft.Graft.builder("local[16]", 16)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -94,21 +103,21 @@ object ScaleGen {
     // orders and lineitem share the orderkey domain: one stride, shifted
     // in lockstep, keeps every lineitem pointing at its copy's order
     val ko = stride(spark, s"$src/orders.parquet", "o_orderkey")
-    fan("orders")
+    if (wanted("orders")) fan("orders")
       .withColumn("o_orderkey", col("o_orderkey") + col("cp") * ko)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    fan("lineitem")
+    if (wanted("lineitem")) fan("lineitem")
       .withColumn("l_orderkey", col("l_orderkey") + col("cp") * ko)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     val ke = stride(spark, s"$src/events.parquet", "event_id")
-    fan("events")
+    if (wanted("events")) fan("events")
       .withColumn("event_id", col("event_id") + col("cp") * ke)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     val kd = stride(spark, s"$src/documents.parquet", "doc_id")
-    fan("documents")
+    if (wanted("documents")) fan("documents")
       .withColumn("text",
         when(col("cp") === 0, col("text"))
           // deterministic per-(doc, copy) word shuffle: sort words by
@@ -153,7 +162,7 @@ object ScaleGen {
     // (a,b)/(b,a) + C(10,2) diagonal-vs-original) × 2,000 base vectors;
     // the single-level sf1 showed 0. Distinct per-level strides make
     // the XOR algebra collision-free at any composition depth.
-    fan("embeddings")
+    if (wanted("embeddings")) fan("embeddings")
       .withColumn("embedding",
         when(col("cp") === 0, col("embedding"))
           .otherwise(zip_with(col("embedding"),
