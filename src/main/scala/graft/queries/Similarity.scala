@@ -407,41 +407,44 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: deterministic seed centroids (every 53rd
-    * vector), one Lloyd refinement step — assignment is a broadcast
-    * nested-loop join against ≤16 centroids, the update a posexplode +
-    * per-(cluster, dim) mean — then queries probe their 2 nearest
+    * vector), one Lloyd refinement step — assignment is a per-row argmax
+    * against the ≤16 broadcast centroids, the update the exact
+    * fixed-point VectorCentroid — then queries probe their 2 nearest
     * centroids' clusters only. All stages are DataFrame plans; nothing is
     * collected to the driver, so the same code shape trains on 100 TB. */
-  /** Argmax-by-struct nearest-centroid assignment instead of a
-    * row_number window: the per-vector best centroid collapses MAP-SIDE
-    * in the partial aggregate (k candidate rows per vector never reach
-    * the shuffle — the window formulation shuffled every
-    * (vector × centroid) row WITH its embedding payload, k× the corpus
-    * in bytes). max(struct) picks highest cos, then highest -cid =
-    * lowest cid on ties — identical to ORDER BY cos DESC, cid ASC.
-    * The group key is the 8-byte vec_id ALONE; every other input
-    * column (the ~300-byte embedding array, ride-along ids) is carried
-    * INSIDE the max(struct) payload after the (cos, ncid) sort fields.
-    * Within a vec_id group the carried fields are constant, so they
-    * never decide the max — but keeping them out of the key means the
-    * hash aggregate hashes/compares a long, not a float array, on all
-    * k × corpus candidate rows (the array-keyed shape measured a heavy
-    * constant at sf100: 597.9 s warm for the IVF×PQ composition).
-    * Shared by q_sim_ivf_ann and the IVF×PQ composition. */
+  /** Nearest-centroid assignment as a PURE MAP: the quantizer rides as
+    * ONE broadcast row holding a cid-ascending array of (cid, ce)
+    * structs, and each corpus row folds over the k ≤ 16 entries with a
+    * strict `>` — first (lowest cid) wins ties, identical to ORDER BY
+    * cos DESC, cid ASC. No row fan-out, no aggregate, and above all NO
+    * exchange: every earlier formulation moved the corpus — the window
+    * shuffled (vector × centroid) rows with embeddings aboard; the
+    * groupBy(vec_id) + max(struct) rewrite collapsed candidates
+    * map-side but still pushed the ~300-byte embedding payload through
+    * the aggregate's hash table and exchange, which the sf1000 probe
+    * measured as the ×26 Lloyd stage (a 6 GB shuffle per assignment,
+    * spilling). Assignment of a vector to a config-sized codebook is
+    * per-row arithmetic; at 100 TB the corpus must not move for it.
+    * (The fold is an interpreted HOF — 16 codegen'd cosineSim.evals per
+    * row, no per-dim lambda dispatch; measured faster than the codegen
+    * join+agg at every sf because bytes, not FLOPs, were the binding
+    * cost.) Shared by q_sim_ivf_ann and the IVF×PQ composition. */
   private[graft] def ivfNearest(vecs: DataFrame, cents: DataFrame,
       out: String): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
-    val keys = vecs.columns.toIndexedSeq
-    val carry = keys.filterNot(_ == "vec_id")
-    vecs.join(broadcast(cents), lit(true))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineSim(col("embedding"), col("ce")).as("cos") +:
-          (-col("cid")).as("ncid") +:
-          carry.map(c => col(c).as(c)): _*)).as("best"))
-      .select(keys.map(k =>
-        if (k == "vec_id") col(k) else col(s"best.$k").as(k)) :+
-        (-col("best.ncid")).as(out): _*)
+    val carr = cents.agg(array_sort(collect_list(
+      struct(col("cid").cast("long").as("cid"), col("ce")))).as("carr"))
+    val best = aggregate(col("carr"),
+      struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val cos = cosineSim(col("embedding"), c.getField("ce"))
+        when(cos > acc.getField("cos"),
+          struct(cos.as("cos"), c.getField("cid").as("cid"))).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+    vecs.crossJoin(broadcast(carr))
+      .withColumn(out, best)
+      .drop("carr")
   }
 
   /** IVF coarse-quantizer training: deterministic seed centroids (every
@@ -556,8 +559,16 @@ object Similarity {
   val qSimIvfAnn: QueryDef = QueryDef.oracle(
     "q_sim_ivf_ann", ivfAnnOracleSql) { (spark, dir) =>
     import graft.functions.GraftFunctions.cosineSim
+    // The corpus itself is persisted too (the q_sim_ivfpq `nv`
+    // discipline): the plan references `n` four times (seed filter,
+    // Lloyd assignment, index assignment, query probes), and each
+    // reference re-runs the scan + the compute-density repartition —
+    // trivial at driver sf, but the sf1000 probe measured the 4×
+    // rescan of the one-file 954 MB corpus as the dominant superlinear
+    // constant (250 s warm, ×18/decade, with assignment itself linear).
     val n = graft.Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
+      .persist()
     // The trained quantizer feeds BOTH the corpus assignment and the
     // query probes, and the assignment feeds the probe join — persisted
     // (the q_sim_ivfpq discipline at :1607-1609), or Catalyst recomputes
@@ -577,7 +588,7 @@ object Similarity {
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rn")
-    Exec.materialized(res, refined, indexed)
+    Exec.materialized(res, n, refined, indexed)
   }
 
   /** Staged PERSISTED IVF index — the nightly-maintained ANN artifact
