@@ -1028,6 +1028,17 @@ object Dedup {
     * the judged (PlanSpec-pinned) plan shape is unchanged. */
   private[graft] val LshBroadcastPairs = 100000L
 
+  /** Band-row gate for broadcasting the BATCH's band keys: 24-byte
+    * rows, so 10 M rows ≈ 240 MB — comfortably under the driver's
+    * 1 GiB maxResultSize with serialization overhead. The sf1000
+    * fourth-decade probe hit exactly the knob the round-13 scaladoc
+    * predicted ("goes shuffle-join if a batch ever reaches ~100M
+    * docs"): a 12.5 M-doc batch = 100 M band rows = a 1 GiB+ driver
+    * collect that killed the query. Above the gate the probe join runs
+    * as a shuffle hash join on (band, key) — same candidates, and the
+    * driver-sf plan keeps its PlanSpec-pinned broadcast shape. */
+  private[graft] val LshBroadcastBandRows = 10000000L
+
   private def bandKeys(withArrays: DataFrame, id: Column): DataFrame =
     withArrays
       .select(id.as("id"),
@@ -1096,12 +1107,20 @@ object Dedup {
       .agg(count(lit(1)).as("w")).filter(col("w") > LshBucketCap)
       .select(col("band"), col("key"))
     // candidate id-pairs: batch BANDS broadcast (24-byte rows — MBs for
-    // any nightly batch; the one knob that goes shuffle-join if a batch
-    // ever reaches ~100M docs), the 100 TB base index streams; distinct
-    // BEFORE the array attach so nothing downstream carries band rows
+    // any nightly batch), the 100 TB base index streams; distinct
+    // BEFORE the array attach so nothing downstream carries band rows.
+    // [[LshBroadcastBandRows]] guards the broadcast: the sf1000 probe's
+    // 12.5 M-doc batch (100 M band rows ≈ 1 GiB+ serialized) killed the
+    // unconditional collect — above the gate the probe join runs as a
+    // shuffle hash join on (band, key), same candidates, while driver
+    // sfs keep the pinned broadcast shape. The cached batchArrays makes
+    // the gate count a cheap second pass over the banding.
+    val bandGate = batchBands.count() <= LshBroadcastBandRows
+    def bandGated(df: DataFrame): DataFrame =
+      if (bandGate) broadcast(df) else df
     val cand = baseBands
       .join(broadcast(wideKeys), Seq("band", "key"), "left_anti")
-      .join(broadcast(batchBands), Seq("band", "key"))
+      .join(bandGated(batchBands), Seq("band", "key"))
       .select(col("batch_doc"), col("base_doc")).distinct()
       .cache() // feeds the size gate AND the attach join; harness-cleared
     // array attach: the CANDIDATE pairs are the broadcast side (bounded
@@ -1119,11 +1138,24 @@ object Dedup {
     // hundreds).
     val gate = cand.count() <= LshBroadcastPairs
     def gated(df: DataFrame): DataFrame = if (gate) broadcast(df) else df
+    // semi-prune BOTH array tables to candidate docs BEFORE any join
+    // moves them: arrays for docs with no candidate pair must never
+    // ride an exchange. The sf1000 probe measured the unpruned shuffle
+    // path (every one of 50 M multi-KB signature rows exchanged for
+    // ~4 M surviving pairs) at >46 GB of spill — disk-dead on one box,
+    // and a 10×-wasteful exchange on any cluster. The id-only semi
+    // sides are near-dup-doc-count-sized; driver sfs broadcast them
+    // (gate), large runs semi-join 8-byte keys — either way the array
+    // mass that moves is bounded by the candidates, not the corpus.
     val candSa = batchArrays.select(col("batch_doc"), col("s").as("sa"))
+      .join(gated(cand.select("batch_doc").distinct()),
+        Seq("batch_doc"), "left_semi")
       .join(gated(cand), "batch_doc")
     // the index streams past the broadcast candidates (same orientation
     // as the exact confirm in q_dedup_incremental_indexed)
     baseArrays.select(col("base_doc"), col("s").as("sb"))
+      .join(gated(cand.select("base_doc").distinct()),
+        Seq("base_doc"), "left_semi")
       .join(gated(candSa), "base_doc")
       .select(col("batch_doc"), col("base_doc"),
         size(array_intersect(col("sa"), col("sb"))).as("n_shared"),
