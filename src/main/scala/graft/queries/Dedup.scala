@@ -1028,6 +1028,15 @@ object Dedup {
     * the judged (PlanSpec-pinned) plan shape is unchanged. */
   private[graft] val LshBroadcastPairs = 100000L
 
+  /** Broadcast bound for the ID-ONLY distinct semi sides of the
+    * incremental-LSH array prune (round-15 advice): one 8-byte key per
+    * candidate doc, ≤ the candidate PAIR count by construction — 10 M
+    * longs is ~100 MB hashed, comfortably a broadcast on cluster-class
+    * executors, and clears the sf1000 probe's measured ~4 M surviving
+    * pairs (the distinct doc sides are a subset of those). Above it the
+    * 8-byte-key shuffle semi join is the fallback. */
+  private[graft] val LshBroadcastSemiIds = 10000000L
+
   /** Band-row gate for broadcasting the BATCH's band keys: 24-byte
     * rows, so 10 M rows ≈ 240 MB — comfortably under the driver's
     * 1 GiB maxResultSize with serialization overhead. The sf1000
@@ -1136,25 +1145,35 @@ object Dedup {
     // driver collect. Same answer; the driver-sf plan keeps its
     // PlanSpec-pinned broadcast shape (counts there are in the
     // hundreds).
-    val gate = cand.count() <= LshBroadcastPairs
+    val pairCount = cand.count()
+    val gate = pairCount <= LshBroadcastPairs
     def gated(df: DataFrame): DataFrame = if (gate) broadcast(df) else df
     // semi-prune BOTH array tables to candidate docs BEFORE any join
     // moves them: arrays for docs with no candidate pair must never
     // ride an exchange. The sf1000 probe measured the unpruned shuffle
     // path (every one of 50 M multi-KB signature rows exchanged for
     // ~4 M surviving pairs) at >46 GB of spill — disk-dead on one box,
-    // and a 10×-wasteful exchange on any cluster. The id-only semi
-    // sides are near-dup-doc-count-sized; driver sfs broadcast them
-    // (gate), large runs semi-join 8-byte keys — either way the array
-    // mass that moves is bounded by the candidates, not the corpus.
+    // and a 10×-wasteful exchange on any cluster. The id-only distinct
+    // semi sides get their OWN broadcast bound (round-15 advice): they
+    // are ≤ pairCount rows of ONE 8-byte key — a far tighter contract
+    // than the full pair gate — and without the explicit hint the
+    // left_semi joins would rely on AQE runtime conversion, i.e. the
+    // multi-KB array tables could still exchange on id with the pruning
+    // landing AFTER the exchange. Broadcast-semi keeps the arrays
+    // exactly where they were scanned; above [[LshBroadcastSemiIds]]
+    // (a pathological corpus) the 8-byte-key shuffle semi is the
+    // correct fallback.
+    val semiGate = pairCount <= LshBroadcastSemiIds
+    def semiGated(df: DataFrame): DataFrame =
+      if (semiGate) broadcast(df) else df
     val candSa = batchArrays.select(col("batch_doc"), col("s").as("sa"))
-      .join(gated(cand.select("batch_doc").distinct()),
+      .join(semiGated(cand.select("batch_doc").distinct()),
         Seq("batch_doc"), "left_semi")
       .join(gated(cand), "batch_doc")
     // the index streams past the broadcast candidates (same orientation
     // as the exact confirm in q_dedup_incremental_indexed)
     baseArrays.select(col("base_doc"), col("s").as("sb"))
-      .join(gated(cand.select("base_doc").distinct()),
+      .join(semiGated(cand.select("base_doc").distinct()),
         Seq("base_doc"), "left_semi")
       .join(gated(candSa), "base_doc")
       .select(col("batch_doc"), col("base_doc"),

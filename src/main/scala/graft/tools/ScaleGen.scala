@@ -87,6 +87,18 @@ object ScaleGen {
     // any query touching only the subset runs unchanged.
     val only = args.lift(3)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // fail-fast on unknown subset names (round-15 advice): a typo like
+    // 'document' used to be silently ignored, yielding a probe corpus
+    // quietly missing the table — the probe then measures the wrong thing
+    val knownFacts = Set("orders", "lineitem", "events", "documents",
+      "embeddings")
+    only.foreach { s =>
+      val unknown = s -- knownFacts
+      require(unknown.isEmpty,
+        s"unknown table(s) in subset arg: ${unknown.mkString(", ")} — " +
+          s"known fact tables: ${knownFacts.toSeq.sorted.mkString(", ")} " +
+          "(dimension tables always copy through)")
+    }
     def wanted(t: String) = only.forall(_(t))
     val spark = graft.Graft.builder("local[16]", 16)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -101,8 +113,11 @@ object ScaleGen {
       spark.read.parquet(s"$src/$t.parquet").crossJoin(broadcast(cp))
 
     // orders and lineitem share the orderkey domain: one stride, shifted
-    // in lockstep, keeps every lineitem pointing at its copy's order
-    val ko = stride(spark, s"$src/orders.parquet", "o_orderkey")
+    // in lockstep, keeps every lineitem pointing at its copy's order.
+    // Strides are only computed for tables the subset will write (0 =
+    // skipped): stride() scans the source table, wasted work otherwise.
+    val ko = if (wanted("orders") || wanted("lineitem"))
+      stride(spark, s"$src/orders.parquet", "o_orderkey") else 0L
     if (wanted("orders")) fan("orders")
       .withColumn("o_orderkey", col("o_orderkey") + col("cp") * ko)
       .drop("cp")
@@ -111,12 +126,14 @@ object ScaleGen {
       .withColumn("l_orderkey", col("l_orderkey") + col("cp") * ko)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    val ke = stride(spark, s"$src/events.parquet", "event_id")
+    val ke = if (wanted("events"))
+      stride(spark, s"$src/events.parquet", "event_id") else 0L
     if (wanted("events")) fan("events")
       .withColumn("event_id", col("event_id") + col("cp") * ke)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
-    val kd = stride(spark, s"$src/documents.parquet", "doc_id")
+    val kd = if (wanted("documents"))
+      stride(spark, s"$src/documents.parquet", "doc_id") else 0L
     if (wanted("documents")) fan("documents")
       .withColumn("text",
         when(col("cp") === 0, col("text"))
@@ -147,7 +164,8 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val kv = stride(spark, s"$src/embeddings.parquet", "vec_id")
+    val kv = if (wanted("embeddings"))
+      stride(spark, s"$src/embeddings.parquet", "vec_id") else 0L
     // xxhash64(j, cp, STRIDE) separates every (dimension, copy, LEVEL)
     // triple with a real 64-bit avalanche, so "hash mod 3" flips ~1/3 of
     // dimensions in a pattern unique to each copy (no residue-class

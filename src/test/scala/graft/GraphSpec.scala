@@ -121,7 +121,7 @@ class GraphSpec extends SparkSpec {
     // micro-unit (integer algebra is layout-independent by construction)
     val plain = g.pagerank(edges, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    val bucketedRanks = g.pagerankBucketed(spark, edges, 3, "graphspec")
+    val bucketedRanks = g.pagerankBucketed(spark, sf, 3)
     val bucketed =
       bucketedRanks.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(bucketed.sameElements(plain))
@@ -139,5 +139,18 @@ class GraphSpec extends SparkSpec {
     val a = g.qGraphPagerank.run(spark, sf).collect().toSeq
     val b = g.qGraphPagerankBucketed.run(spark, sf).collect().toSeq
     assert(a == b)
+    // staged-layout pin (round-15 verdict item 6): the layout is READ,
+    // not rebuilt — a second execution leaves the staged marker's mtime
+    // untouched, and the iteration plan scans the staged path
+    val layout = java.nio.file.Paths.get(g.prBucketLayoutPath(spark, sf))
+    val marker = layout.resolve("_LAYOUT_READY")
+    val mtime0 = java.nio.file.Files.getLastModifiedTime(marker)
+    val again = g.qGraphPagerankBucketed.run(spark, sf)
+    again.collect()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == mtime0,
+      "staged layout must not be rebuilt per execution")
+    assert(again.queryExecution.executedPlan.toString
+      .contains(layout.getFileName.toString),
+      "iteration plan must scan the staged bucketed layout")
   }
 }

@@ -34,6 +34,7 @@ class PlanSpec extends SparkSpec {
     "q_text_bigrams", // two 1-row broadcast corpus-total scalar attaches
     "q_text_lm_score", // 1-row broadcast vocabulary-size scalar attach
     "q_dedup_semantic", // k≤16 broadcast centroid assignment (IVF shape)
+    "q_dedup_semantic_lsh", // same broadcast centroid assignment front half
     "q_embed_project", // 8 broadcast projected queries vs corpus: all-pairs by design
     "q_embed_project_ivf", // query-side probe ranking vs k≤16 broadcast centroids
     "q_text_bm25", // 1-row broadcast corpus-stats scalar attach
@@ -291,14 +292,15 @@ class PlanSpec extends SparkSpec {
 
   test("projected-IVF retrieval: scores the 8-dim sidecar, never retrains, never scans raw lists") {
     // the composition contract: candidate scoring reads the projected
-    // sidecar (graft_ivf_jl_index/plists — 8-dim rows), the quantizer
+    // sidecar (<base index>.jl_v1/plists — 8-dim rows; the path derives
+    // from the base index identity since round 16), the quantizer
     // comes off the persisted index, no centroid-training aggregate runs
     // at query time, and the 64-dim base lists are never rescanned (raw
     // vectors are touched only via the embeddings table: probes + the
     // ≤40-row exact re-score)
     val q = Registry.all.find(_.name == "q_embed_project_ivf").get
     val p = q.run(spark, sf).queryExecution.executedPlan.toString
-    assert(p.contains("graft_ivf_jl_index"),
+    assert(p.contains(".jl_v1") && p.contains("plists"),
       s"projected sidecar absent from the read plan:\n${p.take(4000)}")
     assert(!p.toLowerCase.contains("vectorcentroid"),
       s"centroid TRAINING aggregate at query time:\n${p.take(4000)}")
