@@ -52,4 +52,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC a concurrent G1 cycle; the cleaner only needs references
   // *noticed*, not a full compaction
   "-XX:+ExplicitGCInvokesConcurrent",
+  // The round-15 sf1000 "cross-query session rot" (q_text_bpe 197 s warm
+  // vs 49 s cold, SCALE.md round-16 bisect): the JDK-17 nmethod sweeper
+  // SPECULATIVELY flushes cold compiled code while a codegen+spill-heavy
+  // query floods the JIT — the next query re-runs its (unchanged,
+  // Janino-cached) generated classes at interpreter/C1 tier and re-JITs
+  // from scratch, a measured 3–5× task-CPU amplification with the code
+  // cache never past 85 of 240 MB. Disabling speculative flushing
+  // removed the amplification entirely (RotBisect A/B, 7-hypothesis
+  // falsification matrix in SCALE.md). With flushing off a FULL code
+  // cache would disable compilation permanently, so reserve 512 MB —
+  // 6× the deepest occupancy any graft campaign session has reached.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:-UseCodeCacheFlushing",
 )

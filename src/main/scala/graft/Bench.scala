@@ -122,6 +122,13 @@ object Bench {
       }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     })
+    // per-query swallowed failures (round-16 correction): the catch in
+    // timed() exists so one broken query can't kill a campaign artifact,
+    // but silently timing a failure as if it completed let the r15
+    // sf1000 probe record q_dedup_incremental_lsh's ENOSPC death as a
+    // "14.9 s warm run". Failures now land in the artifact beside the
+    // times, so time-to-failure can never read as a fast completion.
+    val failByQuery = scala.collection.mutable.LinkedHashMap[String, String]()
     val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val tsByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -140,7 +147,12 @@ object Bench {
       val g0 = gcMillis
       val c0 = cpuNanos
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failByQuery(key) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(160)
+          -1L
+      }
       // within-query caches (shingle tables, fan-out upstreams) are only
       // live during the action; clearing here keeps later queries from
       // paying earlier queries' storage-memory pressure
@@ -276,7 +288,11 @@ object Bench {
     val warmAdjusted = warm.map { case (k, v) => retry.getOrElse(k, v) }.sum
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"cold_total":${f(coldTotal)},"warm_total":${f(warmTotal)},"warm_total_adjusted":${f(warmAdjusted)},"warm_regressions":$wr,"env_exonerated":${jlist(envExonerated)},"retry":${jmap(retry)},"cpus":$cpus,"sf":"$sfDir","cold":${jmap(cold)},"warm":${jmap(warm)},"gc_sec":${jmap(gcByQuery)},"cpu_sec":${jmap(cpuByQuery)},"ts_epoch":${jmap(tsByQuery)},"load1":${jmap(loadByQuery)},"ext_cpu_sec":${jmap(extByQuery)},"steal_sec":${jmap(stealByQuery)},"stream_batches":${jmap(batchByQuery)},"stream_rows":${jmap(rowsByQuery)}}""")
+      s"""{"cold_total":${f(coldTotal)},"warm_total":${f(warmTotal)},"warm_total_adjusted":${f(warmAdjusted)},"warm_regressions":$wr,"env_exonerated":${jlist(envExonerated)},"retry":${jmap(retry)},"cpus":$cpus,"sf":"$sfDir","failures":${failByQuery.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"
+          case c if c < ' ' => " "; case c => c.toString
+        } + "\"" }.mkString("{", ",", "}")},"cold":${jmap(cold)},"warm":${jmap(warm)},"gc_sec":${jmap(gcByQuery)},"cpu_sec":${jmap(cpuByQuery)},"ts_epoch":${jmap(tsByQuery)},"load1":${jmap(loadByQuery)},"ext_cpu_sec":${jmap(extByQuery)},"steal_sec":${jmap(stealByQuery)},"stream_batches":${jmap(batchByQuery)},"stream_rows":${jmap(rowsByQuery)}}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${f(coldTotal)},"unit":"sec","warm_total":${f(warmTotal)},"warm_total_adjusted":${f(warmAdjusted)},"warm_regressions":$wr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

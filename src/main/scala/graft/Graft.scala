@@ -20,6 +20,15 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Round-16 session-rot fix, leg 2 (SCALE.md): the default Janino
+      // class cache (100 entries) evicts every query's generated classes
+      // in a catalog-sized session, so each re-run re-instantiates fresh
+      // classes whose JIT state restarts from zero — measured as the
+      // 3–5× warm-CPU amplification of the sf1000 probe once leg 1
+      // (-XX:-UseCodeCacheFlushing, build.sbt) kept compiled code alive.
+      // 10k entries keeps one session's working set resident; a static
+      // conf, so it must ride the builder, not the session.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   /** Attach graft functions to an existing session (e.g. one owned by a

@@ -648,6 +648,12 @@ object Dedup {
     (base, batch)
   }
 
+  /** Diagnostic accessor for tools.LshDiag's incremental mode — the
+    * perturbed split q_dedup_incremental_lsh measures against. */
+  private[graft] def baseBatchSplitDiag(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = baseBatchSplit(spark, dir, true)
+
   /** Staged PERSISTED dedup index of the base snapshot — the maintained
     * nightly artifact the incremental queries' docs promise: (a) the
     * distinct base text fingerprints as a compact parquet table

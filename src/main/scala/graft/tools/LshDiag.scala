@@ -42,6 +42,44 @@ object LshDiag {
       val dropped = buckets.filter(col("count") > b).count()
       println(s"cap $b: pair mass ${row.getLong(0)}, dropped buckets $dropped")
     }
+    // incremental (base×batch) raw-candidate mass — the spill driver of
+    // q_dedup_incremental_lsh's candidate distinct (round-16 item 2):
+    // per (band, key), raw cross mass = base_width × batch_width over
+    // buckets that survive the BASE-side cap, vs the same with a
+    // symmetric BATCH-side cap — the decision number for whether the
+    // batch cap bounds the distinct or the spill is intrinsic.
+    if (args.lift(1).contains("inc")) {
+      banded.unpersist(); buckets.unpersist()
+      val (_, batch) = graft.queries.Dedup.baseBatchSplitDiag(spark, sfDir)
+      val baseW = banded.withColumnRenamed("id", "doc_id")
+        .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .groupBy("band", "key").count()
+        .select(col("band"), col("key"), col("count").as("bw"))
+      val batchB = graft.queries.Dedup.bandKeysDiag(
+        batch.select(col("doc_id"),
+          graft.functions.GraftFunctions.shingleHashes(col("text")).as("s"))
+          .filter(size(col("s")) > 0))
+      val batchW = batchB.groupBy("band", "key").count()  // id col unused
+        .select(col("band"), col("key"), col("count").as("tw"))
+      val joined = baseW.join(batchW, Seq("band", "key")).cache()
+      def mass(cond: org.apache.spark.sql.Column): (Long, Long) = {
+        val r = joined.filter(cond)
+          .agg(sum(col("bw") * col("tw")).cast("long"), count(lit(1))).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+      }
+      val cap = graft.queries.Dedup.LshBucketCap
+      val (rawAll, nAll) = mass(lit(true))
+      val (rawBase, nBase) = mass(col("bw") <= cap)
+      val (rawBoth, nBoth) = mass(col("bw") <= cap && col("tw") <= cap)
+      println(s"inc raw mass (no caps): $rawAll over $nAll shared buckets")
+      println(s"inc raw mass (base cap $cap): $rawBase over $nBase")
+      println(s"inc raw mass (both caps $cap): $rawBoth over $nBoth")
+      val topT = joined.filter(col("bw") <= cap)
+        .orderBy((col("bw") * col("tw")).desc).limit(10)
+        .select(col("bw"), col("tw")).collect()
+      println("top surviving buckets (bw,tw): " +
+        topT.map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(","))
+    }
     spark.stop()
   }
 }

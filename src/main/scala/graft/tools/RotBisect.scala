@@ -37,10 +37,22 @@ object RotBisect {
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val detector = args.lift(2).getOrElse("q_text_bpe")
     val reps = args.lift(3).map(_.toInt).getOrElse(2)
+    // optional settle pause (seconds) before each detector rep: if the
+    // amplification vanishes after an idle window, the mechanism is a
+    // TRANSIENT (concurrent GC / C2 compile-queue backlog working through
+    // the predecessor's churn), not evicted state the detector must
+    // rebuild
+    val settle = args.lift(4).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.Graft.builder(s"local[$cpus]", cpus.toInt)
+    val b0 = graft.Graft.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
+    // GRAFT_CODEGEN_CACHE: A/B the static codegen-cache size (default
+    // 100 entries) — the eviction-vs-churn discriminator: with the cache
+    // sized past the session's working set, a rotted detector shows
+    // codegen_n=0; if its CPU ALSO normalizes, eviction was the driver
+    val spark = sys.env.get("GRAFT_CODEGEN_CACHE")
+      .fold(b0)(n => b0.config("spark.sql.codegen.cache.maxEntries", n))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id * 2)", "count(distinct id % 100)")
@@ -81,6 +93,51 @@ object RotBisect {
       val m = org.apache.spark.metrics.source.CodegenMetrics
       (m.METRIC_COMPILATION_TIME.getCount, m.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum)
     }
+    // task-level discrimination of WHERE amplified CPU goes: task/retry
+    // counts separate recompute (more tasks) from per-task cost; spill
+    // bytes expose execution-memory squeeze; stage attempts >0 expose
+    // lost-block/fetch-failure resubmission
+    val tTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val tFailed = new java.util.concurrent.atomic.AtomicLong(0)
+    val tMemSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    val tDiskSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    val tRetryStages = new java.util.concurrent.atomic.AtomicLong(0)
+    val tTaskCpu = new java.util.concurrent.atomic.AtomicLong(0)
+    val tTaskDeser = new java.util.concurrent.atomic.AtomicLong(0)
+    val tGcTime = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tTasks.incrementAndGet()
+        if (e.taskInfo != null && !e.taskInfo.successful) tFailed.incrementAndGet()
+        val m = e.taskMetrics
+        if (m != null) {
+          tMemSpill.addAndGet(m.memoryBytesSpilled)
+          tDiskSpill.addAndGet(m.diskBytesSpilled)
+          tTaskCpu.addAndGet(m.executorCpuTime)
+          tTaskDeser.addAndGet(m.executorDeserializeTime)
+          tGcTime.addAndGet(m.jvmGCTime)
+        }
+      }
+      override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (e.stageInfo.attemptNumber > 0) tRetryStages.incrementAndGet()
+    })
+    def execMem(): (Long, Long) = {
+      val s = spark.sparkContext.getExecutorMemoryStatus.values
+      (s.map(_._1).sum, s.map(_._2).sum) // (max, remaining) storage memory
+    }
+    // JIT code-cache occupancy + cumulative HotSpot compilation time: the
+    // deopt hypothesis — a codegen-heavy sf1000 query fills the reserved
+    // code cache, flushing evicts the detector's compiled methods, and
+    // its next run burns interpreted/C1 CPU until re-JIT'd
+    def codeCache(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getName.startsWith("CodeHeap"))
+      (pools.map(_.getUsage.getUsed).sum, pools.map(_.getUsage.getMax).sum)
+    }
+    def jitMillis: Long =
+      java.lang.management.ManagementFactory.getCompilationMXBean
+        .getTotalCompilationTime
     def storage(): (Int, Long, Long) = {
       val infos = spark.sparkContext.getRDDStorageInfo
       (infos.length, infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
@@ -91,6 +148,10 @@ object RotBisect {
     def step(tag: String, name: String): Double = {
       val (hb0, hs0) = hostStat(); val g0 = gcMillis; val c0 = cpuNanos
       val (cg0, _) = codegen()
+      val (tk0, tf0, ms0, ds0, rs0) = (tTasks.get, tFailed.get,
+        tMemSpill.get, tDiskSpill.get, tRetryStages.get)
+      val (tc0, td0, tg0) = (tTaskCpu.get, tTaskDeser.get, tGcTime.get)
+      val jit0 = jitMillis
       val t0 = System.nanoTime()
       try graft.SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -108,16 +169,31 @@ object RotBisect {
         val r = Runtime.getRuntime; (r.totalMemory - r.freeMemory) / (1 << 20)
       }
       val (cg1, _) = codegen()
+      val (mx, rem) = execMem()
       println(s"[rot] $tag $name wall=${fmt(wall)} gc=${fmt((gcMillis - g0) / 1e3)} " +
         s"cpu=${fmt(proc)} ext=${fmt(ext)} steal=${fmt(steal)} " +
         s"rdd_count=$rc rdd_mem_mb=${rm / (1 << 20)} rdd_disk_mb=${rd / (1 << 20)} " +
-        s"heap_mb=$heap codegen_n=${cg1 - cg0} scratch_gb=${fmt(scratchBytes() / 1e9)}")
+        s"heap_mb=$heap codegen_n=${cg1 - cg0} scratch_gb=${fmt(scratchBytes() / 1e9)} " +
+        s"tasks=${tTasks.get - tk0} failed=${tFailed.get - tf0} " +
+        s"retry_stages=${tRetryStages.get - rs0} " +
+        s"mem_spill_gb=${fmt((tMemSpill.get - ms0) / 1e9)} " +
+        s"disk_spill_gb=${fmt((tDiskSpill.get - ds0) / 1e9)} " +
+        s"task_cpu=${fmt((tTaskCpu.get - tc0) / 1e9)} " +
+        s"task_deser_s=${fmt((tTaskDeser.get - td0) / 1e3)} " +
+        s"task_gc_s=${fmt((tGcTime.get - tg0) / 1e3)} " +
+        s"store_used_mb=${(mx - rem) / (1 << 20)} " +
+        { val (ccu, ccm) = codeCache()
+          s"jit_s=${fmt((jitMillis - jit0) / 1e3)} " +
+          s"codecache_mb=${ccu / (1 << 20)}/${ccm / (1 << 20)}" })
       wall
     }
 
     val base = step("control", detector)
     suspects.foreach(s => step("suspect", s))
-    val after = (1 to reps).map(i => step(s"detect$i", detector))
+    val after = (1 to reps).map { i =>
+      if (settle > 0) { println(s"[rot] settle ${settle}s"); Thread.sleep(settle * 1000L) }
+      step(s"detect$i", detector)
+    }
     val verdict =
       if (after.min > 1.5 * base) "ROT" else "CLEAN"
     println(s"[rot] VERDICT=$verdict control=${fmt(base)} " +

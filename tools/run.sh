@@ -16,7 +16,11 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 RAM_GB=$(awk '/MemTotal/{print int($2/1048576)}' /proc/meminfo)
 HEAP=${SPARK_DRIVER_MEM:-$(( RAM_GB/2 > 48 ? 48 : (RAM_GB/2 < 2 ? 2 : RAM_GB/2) ))g}
+# -XX:-UseCodeCacheFlushing + 512m reserve: the JDK-17 sweeper's
+# speculative cold-code flushing is the sf1000 cross-query session-rot
+# mechanism (SCALE.md round 16) — mirror build.sbt's javaOptions
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"$HEAP" -XX:+ExplicitGCInvokesConcurrent \
+  -XX:ReservedCodeCacheSize=512m -XX:-UseCodeCacheFlushing \
   -cp "$CLS:/opt/spark/jars/*" "$@"
