@@ -137,6 +137,13 @@ object Bench {
     val stealByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val batchByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rowsByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // round-17 (verdict item 7): the three rot-diagnosis counters from
+    // the round-16 bisect, folded into the per-query artifact so a
+    // future warm_regressions entry arrives with its JIT forensics
+    // attached (see graft.Forensics for the two rot signatures)
+    val jitByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cgByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val ccByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed(tag: String, name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val key = s"$tag:$name"
@@ -146,6 +153,8 @@ object Bench {
       val b0 = sBatches.get(); val r0 = sRows.get()
       val g0 = gcMillis
       val c0 = cpuNanos
+      val j0 = Forensics.jitMillis
+      val cg0 = Forensics.codegenCompileCount
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -168,6 +177,12 @@ object Bench {
         if (hb0 < 0 || hb1 < 0 || procSec < 0) -1.0
         else math.max(0.0, (hb1 - hb0) / 100.0 - procSec)
       stealByQuery(key) = if (hs0 < 0 || hs1 < 0) -1.0 else (hs1 - hs0) / 100.0
+      val j1 = Forensics.jitMillis
+      jitByQuery(key) = if (j0 < 0 || j1 < 0) -1.0 else (j1 - j0) / 1e3
+      val cg1 = Forensics.codegenCompileCount
+      cgByQuery(key) = if (cg0 < 0 || cg1 < 0) -1.0 else (cg1 - cg0).toDouble
+      val ccu = Forensics.codeCacheUsedBytes
+      ccByQuery(key) = if (ccu < 0) -1.0 else ccu / 1048576.0
       val db = sBatches.get() - b0
       if (db > 0) {
         batchByQuery(key) = db.toDouble
@@ -197,8 +212,15 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
+    // totals sum SUCCESSFUL runs only (round-17 advice): a fast failure
+    // must not deflate the headline totals — the failed query's absence
+    // is declared by failures_n/failed on the stdout line and by the
+    // `failures` map in the artifact (per-query time-to-failure stays in
+    // the cold/warm maps for forensics, flagged by those entries)
+    def sumOk(tag: String, m: Map[String, Double]): Double =
+      m.collect { case (k, v) if !failByQuery.contains(s"$tag:$k") => v }.sum
+    val coldTotal = sumOk("cold", cold)
+    val warmTotal = sumOk("warm", warm)
     // The stdout line must survive the driver's log-tail capture (~2.3 KB:
     // round 3's 94-entry map overflowed it and the driver recorded
     // parsed:null; round 1's full-precision doubles did the same). The
@@ -285,16 +307,25 @@ object Bench {
     // retry value — so the adjusted total never hides rot, it only stops
     // billing the engine for the environment. Judges compare THIS number
     // round-over-round; raw cold/warm stay in the artifact beside it.
-    val warmAdjusted = warm.map { case (k, v) => retry.getOrElse(k, v) }.sum
+    val warmAdjusted = warm.flatMap { case (k, v) =>
+      if (retry.contains(k))
+        if (failByQuery.contains(s"retry:$k")) None else Some(retry(k))
+      else if (failByQuery.contains(s"warm:$k")) None
+      else Some(v)
+    }.sum
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"cold_total":${f(coldTotal)},"warm_total":${f(warmTotal)},"warm_total_adjusted":${f(warmAdjusted)},"warm_regressions":$wr,"env_exonerated":${jlist(envExonerated)},"retry":${jmap(retry)},"cpus":$cpus,"sf":"$sfDir","failures":${failByQuery.map { case (k, v) =>
         "\"" + k + "\":\"" + v.flatMap {
           case '"' => "\\\""; case '\\' => "\\\\"
           case c if c < ' ' => " "; case c => c.toString
-        } + "\"" }.mkString("{", ",", "}")},"cold":${jmap(cold)},"warm":${jmap(warm)},"gc_sec":${jmap(gcByQuery)},"cpu_sec":${jmap(cpuByQuery)},"ts_epoch":${jmap(tsByQuery)},"load1":${jmap(loadByQuery)},"ext_cpu_sec":${jmap(extByQuery)},"steal_sec":${jmap(stealByQuery)},"stream_batches":${jmap(batchByQuery)},"stream_rows":${jmap(rowsByQuery)}}""")
+        } + "\"" }.mkString("{", ",", "}")},"cold":${jmap(cold)},"warm":${jmap(warm)},"gc_sec":${jmap(gcByQuery)},"cpu_sec":${jmap(cpuByQuery)},"jit_sec":${jmap(jitByQuery)},"codegen_n":${jmap(cgByQuery)},"codecache_mb":${jmap(ccByQuery)},"ts_epoch":${jmap(tsByQuery)},"load1":${jmap(loadByQuery)},"ext_cpu_sec":${jmap(extByQuery)},"steal_sec":${jmap(stealByQuery)},"stream_batches":${jmap(batchByQuery)},"stream_rows":${jmap(rowsByQuery)}}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f(coldTotal)},"unit":"sec","warm_total":${f(warmTotal)},"warm_total_adjusted":${f(warmAdjusted)},"warm_regressions":$wr,"queries":$qs,"sf":"$sfDir"}""")
+    // failures_n/failed on the stdout line (round-17 advice): the driver
+    // parses only this line, so without them a fast failure was invisible
+    // in the headline record (the r15 sf1000 probe lesson, now closed at
+    // both layers). Normally both are empty/zero.
+    println(s"""{"metric":"total","value":${f(coldTotal)},"unit":"sec","warm_total":${f(warmTotal)},"warm_total_adjusted":${f(warmAdjusted)},"warm_regressions":$wr,"failures_n":${failByQuery.size},"failed":${jlist(failByQuery.keys.toSeq)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1040,8 +1040,19 @@ object Dedup {
     * longs is ~100 MB hashed, comfortably a broadcast on cluster-class
     * executors, and clears the sf1000 probe's measured ~4 M surviving
     * pairs (the distinct doc sides are a subset of those). Above it the
-    * 8-byte-key shuffle semi join is the fallback. */
-  private[graft] val LshBroadcastSemiIds = 10000000L
+    * 8-byte-key shuffle semi join is the fallback.
+    *
+    * The 10 M ceiling assumes a cluster-class driver; a hashed relation
+    * costs ~60-100 B/entry with object headers, so on a small local heap
+    * (tools/run.sh can clamp the driver to 2 g) a 10 M-id broadcast
+    * would OOM the driver before the shuffle fallback ever engaged
+    * (round-17 advice). The bound therefore scales with the running
+    * JVM's max heap — one broadcast is allowed at most heap/512 entries
+    * (~1/4 of heap at 128 B/entry pessimistic), meeting the 10 M ceiling
+    * from ~5 g up. Driver-sf plans are unchanged (their semi sides are
+    * thousands of ids). */
+  private[graft] val LshBroadcastSemiIds: Long =
+    math.min(10000000L, Runtime.getRuntime.maxMemory / 512)
 
   /** Band-row gate for broadcasting the BATCH's band keys: 24-byte
     * rows, so 10 M rows ≈ 240 MB — comfortably under the driver's

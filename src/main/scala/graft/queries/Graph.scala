@@ -146,8 +146,13 @@ object Graph {
     val loc = s"$layout/edges"
     val cols = spark.read.parquet(loc).schema.fields
       .map(f => s"${f.name} ${f.dataType.catalogString}").mkString(", ")
+    // name carries layout hash + PID + nanoTime: PID alone collides when
+    // two THREADS of one JVM run this concurrently — one thread's
+    // finally-DROP could remove the table between the other's CREATE and
+    // spark.table() resolution (round-17 advice fix; matches the
+    // graft_pr_build_ naming on the build side)
     val tName = s"graft_pr_edges_${loc.hashCode.toHexString}_" +
-      s"${ProcessHandle.current().pid()}"
+      s"${ProcessHandle.current().pid()}_${System.nanoTime().toHexString}"
     spark.sql(s"DROP TABLE IF EXISTS $tName")
     try {
       spark.sql(s"CREATE TABLE $tName ($cols) USING parquet " +

@@ -49,7 +49,11 @@ object LshDiag {
     // symmetric BATCH-side cap — the decision number for whether the
     // batch cap bounds the distinct or the spill is intrinsic.
     if (args.lift(1).contains("inc")) {
-      banded.unpersist(); buckets.unpersist()
+      // buckets is done; banded must STAY cached until `joined` (whose
+      // baseW side re-reads it) materializes below — unpersisting here
+      // forced a full recompute of the corpus-wide minhash banding
+      // (round-17 advice fix)
+      buckets.unpersist()
       val (_, batch) = graft.queries.Dedup.baseBatchSplitDiag(spark, sfDir)
       val baseW = banded.withColumnRenamed("id", "doc_id")
         .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -62,6 +66,8 @@ object LshDiag {
       val batchW = batchB.groupBy("band", "key").count()  // id col unused
         .select(col("band"), col("key"), col("count").as("tw"))
       val joined = baseW.join(batchW, Seq("band", "key")).cache()
+      joined.count() // materialize off the cached banding, then release it
+      banded.unpersist()
       def mass(cond: org.apache.spark.sql.Column): (Long, Long) = {
         val r = joined.filter(cond)
           .agg(sum(col("bw") * col("tw")).cast("long"), count(lit(1))).head()

@@ -145,7 +145,11 @@ object RotBisect {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
-    def step(tag: String, name: String): Double = {
+    // returns None when the query FAILED: time-to-failure is not a wall
+    // time, and feeding it into the ROT/CLEAN ratio would let a crashing
+    // detector or suspect produce a meaningless verdict (round-17 advice
+    // fix — the same artifact-rot class as Bench's `failures` map)
+    def step(tag: String, name: String): Option[Double] = {
       val (hb0, hs0) = hostStat(); val g0 = gcMillis; val c0 = cpuNanos
       val (cg0, _) = codegen()
       val (tk0, tf0, ms0, ds0, rs0) = (tTasks.get, tFailed.get,
@@ -153,10 +157,12 @@ object RotBisect {
       val (tc0, td0, tg0) = (tTaskCpu.get, tTaskDeser.get, tGcTime.get)
       val jit0 = jitMillis
       val t0 = System.nanoTime()
-      try graft.SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable =>
-        println(s"[rot] $tag $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
+      val ok =
+        try { graft.SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          println(s"[rot] $tag $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
       val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.gc()
@@ -185,19 +191,26 @@ object RotBisect {
         { val (ccu, ccm) = codeCache()
           s"jit_s=${fmt((jitMillis - jit0) / 1e3)} " +
           s"codecache_mb=${ccu / (1 << 20)}/${ccm / (1 << 20)}" })
-      wall
+      if (ok) Some(wall) else None
     }
 
     val base = step("control", detector)
+    // suspects may fail by design (the sf1000 lsh ENOSPC is itself a rot
+    // trigger) — their wall times don't enter the verdict, only the
+    // detector's do, so a failed suspect is logged but not disqualifying
     suspects.foreach(s => step("suspect", s))
     val after = (1 to reps).map { i =>
       if (settle > 0) { println(s"[rot] settle ${settle}s"); Thread.sleep(settle * 1000L) }
       step(s"detect$i", detector)
     }
-    val verdict =
-      if (after.min > 1.5 * base) "ROT" else "CLEAN"
-    println(s"[rot] VERDICT=$verdict control=${fmt(base)} " +
-      s"after=${after.map(fmt).mkString(",")} suspects=${suspects.mkString(",")}")
+    val verdict = (base, after) match {
+      case (Some(b), reps2) if reps2.forall(_.isDefined) =>
+        if (reps2.flatten.min > 1.5 * b) "ROT" else "CLEAN"
+      case _ => "INVALID" // a detector rep failed: no timing to compare
+    }
+    println(s"[rot] VERDICT=$verdict control=${base.map(fmt).getOrElse("FAIL")} " +
+      s"after=${after.map(_.map(fmt).getOrElse("FAIL")).mkString(",")} " +
+      s"suspects=${suspects.mkString(",")}")
     spark.stop()
   }
 }
