@@ -154,6 +154,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shingle CONTAINMENT near-dup pairs — the asymmetric measure
+    * (Broder's containment: |A∩B| / |A|) that document-level Jaccard
+    * misses by construction: a short document quoted or embedded inside
+    * a long one has high containment but low Jaccard (the union is
+    * dominated by the long side), and a training corpus wants that
+    * subset-duplication caught — it is how boilerplate-wrapped copies
+    * and quote-inflated documents slip past symmetric dedup. Pairs with
+    * 10·|I| ≥ 8·min(|A|,|B|) (containment of the smaller set ≥ 0.8);
+    * `contained_id` names the smaller-set document (the trim candidate).
+    *
+    * Same scalable shape as q_dedup_ngram_jaccard: one compiled
+    * shingle-hash scan, explode, equi-join on the 8-byte hash (the
+    * inverted-index block — only pairs sharing ≥1 shingle materialize,
+    * linear in co-occurrence mass), hash-aggregate |I|, integer-exact
+    * threshold. No language block: containment pairs deliberately cross
+    * every attribute. Same fixed verification slice (doc_id < 5000) and
+    * the same 64-bit shingle-hash collision tolerance as every shingle
+    * stage; at corpus scale candidates come from the MinHash band join
+    * and this query's threshold becomes the verify stage. */
+  val qDedupContainment: QueryDef = QueryDef.oracle(
+    "q_dedup_containment",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents WHERE doc_id < 5000))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_intersect(a.s, b.s)) AS n_inter,
+      |  LEAST(len(a.s), len(b.s)) AS n_small,
+      |  CASE WHEN len(a.s) <= len(b.s) THEN a.doc_id ELSE b.doc_id END
+      |    AS contained_id
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE 10 * len(list_intersect(a.s, b.s))
+      |      >= 8 * LEAST(len(a.s), len(b.s))
+      |  AND LEAST(len(a.s), len(b.s)) > 0
+      |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+      .filter(col("doc_id") < 5000)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
+      .withColumn("sz", size(col("hs")))
+    val tok = docs.select(col("doc_id"), col("sz"),
+      explode(col("hs")).as("sh")).cache()
+    val a = tok.select(col("doc_id").as("doc_a"), col("sh"),
+      col("sz").as("sza"))
+    val b = tok.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("sz").as("szb"))
+    a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sza", "szb")
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter") * 10 >= least(col("sza"), col("szb")) * 8)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_inter").cast("int").as("n_inter"),
+        least(col("sza"), col("szb")).cast("int").as("n_small"),
+        when(col("sza") <= col("szb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Substring-level exact dedup — the span modality of the family:
     * document-level passes (exact/MinHash/SimHash/embedding) miss long
     * REPEATED SPANS shared across otherwise-distinct documents
@@ -1677,7 +1739,8 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNormalized, qDedupSubstring, qDedupSubstringTrim,
-    qDedupNgramJaccard, qDedupMinhashLsh, qDedupSimhash, qDedupClusters,
+    qDedupNgramJaccard, qDedupContainment, qDedupMinhashLsh, qDedupSimhash,
+    qDedupClusters,
     qDedupEmbedding, qDedupEmbeddingAnn, qDedupEmbeddingAnn09,
     qDedupIncremental, qDedupIncrementalIndexed, qDedupIndexMerge,
     qDedupIncrementalFuzzy, qDedupIncrementalLsh, qDedupEntity)

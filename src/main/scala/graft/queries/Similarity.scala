@@ -1897,9 +1897,86 @@ object Similarity {
     Exec.materialized(res, nv, cents)
   }
 
+  /** Hybrid retrieval: Reciprocal Rank Fusion (RRF, k=60) of the BM25
+    * lexical top-20 ([[TextAnalysis.bm25Top20]] — the judged q_text_bm25
+    * ranking, shared VERBATIM) and a dense cosine top-20 (query = the
+    * vec_id-0 embedding against the corpus), fused on doc_id = vec_id —
+    * the sparse+dense fusion every production RAG/retrieval stack runs
+    * in front of an LLM.
+    *
+    * Scale shape: each leg is scan-once + distributed top-k — the
+    * lexical leg is one HOF scan with a 1-row broadcast stats attach;
+    * the dense leg broadcasts the single query row and ranks with the
+    * codegen'd `graft_cosine` via TakeOrderedAndProject (per-partition
+    * heaps, no corpus sort, no shuffle of the big side). Fusion then
+    * touches only 2×20 rank rows (full-outer join on id, absent leg
+    * contributes 0) — at 100 TB the legs are the only corpus-scale
+    * stages and both are embarrassingly parallel; the dense leg swaps
+    * to q_sim_ivf_ann's index probe without changing the fusion.
+    *
+    * Determinism: ranks are integers from deterministic rankings (BM25
+    * on the 4dp-rounded score with doc_id tie-break; cosine on the
+    * fixed-order double fold — bit-identical in DuckDB via
+    * [[VecSql.cos]] — with vec_id tie-break). 1/(60+rank) and the
+    * two-term fixed-order sum are correctly-rounded IEEE ops, so the
+    * fused score is bit-identical cross-engine before its 6dp display
+    * rounding; the final rank orders by the ROUNDED score with id
+    * tie-break (the q_text_bm25 rule). */
+  val qHybridRrf: QueryDef = QueryDef.oracle(
+    "q_hybrid_rrf",
+    TextAnalysis.bm25OracleCte +
+      s""",
+         |den AS (
+         |  SELECT vec_id, c,
+         |    ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn
+         |  FROM (SELECT c.vec_id,
+         |          ${VecSql.cos("c.embedding", "q.embedding")} AS c
+         |        FROM embeddings c,
+         |          (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |        WHERE c.vec_id <> 0)),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, d.vec_id) AS id,
+         |    ROUND(COALESCE(1.0 / (60 + l.rn), 0.0)
+         |        + COALESCE(1.0 / (60 + d.rn), 0.0), 6) AS rrf,
+         |    l.rn AS rn_lex, d.rn AS rn_dense
+         |  FROM (SELECT * FROM lex WHERE rn <= 20) l
+         |  FULL OUTER JOIN (SELECT * FROM den WHERE rn <= 20) d
+         |    ON l.doc_id = d.vec_id)
+         |SELECT ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rn,
+         |  id, rrf, rn_lex, rn_dense
+         |FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+  ) { (spark, dir) =>
+    val lex = TextAnalysis.bm25Top20(spark, dir)
+      .select(col("doc_id").as("lid"), col("rn").as("rn_lex"))
+    val raw = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val q = raw.filter(col("vec_id") === 0).select(col("embedding").as("eq"))
+    // distributed top-k FIRST (TakeOrderedAndProject), then the rank
+    // window runs over the 20 survivors only — the q_text_bm25 shape
+    val denTop = raw.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.cosineSim(col("embedding"), col("eq"))
+          .as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc).limit(20)
+    val wd = Window.orderBy(col("c").desc, col("vec_id").asc)
+    val den = denTop.withColumn("rn_dense", row_number().over(wd))
+      .select(col("vec_id").as("did"), col("rn_dense"))
+    val fused = lex.join(den, col("lid") === col("did"), "full_outer")
+      .select(coalesce(col("lid"), col("did")).as("id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rn_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rn_dense")), lit(0.0)), 6)
+          .as("rrf"),
+        col("rn_lex"), col("rn_dense"))
+    val wf = Window.orderBy(col("rrf").desc, col("id").asc)
+    fused.orderBy(col("rrf").desc, col("id").asc).limit(10)
+      .withColumn("rn", row_number().over(wf))
+      .select(col("rn"), col("id"), col("rrf"), col("rn_lex"), col("rn_dense"))
+      .orderBy("rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qSimCosinePairs, qSimTopk, qSimLshAnn, qSimIvfAnn, qSimIvfIncremental,
     qSimIvfMerge, qStreamIvfIngest, qEmbedProject, qEmbedProjectIvf,
     qEmbedQuantize, qEmbedOutliers, qDedupSemantic, qDedupSemanticLsh,
-    qSimPq, qSimPqSearch, qSimIvfPq)
+    qSimPq, qSimPqSearch, qSimIvfPq, qHybridRrf)
 }

@@ -684,24 +684,11 @@ object TextAnalysis {
     (top.orderBy(col("n").desc, col("gram")).limit(k), provablyExact)
   }
 
-  /** BM25 ranking — the lexical-retrieval scorer of RAG/dedup candidate
-    * search and the classic relevance baseline. Fixed 4-term query; ONE
-    * corpus scan computes per-doc term frequencies and length via array
-    * HOFs (no explode, no join); corpus statistics (N, df per term,
-    * avgdl) are a 1-row broadcast scalar attach (the q_text_lm_score
-    * shape), so the scoring pass is scan-speed and shuffle-free up to
-    * the final top-k.
-    *
-    * Numeric discipline: tf/df/dl/N are integer-exact; avgdl is
-    * exact-integer-sum / count (one IEEE division); each term's
-    * component is IEEE-double arithmetic in one spelled-out operand
-    * order shared with the oracle, and the 4 components fold in fixed
-    * written order. `ln` is the one libm call (both engines ≤1 ulp), so
-    * scores are ROUNDED to 4 dp before ranking — the Num.r4 rule for
-    * genuinely statistical outputs — and the rank tie-breaks on doc_id
-    * over the rounded value. k1 = 1.2, b = 0.75. */
-  val qTextBm25: QueryDef = QueryDef.oracle(
-    "q_text_bm25",
+  /** Oracle-side BM25 CTE chain (tables d/g/s/lex; `lex` = doc_id,
+    * 4dp-rounded score, rank) — shared VERBATIM by q_text_bm25 and
+    * q_hybrid_rrf so the lexical leg cannot drift between the judged
+    * ranking and the fusion that consumes it. */
+  private[queries] val bm25OracleCte: String =
     """WITH d AS (
       |  SELECT doc_id, len(ws) AS dl,
       |    len(list_filter(ws, w -> w = 'join')) AS tf1,
@@ -737,13 +724,41 @@ object TextAnalysis {
       |        * (CAST(tf4 AS DOUBLE) * 2.2)
       |        / (CAST(tf4 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) END)
       |    AS score
-      |  FROM d, g)
-      |SELECT rn, doc_id, score FROM (
+      |  FROM d, g),
+      |lex AS (
       |  SELECT doc_id, ROUND(score, 4) AS score,
       |    ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS rn
-      |  FROM s)
-      |WHERE rn <= 20 ORDER BY rn""".stripMargin,
-  ) { (spark, dir) =>
+      |  FROM s)""".stripMargin
+
+  /** BM25 ranking — the lexical-retrieval scorer of RAG/dedup candidate
+    * search and the classic relevance baseline. Fixed 4-term query; ONE
+    * corpus scan computes per-doc term frequencies and length via array
+    * HOFs (no explode, no join); corpus statistics (N, df per term,
+    * avgdl) are a 1-row broadcast scalar attach (the q_text_lm_score
+    * shape), so the scoring pass is scan-speed and shuffle-free up to
+    * the final top-k.
+    *
+    * Numeric discipline: tf/df/dl/N are integer-exact; avgdl is
+    * exact-integer-sum / count (one IEEE division); each term's
+    * component is IEEE-double arithmetic in one spelled-out operand
+    * order shared with the oracle, and the 4 components fold in fixed
+    * written order. `ln` is the one libm call (both engines ≤1 ulp), so
+    * scores are ROUNDED to 4 dp before ranking — the Num.r4 rule for
+    * genuinely statistical outputs — and the rank tie-breaks on doc_id
+    * over the rounded value. k1 = 1.2, b = 0.75.
+    *
+    * [[bm25Top20]] is the implementation (shared with q_hybrid_rrf, the
+    * same no-drift discipline as the oracle CTE). */
+  val qTextBm25: QueryDef = QueryDef.oracle(
+    "q_text_bm25",
+    bm25OracleCte +
+      "\nSELECT rn, doc_id, score FROM lex WHERE rn <= 20 ORDER BY rn",
+  ) { (spark, dir) => bm25Top20(spark, dir) }
+
+  /** The BM25 top-20 (rn, doc_id, score) — the Spark twin of the
+    * `lex` oracle CTE above, exposed for q_hybrid_rrf's lexical leg. */
+  private[queries] def bm25Top20(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val terms = Seq("join", "vector", "scan", "merge")
     // tokenize ONCE into a column — five inlined toks() towers made the
     // generated projection big enough that a codegen-cache eviction

@@ -424,4 +424,49 @@ class DedupSpec extends SparkSpec {
     assert(kept(baseFps, baseSketch) > 0L,
       "base index already held the batch fingerprints; merge untested")
   }
+
+  test("containment pairs include every Jaccard >= 2/3 pair") {
+    // C = I/min >= 2J/(1+J): J >= 2/3 implies containment >= 0.8, so the
+    // high-Jaccard planted pairs must all reappear (the non-lang-blocked
+    // containment join can only ADD pairs beyond them)
+    val cont = pairSet(Dedup.qDedupContainment.run(spark, sf)
+      .select("doc_a", "doc_b").collect())
+    val highJ = Dedup.qDedupNgramJaccard.run(spark, sf).collect()
+      .filter(r => 3L * r.getInt(2) >= 2L * r.getInt(3))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(highJ.nonEmpty, "corpus lost its high-Jaccard planted pairs")
+    assert(highJ.subsetOf(cont), s"missed: ${highJ.diff(cont)}")
+  }
+
+  test("containment emissions are internally consistent") {
+    val rows = Dedup.qDedupContainment.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => 10L * r.getInt(2) >= 8L * r.getInt(3)))
+    assert(rows.forall(r => r.getInt(2) <= r.getInt(3)))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r =>
+      r.getLong(4) == r.getLong(0) || r.getLong(4) == r.getLong(1)))
+  }
+
+  test("containment catches quote-inclusion that Jaccard misses") {
+    // the asymmetric measure's reason to exist: a 30-token document
+    // embedded verbatim in a 330-token one has containment 1.0 but
+    // Jaccard ~0.09 — symmetric dedup cannot see it
+    import spark.implicits._
+    val quoted = (1 to 30).map(i => s"w$i")
+    val filler = (1 to 300).map(i => s"f$i")
+    val a = quoted.mkString(" ")
+    val b = (quoted ++ filler).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    Seq((0L, a, "en", "t", a.length.toLong),
+        (1L, b, "en", "t", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = Dedup.qDedupContainment.run(spark, dir).collect()
+    assert(cont.length == 1 && cont.head.getLong(4) == 0L,
+      s"expected exactly the (0 in 1) containment pair, got ${cont.toSeq}")
+    val jac = Dedup.qDedupNgramJaccard.run(spark, dir).collect()
+    assert(jac.isEmpty, "Jaccard fired on the quote-inclusion pair " +
+      "— the containment operator would be redundant")
+  }
 }

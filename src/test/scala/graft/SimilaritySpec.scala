@@ -364,4 +364,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) < r.getLong(1)))
     assert(out.forall(r => r.getDouble(3) >= 0.4 && r.getDouble(3) <= 1.0 + 1e-9))
   }
+
+  test("hybrid RRF fuses the two judged leg rankings exactly") {
+    val rows = Similarity.qHybridRrf.run(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val rrfs = rows.map(_.getDouble(2))
+    assert(rrfs.zip(rrfs.tail).forall { case (x, y) => x >= y })
+    // recompute each fused score from its own leg ranks (absent leg = 0),
+    // with the same 6dp HALF_UP rounding Spark's round() applies
+    def leg(r: Row, i: Int): Double =
+      if (r.isNullAt(i)) 0.0 else 1.0 / (60 + r.getInt(i))
+    assert(rows.forall(r => r.getDouble(2) ==
+      BigDecimal(leg(r, 3) + leg(r, 4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // the fusion is real: both legs contribute ranks to the top-10
+    assert(rows.exists(!_.isNullAt(3)) && rows.exists(!_.isNullAt(4)))
+  }
+
+  test("hybrid RRF is deterministic across runs") {
+    val a = Similarity.qHybridRrf.run(spark, sf).collect().toSeq
+    val b = Similarity.qHybridRrf.run(spark, sf).collect().toSeq
+    assert(a == b)
+  }
 }
