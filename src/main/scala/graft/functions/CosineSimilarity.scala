@@ -86,6 +86,13 @@ object GraftFunctions {
     GraftColumnBridge.column(L2Squared(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Column-API entry point: `pqEncode($"embedding", $"cbflat")` — the
+    * 8 nearest-code ids per subspace against a flattened broadcast
+    * codebook, as one fused map-side loop (see [[PqEncodeCodes]]). */
+  def pqEncode(vec: Column, cbflat: Column): Column =
+    GraftColumnBridge.column(PqEncodeCodes(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cbflat)))
+
   /** Column-API entry point: `lshBucket($"embedding", 6)`. */
   def lshBucket(a: Column, nBits: Int): Column =
     GraftColumnBridge.column(HyperplaneBucket(
@@ -150,5 +157,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((Fingerprint.ident, Fingerprint.info,
       Fingerprint.builder))
     ext.injectFunction((L2Squared.ident, L2Squared.info, L2Squared.builder))
+    ext.injectFunction((PqEncodeCodes.ident, PqEncodeCodes.info,
+      PqEncodeCodes.builder))
   }
 }

@@ -1593,21 +1593,40 @@ object Similarity {
         :+ dist.as("dist"): _*)
   }
 
-  /** PQ-encode: nearest code per (vector, subspace) — the argmin
-    * collapses MAP-SIDE via min(struct) (no n×k shuffle) — then the 8
-    * codes collect into a sub-ordered int array: the 8-byte compressed
-    * representation an ADC scan reads instead of 256 B of floats.
-    * Extra key columns ride through both aggregations. */
+  /** PQ-encode: nearest code per (vector, subspace), collected into the
+    * sub-ordered int array — the 8-byte compressed representation an
+    * ADC scan reads instead of 256 B of floats — as a PURE MAP (round
+    * 17, the ivfNearest discipline): the codebook is CONFIG-sized
+    * (8 subs × ≤16 codes), so it rides as ONE broadcast row flattened
+    * in (sub, code, dim) order and every corpus row encodes inside the
+    * native codegen loop [[graft.functions.PqEncodeCodes]] — no
+    * explode, no join, no aggregate, NO EXCHANGE: at 100 TB the corpus
+    * must not move to be encoded against a config-sized codebook.
+    *
+    * The former explode → broadcast-join → two-hash-aggregation shape
+    * materialized n×8×k distance rows (2.56 B at sf1000) through agg
+    * hash tables that exceed memory there: PqProfile measured the
+    * encode stage at 260 s (×41 per decade) at 20 M vectors, carrying
+    * the family's 167 GB spill — the named session-rot trigger. The
+    * map form is linear and spill-free; the fold bits and the
+    * lowest-code tie-break are unchanged (the expression's arithmetic
+    * contract), so every PQ oracle is untouched. Extra key columns
+    * (e.g. the IVF cluster id) ride through. */
   private[graft] def pqEncoded(v: DataFrame, cb: DataFrame): DataFrame = {
     val keys = v.columns.filter(_ != "embedding").toIndexedSeq
-    pqDists(v, cb)
-      .groupBy((keys :+ "sub").map(col): _*)
-      .agg(min(struct(col("dist"), col("code"))).as("best"))
-      .groupBy(keys.map(col): _*)
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"),
-          col("best.code").as("code")))),
-        s => s.getField("code")).as("codes"))
+    // (sub, code, dim)-ordered flatten; dense ascending codes per sub
+    // (the pqCodebook contract) make array index = code id
+    val cbRow = cb
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"),
+        col("cslice")))).as("es"))
+      .select(flatten(transform(col("es"),
+        e => transform(e.getField("cslice"), x => x.cast("double"))))
+        .as("cbflat"))
+    v.crossJoin(broadcast(cbRow))
+      .select(keys.map(col) :+
+        graft.functions.GraftFunctions
+          .pqEncode(col("embedding"), col("cbflat")).as("codes"): _*)
   }
 
   /** Unit-normalize a (vec_id, embedding) corpus to array<double> —

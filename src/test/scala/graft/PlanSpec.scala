@@ -38,6 +38,7 @@ class PlanSpec extends SparkSpec {
     "q_embed_project", // 8 broadcast projected queries vs corpus: all-pairs by design
     "q_embed_project_ivf", // query-side probe ranking vs k≤16 broadcast centroids
     "q_text_bm25", // 1-row broadcast corpus-stats scalar attach
+    "q_hybrid_rrf", // both legs: 1-row broadcast attaches (bm25 stats; query vector)
     "q_text_classify", // 1-row broadcast model-prior scalar attach
     "q_profile_drift") // 1-row broadcast snapshot-totals scalar attach
 

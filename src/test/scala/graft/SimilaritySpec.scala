@@ -365,6 +365,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(3) >= 0.4 && r.getDouble(3) <= 1.0 + 1e-9))
   }
 
+  test("map-only PQ encode is the former aggregate argmin, bit for bit") {
+    // the round-17 plan change (explode + two hash aggs -> pure map via
+    // graft_pq_encode) must not move a single code: rebuild the former
+    // declarative formulation and compare over the whole test corpus,
+    // raw floats AND the normalized-double corpus (both caller dtypes)
+    import org.apache.spark.sql.functions._
+    def legacy(v: org.apache.spark.sql.DataFrame,
+        cb: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      Similarity.pqDists(v, cb)
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("code"))).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("sub"),
+            col("best.code").as("code")))),
+          s => s.getField("code")).as("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    def current(v: org.apache.spark.sql.DataFrame,
+        cb: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      Similarity.pqEncoded(v, cb)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val norm = Similarity.normalized(raw)
+    for (v <- Seq(raw, norm)) {
+      val cb = Similarity.pqCodebook(v)
+      val a = legacy(v, cb); val b = current(v, cb)
+      assert(a.nonEmpty && a == b)
+    }
+  }
+
   test("hybrid RRF fuses the two judged leg rankings exactly") {
     val rows = Similarity.qHybridRrf.run(spark, sf).collect()
     assert(rows.length == 10)
