@@ -201,7 +201,117 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** DSIR-style data selection: hashed-n-gram importance resampling
+    * (Xie et al., NeurIPS 2023, "Data Selection for Language Models via
+    * Importance Resampling"). The target domain is `source = 'src0'`;
+    * every document is scored by how target-like its hashed-bigram
+    * distribution is, then 20 docs are drawn WITHOUT replacement with
+    * probability ∝ importance via deterministic Gumbel-top-k (Kool et
+    * al. 2019: adding independent Gumbel noise to the log-weights and
+    * taking the top k IS sampling without replacement — here the
+    * "noise" is a pure function of doc_id, so the draw is reproducible
+    * across engines, runs, and partitionings, the q_sample_hash
+    * discipline applied to weighted sampling).
+    *
+    * Exactness across engines: the importance model is quantized ONCE
+    * to integer micro-log-ratios — per bucket b,
+    * w(b) = floor(1e6·(ln(ct+1) − ln(Nt+B) − ln(cr+1) + ln(Nr+B)) + 0.5)
+    * (Laplace-smoothed target/raw bigram distributions, the NB-student
+    * idiom from q_text_classify) — so each doc's logit is an exact
+    * integer SUM over its bigram occurrences, and the Gumbel key adds
+    * floor(−ln(−ln(u))·1e6 + 0.5) with u = (XXH64(doc_id) mod 2²⁰ + ½)/2²⁰.
+    * Bigrams bucket via XXH64(w1·' '·w2) mod B — the [[Xxh64Sql]] twin
+    * renders both hashes bit-exactly in DuckDB.
+    *
+    * 100 TB shape: B = 256 buckets means the MODEL is config-sized
+    * regardless of corpus size — one pass over the bigram stream builds
+    * it (a single map-side-combined aggregate keyed by bucket, with the
+    * target leg a conditional count in the SAME aggregate, not a second
+    * scan), it broadcasts back, and the scoring pass is scan → broadcast
+    * join → per-doc partial sum. Two corpus scans, zero corpus-keyed
+    * wide shuffles beyond the doc-sized (doc_id, sum) aggregate, and the
+    * final draw is a distributed top-k (TakeOrderedAndProject), never a
+    * global sort. */
+  val qSelectDsir: QueryDef = {
+    val B = 256
+    val steps = Seq(
+      "w0" -> ("SELECT doc_id, source, " +
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws " +
+        "FROM documents"),
+      "big" -> ("SELECT doc_id, source, ws[CAST(i AS INT)] || ' ' || " +
+        "ws[CAST(i + 1 AS INT)] AS g " +
+        "FROM w0, UNNEST(range(1, len(ws))) AS t(i)")
+    ) ++ Xxh64Sql.strHash("gh", "big", Seq("doc_id", "source"), "g", "h") ++ Seq(
+      "bkt" -> s"SELECT doc_id, source, ((h % $B) + $B) % $B AS b FROM gh_h",
+      "m0" -> ("SELECT b, COUNT(*) AS cr, " +
+        "COUNT(*) FILTER (WHERE source = 'src0') AS ct FROM bkt GROUP BY 1"),
+      "tot" -> "SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM m0",
+      "model" -> ("SELECT b, CAST(floor((ln(ct + 1.0) - " +
+        s"ln(CAST(nt + $B AS DOUBLE)) - ln(cr + 1.0) + " +
+        s"ln(CAST(nr + $B AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS w " +
+        "FROM m0, tot"),
+      "sc" -> ("SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s " +
+        "FROM bkt JOIN model USING (b) GROUP BY 1"),
+      "d" -> "SELECT doc_id, source FROM documents"
+    ) ++ Xxh64Sql.longHash("dh", "d", Seq("doc_id", "source"), "doc_id",
+      "CAST(42 AS HUGEINT)", "hd") ++ Seq(
+      "gum" -> ("SELECT doc_id, source, CAST(floor(ln(-ln(" +
+        "(((hd % 1048576) + 1048576) % 1048576 + 0.5) / 1048576.0)) " +
+        "* -1000000.0 + 0.5) AS BIGINT) AS g FROM dh_h")
+    )
+    QueryDef.oracle(
+      "q_select_dsir",
+      Xxh64Sql.render(steps,
+        "SELECT gum.doc_id, gum.source, COALESCE(sc.s, 0) AS logit, " +
+          "COALESCE(sc.s, 0) + gum.g AS skey " +
+          "FROM gum LEFT JOIN sc ON sc.doc_id = gum.doc_id " +
+          "ORDER BY skey DESC, gum.doc_id LIMIT 20"),
+    ) { (spark, dir) =>
+      dsirScored(Tables(spark, dir).documents)
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
+  /** The DSIR scoring pass behind q_select_dsir, on any (doc_id, source,
+    * text) frame — factored so SamplingSpec can pin target-domain
+    * preference on a vocabulary-separated fixture and partitioning
+    * invariance, with the judged query guaranteed the same code path.
+    * Emits one row per input doc: (doc_id, source, logit, skey). */
+  private[graft] def dsirScored(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val B = 256
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val bkt = grams.select(col("doc_id"), col("source"),
+      pmod(xxhash64(col("g")), lit(B.toLong)).as("b"))
+    val m0 = bkt.groupBy("b").agg(count(lit(1)).as("cr"),
+      count(when(col("source") === "src0", 1)).as("ct"))
+    val tot = m0.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val model = m0.crossJoin(broadcast(tot)).select(col("b"),
+      floor((log(col("ct") + 1.0d)
+        - log((col("nt") + B).cast("double"))
+        - log(col("cr") + 1.0d)
+        + log((col("nr") + B).cast("double"))) * 1000000.0d + 0.5d)
+        .cast("long").as("w"))
+    val sc = bkt.join(broadcast(model), "b")
+      .groupBy("doc_id").agg(sum("w").as("s"))
+    val u = (pmod(xxhash64(col("doc_id")), lit(1048576L)).cast("double")
+      + 0.5d) / 1048576.0d
+    val logit = coalesce(col("s"), lit(0L))
+    docs.select(col("doc_id"), col("source"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), logit.as("logit"),
+        (logit + floor(log(log(u) * -1.0d) * -1000000.0d + 0.5d)
+          .cast("long")).as("skey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qSampleHash, qSampleSplit, qSampleStratified, qSampleBalance,
-    qMixTokenBudget)
+    qMixTokenBudget, qSelectDsir)
 }

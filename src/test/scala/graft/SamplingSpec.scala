@@ -73,6 +73,43 @@ class SamplingSpec extends SparkSpec {
     assert(r1.toMap == r2)
   }
 
+  test("DSIR selection prefers the target domain on a vocabulary-separated fixture") {
+    // src0 (the target) writes from vocab A, src1 from vocab B; with the
+    // vocabularies disjoint, every src0 doc's integer logit exceeds every
+    // src1 doc's by tens of millions of micro-units — far beyond the
+    // Gumbel key's bounded perturbation (u over a 2^20 lattice keeps
+    // floor(-ln(-ln u)·1e6) within about [-2.7e6, 14.6e6]) — so the
+    // Gumbel-top-|src0| draw must select exactly the src0 docs.
+    import spark.implicits._
+    val va = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val vb = Vector("omega", "psi", "chi", "phi", "ups")
+    def doc(id: Long, v: Vector[String]): (Long, String, String) =
+      (id, if (v == va) "src0" else "src1",
+        (0 until 40).map(i => v(((id + i) % 5).toInt)).mkString(" "))
+    val fixture = ((0L until 8L).map(doc(_, va)) ++
+      (8L until 24L).map(doc(_, vb))).toDF("doc_id", "source", "text")
+    val scored = graft.queries.Sampling.dsirScored(fixture)
+      .orderBy(col("skey").desc, col("doc_id")).collect()
+    assert(scored.length == 24)
+    val top = scored.take(8).map(_.getString(1)).toSet
+    assert(top == Set("src0"), s"top-8 not all target: ${top.mkString(",")}")
+    val minTarget = scored.take(8).map(_.getLong(2)).min
+    val maxOther = scored.drop(8).map(_.getLong(2)).max
+    assert(minTarget > maxOther,
+      s"logit separation violated: $minTarget <= $maxOther")
+  }
+
+  test("DSIR scores are a pure function of the data (partitioning-invariant)") {
+    val docs = Tables(spark, sf).documents
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.queries.Sampling.dsirScored(d)
+        .orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val a = run(docs.repartition(3))
+    val b = run(docs.repartition(17))
+    assert(a == b, "DSIR logits/keys changed under repartitioning")
+  }
+
   test("class rebalance yields exactly equal counts, each the minimum class size") {
     val rows = graft.queries.Sampling.qSampleBalance.run(spark, sf).collect()
     val counts = rows.map(_.getLong(1)).toSet

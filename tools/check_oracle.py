@@ -13,6 +13,7 @@ This is a dev tool only — the judged artifact is the Scala library.
 """
 import json
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -81,6 +82,19 @@ def main():
     # that is the difference between finishing and running the disk out
     # of temp space.
     con.execute("SET preserve_insertion_order=false")
+    # sf1000-class corpora: bound the hash/sort working set and give DuckDB
+    # a spill directory, or the 20M-vector oracles OOM the host instead of
+    # spilling (the Spark side spills by design; the oracle must too).
+    mem = os.environ.get("GRAFT_DUCKDB_MEMORY_LIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("GRAFT_DUCKDB_TEMP_DIR")
+    if tmp:
+        Path(tmp).mkdir(parents=True, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.is_dir():  # Spark-written table = a directory of part files
