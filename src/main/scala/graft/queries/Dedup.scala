@@ -216,6 +216,107 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing fingerprint near-dup pairs — the MOSS algorithm
+    * (Schleimer, Wilkerson & Aiken, SIGMOD 2003): over each document's
+    * POSITIONAL 3-gram hash sequence, slide a window of w = 4 and keep
+    * the window minimum; the distinct kept hashes are the document's
+    * fingerprints. The selection guarantee that makes this the standard
+    * partial-overlap detector (plagiarism, license blocks, code clones):
+    * any shared token run of length ≥ w + k − 1 = 6 contains a shared
+    * window, whose minimum is selected in BOTH documents — so every
+    * long-enough overlap yields ≥ 1 shared fingerprint, at an expected
+    * density of only 2/(w+1) ≈ 0.4 fingerprints per position. Jaccard /
+    * containment compare whole shingle SETS; winnowing detects overlap
+    * from a sub-half-density sketch chosen by local minima, which is why
+    * MOSS stores fingerprints, not shingles.
+    *
+    * 100 TB shape — the selection never shuffles: positional hashes come
+    * from the `graft_gram_hashes` compiled scan (the q_dedup_substring
+    * primitive), and the w-window minimum is FOUR SHIFTED SLICES folded
+    * with zip_with/least — constant-width, per-row, whole-stage codegen;
+    * a window-function restatement would shuffle every position row to
+    * sort by (doc, pos) for what is row-local arithmetic (the oracle
+    * states exactly that window form, pinning the HOF tower ≡ the
+    * textbook definition). Only the ~0.4/position selected fingerprints
+    * leave the scan, into the same inverted-index equi-join as every
+    * shingle stage (linear in co-occurrence mass, never all-pairs).
+    * Pairs sharing ≥ 3 fingerprints emit with both selection sizes.
+    * Same fixed verification slice (doc_id < 5000) and 64-bit collision
+    * tolerance as the other exact shingle operators; fingerprints are
+    * hash VALUES (minima), so the oracle renders XXH64 bit-exactly via
+    * [[Xxh64Sql]] rather than grouping by gram strings. */
+  val qDedupWinnow: QueryDef = {
+    val steps = Seq(
+      "w0" -> ("SELECT doc_id, " +
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws " +
+        "FROM documents WHERE doc_id < 5000"),
+      "big" -> ("SELECT doc_id, i AS pos, ws[CAST(i AS INT)] || ' ' || " +
+        "ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)] AS g " +
+        "FROM w0, UNNEST(range(1, len(ws) - 1)) AS t(i)")
+    ) ++ Xxh64Sql.strHash("wh", "big", Seq("doc_id", "pos"), "g", "h") ++ Seq(
+      "wn" -> ("SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
+        "COUNT(*) OVER (PARTITION BY doc_id) AS m FROM wh_h"),
+      "sel" -> "SELECT DISTINCT doc_id, fp FROM wn WHERE pos <= m - 3",
+      "sz" -> "SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY 1",
+      "pr" -> ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "COUNT(*) AS n_shared FROM sel a JOIN sel b " +
+        "ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2")
+    )
+    QueryDef.oracle(
+      "q_dedup_winnow",
+      Xxh64Sql.render(steps,
+        "SELECT doc_a, doc_b, CAST(n_shared AS INT) AS n_shared, " +
+          "CAST(sa.n_fp AS INT) AS n_fp_a, CAST(sb.n_fp AS INT) AS n_fp_b " +
+          "FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a " +
+          "JOIN sz sb ON sb.doc_id = pr.doc_b " +
+          "WHERE n_shared >= 3 ORDER BY doc_a, doc_b"),
+    ) { (spark, dir) =>
+      val selArr = winnowFingerprints(
+        Tables(spark, dir).documents.filter(col("doc_id") < 5000))
+      val tok = selArr.select(col("doc_id"), col("n_fp"),
+        explode(col("fps")).as("fp")).cache()
+      val a = tok.select(col("doc_id").as("doc_a"), col("fp"),
+        col("n_fp").as("nfa"))
+      val b = tok.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("n_fp").as("nfb"))
+      a.join(b, col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "nfa", "nfb")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .select(col("doc_a"), col("doc_b"),
+          col("n_shared").cast("int").as("n_shared"),
+          col("nfa").cast("int").as("n_fp_a"),
+          col("nfb").cast("int").as("n_fp_b"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  /** q_dedup_winnow's selection stage on any (doc_id, text) frame —
+    * per-row shifted-slice zip_with/least window minima over the
+    * positional 3-gram hashes, w = 4, distinct kept. Factored so
+    * DedupSpec can pin the winnowing guarantee (a shared run of
+    * ≥ w + k − 1 tokens ⇒ a shared fingerprint) on constructed docs,
+    * with the judged query guaranteed the same code path. Emits
+    * (doc_id, fps, n_fp). */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val w = 4
+    val withHs = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.gramHashes(col("text"), 3).as("hs"))
+      .withColumn("m", size(col("hs")))
+    val span = col("m") - lit(w - 1)
+    val lmin = (a: Column, b: Column) => least(a, b)
+    val mins = zip_with(
+      zip_with(slice(col("hs"), lit(1), span),
+        slice(col("hs"), lit(2), span), lmin),
+      zip_with(slice(col("hs"), lit(3), span),
+        slice(col("hs"), lit(4), span), lmin), lmin)
+    withHs.select(col("doc_id"),
+      array_distinct(when(col("m") >= w, mins)
+        .otherwise(array().cast("array<bigint>"))).as("fps"))
+      .withColumn("n_fp", size(col("fps")))
+  }
+
   /** Substring-level exact dedup — the span modality of the family:
     * document-level passes (exact/MinHash/SimHash/embedding) miss long
     * REPEATED SPANS shared across otherwise-distinct documents
@@ -1739,7 +1840,8 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNormalized, qDedupSubstring, qDedupSubstringTrim,
-    qDedupNgramJaccard, qDedupContainment, qDedupMinhashLsh, qDedupSimhash,
+    qDedupNgramJaccard, qDedupContainment, qDedupWinnow,
+    qDedupMinhashLsh, qDedupSimhash,
     qDedupClusters,
     qDedupEmbedding, qDedupEmbeddingAnn, qDedupEmbeddingAnn09,
     qDedupIncremental, qDedupIncrementalIndexed, qDedupIndexMerge,

@@ -503,20 +503,51 @@ object Similarity {
       .select(col("q_id"), col("eq"), col("cid").as("probe"))
   }
 
-  /** Per-vector nearest-centroid assignment as an oracle fragment: rank
-    * the broadcast centroid table by the [[VecSql.cos]] float fold
-    * (bit-identical to graft_cosine), keep rank ≤ `keep`. One
-    * definition for seed assignment, Lloyd reassignment, and query
-    * probes — the same single algebra the Spark side routes through
-    * [[ivfNearest]]/[[ivfProbes]]. */
+  /** Per-vector nearest-centroid assignment as an oracle fragment,
+    * ranked by the [[VecSql.cos]] float fold (bit-identical to
+    * graft_cosine). One definition for seed assignment, Lloyd
+    * reassignment, and query probes — the same single algebra the Spark
+    * side routes through [[ivfNearest]]/[[ivfProbes]].
+    *
+    * Two renderings of the same pick. `keep = 1` (the corpus-wide
+    * assignments) projects the cosine FIRST into a narrow
+    * (vec_id, cid, cs) stream and ranks THAT — the same
+    * `ROW_NUMBER() OVER (ORDER BY cs DESC, cid)` pick, but the
+    * partitioned sort carries 24-byte rows (~7.7 GB at sf1000's 20 M
+    * vectors) instead of both 64-dim vectors (~176 GB; two ENOSPC'd
+    * runs on this host) — the embedding joins back by vec_id after the
+    * pick. Rejected alternative, measured: a struct-`max` aggregate
+    * over {cs, −cid} retains ~5.5 KB per UPDATE outside DuckDB 1.0's
+    * buffer manager (struct aggregate state arena; OOM-killed at
+    * 130 GB RSS under memory_limit=40GB twice, and a 4 M-row slice
+    * leaked 22 GB while plain MAX(double) on the same slice ran
+    * leak-free in seconds). Same class of oracle-side restructure as
+    * [[Xxh64Sql.longHashPrefix]] (round 14): the judged semantics are
+    * untouched — identical pick, identical comparator — and the oracle
+    * becomes executable at the fourth decade.
+    * `keep > 1` (query probes, always a ≤8-row v-side) keeps the
+    * original wide window rendering. */
   private def ivfAssignSql(v: String, cents: String, ce: String,
       keep: Int, cols: String): String =
-    s"""SELECT $cols FROM (
-       |    SELECT v.vec_id, v.embedding, c.cid AS cluster,
-       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${VecSql.cos("v.embedding", s"c.$ce")} DESC, c.cid)
-       |        AS rn
-       |    FROM $v v, $cents c) WHERE rn <= $keep""".stripMargin
+    if (keep == 1)
+      s"""SELECT $cols FROM (
+         |    SELECT v.vec_id, v.embedding, ag.cluster
+         |    FROM (SELECT vec_id, cid AS cluster FROM (
+         |            SELECT s.vec_id, s.cid, ROW_NUMBER() OVER (
+         |                PARTITION BY s.vec_id
+         |                ORDER BY s.cs DESC, s.cid) AS rn
+         |            FROM (SELECT v2.vec_id, c.cid,
+         |                    ${VecSql.cos("v2.embedding", s"c.$ce")} AS cs
+         |                  FROM $v v2, $cents c) s)
+         |          WHERE rn <= 1) ag
+         |    JOIN $v v ON v.vec_id = ag.vec_id)""".stripMargin
+    else
+      s"""SELECT $cols FROM (
+         |    SELECT v.vec_id, v.embedding, c.cid AS cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${VecSql.cos("v.embedding", s"c.$ce")} DESC, c.cid)
+         |        AS rn
+         |    FROM $v v, $cents c) WHERE rn <= $keep""".stripMargin
 
   /** The one-Lloyd-step IVF training in SQL: seed centroids, float-fold
     * assignment, the micro-rounded fixed-point mean per (cluster, dim)

@@ -254,6 +254,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens yields a shared fingerprint") {
+    // the Schleimer et al. theorem the operator exists for: with k = 3
+    // grams and window w = 4, any shared token run of length >= 6
+    // contains at least one full hash window common to both documents,
+    // and that window's minimum is selected on both sides. Two docs
+    // share an 8-token run embedded in otherwise-disjoint text; a third
+    // doc shares nothing. Also pins the density claim direction: the
+    // selected set is a strict subset of the positional hash set.
+    import spark.implicits._
+    val run = "quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $run epsilon zeta eta theta"),
+      (2L, s"one two three four five $run six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet cyan magenta " +
+        "black white gray pink brown")).toDF("doc_id", "text")
+    val sel = graft.queries.Dedup.winnowFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((sel(1L) & sel(2L)).nonEmpty,
+      "shared 8-token run selected no common fingerprint")
+    assert((sel(1L) & sel(3L)).isEmpty && (sel(2L) & sel(3L)).isEmpty,
+      "disjoint doc shares a fingerprint (collision or selection bug)")
+    val pos = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.gramHashes(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(sel(id).nonEmpty && sel(id).subsetOf(pos(id)),
+        s"doc $id: selection is not a non-empty subset of its gram hashes")
+      assert(sel(id).size < pos(id).size,
+        s"doc $id: winnowing selected every hash — no sparsification")
+    }
+  }
+
   test("native shingle hashes equal the declarative formulation exactly") {
     // graft_shingle_hashes must reproduce transform(shingles(text),
     // xxhash64) value-for-value (as sets — dedup on hashes vs strings
