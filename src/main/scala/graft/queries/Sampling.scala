@@ -282,14 +282,19 @@ object Sampling {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val B = 256
     val ws = filter(split(col("text"), " "), w => w =!= "")
-    val grams = docs.select(col("doc_id"), col("source"),
+    // hash bigrams to bucket ids IN-ROW (the bigram string never leaves
+    // the scan — only 8-byte buckets explode), and cache the bucketed
+    // stream across its two consumers (model build + scoring), the
+    // q_dedup_ngram_jaccard discipline: one tokenize/hash pass, not two.
+    // Measured at sf10 (5 M docs): 66 s warm -> see SCALE.md.
+    val bkt = docs.select(col("doc_id"), col("source"),
       explode(when(size(ws) >= 2,
-        zip_with(slice(ws, lit(1), size(ws) - 1),
+        transform(zip_with(slice(ws, lit(1), size(ws) - 1),
           slice(ws, lit(2), size(ws) - 1),
-          (a, b) => concat_ws(" ", a, b)))
-        .otherwise(array().cast("array<string>"))).as("g"))
-    val bkt = grams.select(col("doc_id"), col("source"),
-      pmod(xxhash64(col("g")), lit(B.toLong)).as("b"))
+          (a, b) => concat_ws(" ", a, b)),
+          g => pmod(xxhash64(g), lit(B.toLong))))
+        .otherwise(array().cast("array<bigint>"))).as("b"))
+      .cache()
     val m0 = bkt.groupBy("b").agg(count(lit(1)).as("cr"),
       count(when(col("source") === "src0", 1)).as("ct"))
     val tot = m0.agg(sum("cr").as("nr"), sum("ct").as("nt"))
