@@ -118,6 +118,12 @@ object GraftFunctions {
   def fingerprint(a: Column): Column =
     GraftColumnBridge.column(Fingerprint(GraftColumnBridge.expression(a)))
 
+  /** Column-API entry point: `nbDot($"ws", $"wtoks", $"wvals")` — the
+    * NB integer dot product against a sorted broadcast vocabulary. */
+  def nbDot(ws: Column, toks: Column, vals: Column): Column =
+    GraftColumnBridge.column(NbDotProduct(GraftColumnBridge.expression(ws),
+      GraftColumnBridge.expression(toks), GraftColumnBridge.expression(vals)))
+
   val cosineIdent: FunctionIdentifier = FunctionIdentifier("graft_cosine")
 
   val cosineInfo: ExpressionInfo = new ExpressionInfo(
@@ -159,5 +165,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((L2Squared.ident, L2Squared.info, L2Squared.builder))
     ext.injectFunction((PqEncodeCodes.ident, PqEncodeCodes.info,
       PqEncodeCodes.builder))
+    ext.injectFunction((NbDotProduct.ident, NbDotProduct.info,
+      NbDotProduct.builder))
   }
 }

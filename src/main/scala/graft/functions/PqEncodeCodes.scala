@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for PRODUCT-QUANTIZATION ENCODING: the
   * 8 nearest-code ids of a vector's 8 subspace slices against a
@@ -50,6 +51,18 @@ final case class PqEncodeCodes(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_pq_encode"
 
+  // Analysis-time contract (closes the r17 ADVICE nit): a non-float/double
+  // vec would be silently misread via getFloat, and a non-double codebook
+  // would misdecode — fail analysis instead, like ShingleHashes/MinHash.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode expects (array<float|double> vec, array<double> " +
+          s"cbflat), got ($l, $r)")
+    }
+
   private def vecIsDouble: Boolean = left.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
@@ -60,6 +73,7 @@ final case class PqEncodeCodes(left: Expression, right: Expression)
     val cb = b.asInstanceOf[ArrayData]
     val vd = vecIsDouble
     val vn = v.numElements()
+    PqEncodeCodes.requireDense(cb.numElements())
     val k = cb.numElements() / (subs * dim)
     val codes = new Array[Int](subs)
     var s = 0
@@ -103,6 +117,7 @@ final case class PqEncodeCodes(left: Expression, right: Expression)
         else s"(double) $a.getFloat($base + $j)"
       s"""
          |int $vn = $a.numElements();
+         |graft.functions.PqEncodeCodes.requireDense($b.numElements());
          |int $k = $b.numElements() / ${subs * dim};
          |int[] $codes = new int[$subs];
          |for (int $s = 0; $s < $subs; $s++) {
@@ -133,6 +148,17 @@ final case class PqEncodeCodes(left: Expression, right: Expression)
 }
 
 object PqEncodeCodes {
+
+  /** Runtime guard shared by both eval paths: a codebook whose length is
+    * not a whole number of (sub, code) blocks would silently misindex
+    * (k from integer division) — fail loudly instead. One modulo per row,
+    * negligible against the subs×k×dim fold it guards. */
+  def requireDense(cbLen: Int): Unit =
+    if (cbLen <= 0 || cbLen % 64 != 0)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: cbflat length $cbLen is not a positive multiple " +
+          "of subs*dim = 64 — codebook must be dense in (sub, code, dim) order")
+
   val ident: FunctionIdentifier = FunctionIdentifier("graft_pq_encode")
 
   val info: ExpressionInfo = new ExpressionInfo(

@@ -223,6 +223,19 @@ object Sampling {
     * Bigrams bucket via XXH64(w1·' '·w2) mod B — the [[Xxh64Sql]] twin
     * renders both hashes bit-exactly in DuckDB.
     *
+    * ACCEPTED RESIDUAL (r17 ADVICE): the 1e-6 lattice is quantized from
+    * libm `ln` outputs, so a 1–2 ulp JVM/DuckDB `ln` disagreement could
+    * flip one integer unit when the scaled value lands within ~1e-8 of a
+    * half-integer boundary — a narrower tolerance class than the repo's
+    * 4dp rounding discipline (q_text_classify precedent). The exposure
+    * is bounded: u sits on a 2²⁰ lattice (Gumbel keys land on boundaries
+    * with probability ~0), the model has only B = 256 quantized values,
+    * and a flip only matters if it reorders ranks 20/21 — and the final
+    * ORDER BY already tie-breaks skey on doc_id, so an exact skey tie
+    * can never hash-mismatch. No boundary flip has been observed in any
+    * judged run; if one ever appears, the fix is widening the lattice to
+    * 1e-4 (matching the 4dp discipline), not a tie-break change.
+    *
     * 100 TB shape: B = 256 buckets means the MODEL is config-sized
     * regardless of corpus size — one pass over the bigram stream builds
     * it (a single map-side-combined aggregate keyed by bucket, with the

@@ -526,7 +526,14 @@ object Similarity {
     * untouched — identical pick, identical comparator — and the oracle
     * becomes executable at the fourth decade.
     * `keep > 1` (query probes, always a ≤8-row v-side) keeps the
-    * original wide window rendering. */
+    * original wide window rendering.
+    *
+    * CALLER CONTRACT for `keep = 1` (r17 ADVICE): `$v` MUST be the name
+    * of a MATERIALIZED CTE (or table) with UNIQUE vec_id — the rendering
+    * scans `$v` twice (narrow ranking + join-back by vec_id), so an
+    * inline subquery would double-evaluate and a non-unique vec_id would
+    * duplicate rows. Every call site passes a materialized CTE name
+    * (`n`, `v`, `seedc` bases) keyed by vec_id; keep it that way. */
   private def ivfAssignSql(v: String, cents: String, ce: String,
       keep: Int, cols: String): String =
     if (keep == 1)
@@ -958,12 +965,25 @@ object Similarity {
     val pe = n.select(col("vec_id"), jlProjected(col("embedding")).as("pemb"))
     val q = pe.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("pemb").as("pq"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_p").desc, col("n_id").asc)
+    // top-5 per query via the bounded-heap aggregate, NOT a row_number
+    // window: the window formulation shuffled all n×8 scored rows
+    // (4.8 GB at sf1000v) into EIGHT partitions — parallelism capped at
+    // the query count — and TimSorted 20 M rows per group; the r18
+    // QTime triple also showed that giant comparator workload rotting
+    // monotonically in-session (144.7 → 180.8 → 212.7 s, zero spill,
+    // zero warm codegen — SCALE.md round-18 notes). The aggregate keeps
+    // per-partition k-bounded heaps: the exchange carries ≤ 8×5 rows
+    // per partition, no sort ever sees more than the buffered
+    // candidates, and map-side parallelism stays at the scan width.
+    // Ranking (cos_p DESC, n_id ASC) and the emitted rn are identical.
     val top = pe.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         jlCos(col("pq"), col("pemb")).as("cos_p"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topK(5, col("cos_p"), col("n_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("col")("id").as("n_id"), col("col")("score").as("cos_p"))
     val withQ = n.select(col("vec_id").as("q_id"), col("embedding").as("eqv"))
       .join(broadcast(top), "q_id")
     n.select(col("vec_id").as("n_id"), col("embedding").as("env"))

@@ -881,18 +881,37 @@ object TextAnalysis {
   }
 
   /** Per-doc integer logit under a frozen model: Σ token weights (OOV →
-    * 0 — the top-V cap's contract) + prior, via broadcast join; docs
-    * with no in-vocabulary tokens keep a row (logit = prior alone). */
+    * 0 — the top-V cap's contract) + prior, computed IN-ROW: the model
+    * rides as ONE broadcast row (vocabulary sorted by `sort_array` +
+    * aligned weights) and every document folds its tokens against it in
+    * the codegen [[graft.functions.NbDotProduct]] loop — binary search
+    * per token, ~|ws|·log₂(V) UTF8 comparisons.
+    *
+    * Round-18 rewrite (the graft_pq_encode discipline; ClassifyProfile
+    * measured the former plan at sf1000v): the explode → broadcast-join
+    * → per-doc aggregate materialized ≈2 B token rows and aggregated
+    * them back to doc grain, and the subsequent corpus⋈corpus join-back
+    * by doc_id re-tokenized every document a second time — 200 of the
+    * 218 steady-state seconds at 10 M docs. Scoring against a V ≤ 512
+    * model must not move the corpus: one scan, zero corpus-keyed
+    * exchanges, bit-identical integer logits (exact 64-bit sum, order
+    * immaterial), oracle untouched. */
   private[graft] def nbLogit(labeled: DataFrame, weights: DataFrame,
       meta: DataFrame): DataFrame = {
-    val perDoc = labeled.select(col("doc_id"), explode(col("ws")).as("tok"))
-      .join(broadcast(weights), Seq("tok"), "left")
-      .groupBy("doc_id")
-      .agg(sum(coalesce(col("w"), lit(0L))).cast("long").as("s"))
-    labeled.join(perDoc, Seq("doc_id"), "left")
+    import graft.functions.GraftFunctions.nbDot
+    val wrow = weights
+      .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("tw"))
+      .select(transform(col("tw"), s => s("tok")).as("wtoks"),
+        transform(col("tw"), s => s("w")).as("wvals"))
+    labeled.crossJoin(broadcast(wrow))
       .crossJoin(broadcast(meta.select(col("prior_w"))))
-      .withColumn("logit", coalesce(col("s"), lit(0L)) + col("prior_w"))
-      .drop("s", "prior_w", "ws")
+      .withColumn("logit",
+        // coalesce: a null token array scores the prior alone, exactly
+        // like the former explode plan (explode dropped the row, the
+        // left join-back NULL-filled, coalesce(s,0) made it the prior)
+        nbDot(coalesce(col("ws"), array().cast("array<string>")),
+          col("wtoks"), col("wvals")) + col("prior_w"))
+      .drop("wtoks", "wvals", "prior_w", "ws")
   }
 
   /** Labeled corpus view: (doc_id, lang, pos = teacher label, ws). */

@@ -4,6 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time selected catalog queries repeatedly (cold + warm runs)
   * to separate JIT/planning overhead from real execution cost.
+  *
+  * Round 18: each rep now prints the Bench forensics deltas (process
+  * CPU, GC, JIT, Janino codegen count) PLUS the executor-side counters
+  * Bench can't see — memory/disk spill, shuffle write, task count —
+  * sampled from a SparkListener. The r17 q_embed_project warm>cold
+  * inversion showed +700 s of process CPU with JIT/GC/ext all quiet:
+  * only a per-rep spill/shuffle readout can split "same plan, more
+  * spill" from "different plan".
   * Usage: runMain graft.tools.QTime <sfDir> <reps> [names...] */
 object QTime {
   def main(args: Array[String]): Unit = {
@@ -23,15 +31,69 @@ object QTime {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val names = args.drop(2).toSet
+
+    // cumulative executor-side counters (listener delivery is async —
+    // drained via waitUntilEmpty-equivalent sleep before each snapshot)
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            memSpill.addAndGet(m.memoryBytesSpilled)
+            diskSpill.addAndGet(m.diskBytesSpilled)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            nTasks.incrementAndGet()
+          }
+        }
+      })
+    def procCpu: Long =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+        case _ => -1L
+      } catch { case _: Throwable => -1L }
+    def gcMs: Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      } catch { case _: Throwable => -1L }
+
     graft.queries.Registry.all
       .filter(q => names.isEmpty || names(q.name))
       .foreach { q =>
-        val times = (1 to reps).map { _ =>
+        (1 to reps).foreach { rep =>
+          // settle async listener traffic from the previous rep
+          Thread.sleep(300)
+          val (ms0, ds0, sw0, sr0, tk0) = (memSpill.get, diskSpill.get,
+            shufWrite.get, shufRead.get, nTasks.get)
+          val c0 = procCpu; val g0 = gcMs
+          val j0 = graft.Forensics.jitMillis
+          val cg0 = graft.Forensics.codegenCompileCount
           val t0 = System.nanoTime()
           q.run(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
+          val wall = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          Thread.sleep(300)
+          val cpu = (procCpu - c0) / 1e9
+          val gc = (gcMs - g0) / 1e3
+          val jit = (graft.Forensics.jitMillis - j0) / 1e3
+          val cg = graft.Forensics.codegenCompileCount - cg0
+          def mb(x: Long): Double = x / 1048576.0
+          println(f"${q.name}%-24s rep$rep wall=$wall%8.2f cpu=$cpu%8.1f " +
+            f"gc=$gc%5.1f jit=$jit%5.1f cgN=$cg%3d " +
+            f"spillMemMB=${mb(memSpill.get - ms0)}%9.1f " +
+            f"spillDiskMB=${mb(diskSpill.get - ds0)}%9.1f " +
+            f"shufWrMB=${mb(shufWrite.get - sw0)}%9.1f " +
+            f"shufRdMB=${mb(shufRead.get - sr0)}%9.1f " +
+            f"tasks=${nTasks.get - tk0}%5d")
         }
-        println(f"${q.name}%-28s ${times.map(t => f"$t%6.2f").mkString(" ")}")
       }
     spark.stop()
   }
