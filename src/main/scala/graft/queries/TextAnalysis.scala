@@ -888,23 +888,26 @@ object TextAnalysis {
     * per token, ~|ws|·log₂(V) UTF8 comparisons.
     *
     * Round-18 rewrite (the graft_pq_encode discipline; ClassifyProfile
-    * measured the former plan at sf1000v): the explode → broadcast-join
-    * → per-doc aggregate materialized ≈2 B token rows and aggregated
-    * them back to doc grain, and the subsequent corpus⋈corpus join-back
-    * by doc_id re-tokenized every document a second time — 200 of the
-    * 218 steady-state seconds at 10 M docs. Scoring against a V ≤ 512
-    * model must not move the corpus: one scan, zero corpus-keyed
-    * exchanges, bit-identical integer logits (exact 64-bit sum, order
-    * immaterial), oracle untouched. */
+    * measured the former plan at sf1000v / 50 M docs, noop-sink
+    * honest): the explode → broadcast-join → per-doc aggregate
+    * materialized ≈2.7 B token rows (38.6 s alone), and the subsequent
+    * corpus⋈corpus join-back by doc_id re-tokenized every document a
+    * second time — former inference 350 s end-to-end against a ~97 s
+    * tokenize+teacher floor. The in-row fold runs the whole inference
+    * in 133 s (2.6×): one scan, zero corpus-keyed exchanges,
+    * bit-identical integer logits (exact 64-bit sum, order immaterial),
+    * oracle untouched. */
   private[graft] def nbLogit(labeled: DataFrame, weights: DataFrame,
       meta: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.nbDot
+    // ONE combined broadcast row (vocab arrays + prior): a second
+    // 1-row BNLJ would re-copy every corpus row's buffer a second time
     val wrow = weights
       .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("tw"))
       .select(transform(col("tw"), s => s("tok")).as("wtoks"),
         transform(col("tw"), s => s("w")).as("wvals"))
+      .crossJoin(meta.select(col("prior_w")))
     labeled.crossJoin(broadcast(wrow))
-      .crossJoin(broadcast(meta.select(col("prior_w"))))
       .withColumn("logit",
         // coalesce: a null token array scores the prior alone, exactly
         // like the former explode plan (explode dropped the row, the
