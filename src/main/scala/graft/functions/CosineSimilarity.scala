@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst expression for cosine similarity over two
@@ -22,22 +22,39 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 final case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // expects two array<float> inputs; callers go through cosineSim /
-  // graft_cosine which are only applied to embedding columns
+  // array<float> or array<double> per side (r18: the JL-projected
+  // vectors are float64 — same fused fold, elements widened exactly)
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_cosine"
 
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+          ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cosine expects two array<float|double> columns, got ($l, $r)")
+    }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
+    val (ld, rd) = (isDouble(left), isDouble(right))
     val n = math.min(xs.numElements(), ys.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = xs.getFloat(i).toDouble
-      val y = ys.getFloat(i).toDouble
+      val x = if (ld) xs.getDouble(i) else xs.getFloat(i).toDouble
+      val y = if (rd) ys.getDouble(i) else ys.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -59,8 +76,10 @@ final case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = ${if (isDouble(left)) s"$a.getDouble($i)"
+                          else s"(double) $a.getFloat($i)"};
+         |  double $y = ${if (isDouble(right)) s"$b.getDouble($i)"
+                          else s"(double) $b.getFloat($i)"};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
@@ -118,6 +137,11 @@ object GraftFunctions {
   def fingerprint(a: Column): Column =
     GraftColumnBridge.column(Fingerprint(GraftColumnBridge.expression(a)))
 
+  /** Column-API entry point: `jlProject($"embedding")` — the 8-dim
+    * LCG-plane JL projection as one fused codegen loop. */
+  def jlProject(a: Column): Column =
+    GraftColumnBridge.column(JlProject(GraftColumnBridge.expression(a)))
+
   /** Column-API entry point: `nbDot($"ws", $"wtoks", $"wvals")` — the
     * NB integer dot product against a sorted broadcast vocabulary. */
   def nbDot(ws: Column, toks: Column, vals: Column): Column =
@@ -167,5 +191,6 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       PqEncodeCodes.builder))
     ext.injectFunction((NbDotProduct.ident, NbDotProduct.info,
       NbDotProduct.builder))
+    ext.injectFunction((JlProject.ident, JlProject.info, JlProject.builder))
   }
 }

@@ -880,6 +880,14 @@ object Similarity {
     * both engines, so projections are bit-identical under DuckDB's
     * list_reduce — the [[VecSql]] discipline. */
   private[graft] def jlProjected(emb: Column): Column =
+    graft.functions.GraftFunctions.jlProject(emb)
+
+  /** The HOF statement of the projection — the definitional form the
+    * oracle renders; SimilaritySpec pins [[jlProjected]] ≡ this tower
+    * bit-for-bit (the graft_fingerprint native≡HOF discipline). Kept
+    * out of the judged plans: interpreted lambda dispatch carried most
+    * of q_embed_project's ~3900 CPU-s at 20 M vectors (r18 profile). */
+  private[graft] def jlProjectedHof(emb: Column): Column =
     array((0 until 8).map { d =>
       aggregate(
         transform(emb, (x, j) =>
@@ -905,7 +913,15 @@ object Similarity {
   /** Cosine over the projected DOUBLE arrays with the exact
     * [[VecSql.cos]] fold structure (three independent ascending folds,
     * one sqrt·sqrt division, 0 on zero denominator). */
-  private[graft] def jlCos(a: Column, b: Column): Column = {
+  private[graft] def jlCos(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
+
+  /** The HOF statement of the projected-space cosine (definitional
+    * oracle form; equal-length inputs only). SimilaritySpec pins
+    * [[jlCos]] ≡ this bit-for-bit: dot, ‖a‖², ‖b‖² are each 0.0-seeded
+    * ascending folds, and interleaving the three accumulators in one
+    * fused loop (graft_cosine) produces identical IEEE sums. */
+  private[graft] def jlCosHof(a: Column, b: Column): Column = {
     def fold(terms: Column): Column =
       aggregate(terms, lit(0.0), (ac, v) => ac + v)
     val dot = fold(zip_with(a, b, (x, y) => x * y))

@@ -37,6 +37,7 @@ object QTime {
     val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
     val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong(0)
     val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
     val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
@@ -48,6 +49,7 @@ object QTime {
             memSpill.addAndGet(m.memoryBytesSpilled)
             diskSpill.addAndGet(m.diskBytesSpilled)
             shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
             shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
             nTasks.incrementAndGet()
           }
@@ -71,14 +73,17 @@ object QTime {
         (1 to reps).foreach { rep =>
           // settle async listener traffic from the previous rep
           Thread.sleep(300)
-          val (ms0, ds0, sw0, sr0, tk0) = (memSpill.get, diskSpill.get,
-            shufWrite.get, shufRead.get, nTasks.get)
+          val (ms0, ds0, sw0, sr0, tk0, rc0) = (memSpill.get, diskSpill.get,
+            shufWrite.get, shufRead.get, nTasks.get, shufRecs.get)
           val c0 = procCpu; val g0 = gcMs
           val j0 = graft.Forensics.jitMillis
           val cg0 = graft.Forensics.codegenCompileCount
           val t0 = System.nanoTime()
-          q.run(spark, dir).count()
+          val df = q.run(spark, dir)
+          df.count()
           val wall = (System.nanoTime() - t0) / 1e9
+          if (rep == 1 && sys.env.contains("GRAFT_QTIME_PLAN"))
+            println(df.queryExecution.executedPlan.toString)
           spark.catalog.clearCache()
           Thread.sleep(300)
           val cpu = (procCpu - c0) / 1e9
@@ -91,6 +96,7 @@ object QTime {
             f"spillMemMB=${mb(memSpill.get - ms0)}%9.1f " +
             f"spillDiskMB=${mb(diskSpill.get - ds0)}%9.1f " +
             f"shufWrMB=${mb(shufWrite.get - sw0)}%9.1f " +
+            f"shufRecs=${shufRecs.get - rc0}%10d " +
             f"shufRdMB=${mb(shufRead.get - sr0)}%9.1f " +
             f"tasks=${nTasks.get - tk0}%5d")
         }

@@ -333,6 +333,31 @@ class SimilaritySpec extends SparkSpec {
       s"planted twin not projected top-1: $top1")
   }
 
+  test("native JL projection and double-cosine equal the HOF towers bit-for-bit") {
+    // r18: graft_jl_project / graft_cosine(double) replaced the
+    // interpreted aggregate(transform(...)) towers in the judged plans;
+    // the towers remain the definitional (oracle-rendered) forms, so
+    // the swap is only sound if every projected value and every
+    // projected-space cosine is BIT-identical on real corpus rows —
+    // exact doubles compared, no tolerance (graft_fingerprint pin
+    // discipline)
+    import org.apache.spark.sql.functions._
+    val n = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val both = n.select(col("vec_id"),
+      Similarity.jlProjected(col("embedding")).as("nat"),
+      Similarity.jlProjectedHof(col("embedding")).as("hof"))
+    assert(both.filter(not(col("nat") <=> col("hof"))).count() == 0,
+      "native JL projection drifts from the HOF tower")
+    val q = both.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("nat").as("pq"))
+    val cmp = both.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(Similarity.jlCos(col("pq"), col("nat")).as("cn"),
+        Similarity.jlCosHof(col("pq"), col("hof")).as("ch"))
+    assert(cmp.filter(not(col("cn") <=> col("ch"))).count() == 0,
+      "native projected cosine drifts from the HOF fold")
+  }
+
   test("incremental IVF index answers equal the from-scratch q_sim_ivf_ann") {
     // training is deterministic (fixed seeds + fixed-point Lloyd
     // update), so probing the persisted index must give byte-identical
