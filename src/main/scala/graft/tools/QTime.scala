@@ -40,8 +40,20 @@ object QTime {
     val shufRecs = new java.util.concurrent.atomic.AtomicLong(0)
     val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
     val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    // GRAFT_QTIME_STAGES=1: per-stage wall/CPU lines — names WHICH
+    // stage balloons when a rep's total CPU swings on identical work
+    val stageLog = sys.env.contains("GRAFT_QTIME_STAGES")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (stageLog) {
+            val s = e.stageInfo
+            val cpu = s.taskMetrics.executorCpuTime / 1e9
+            val run = s.taskMetrics.executorRunTime / 1e3
+            println(f"    stage ${s.stageId}%4d ${s.name.takeWhile(_ != '\n').take(60)}%-60s " +
+              f"tasks=${s.numTasks}%4d run=$run%8.1f cpu=$cpu%8.1f")
+          }
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics

@@ -19,8 +19,11 @@ HEAP=${SPARK_DRIVER_MEM:-$(( RAM_GB/2 > 48 ? 48 : (RAM_GB/2 < 2 ? 2 : RAM_GB/2) 
 # -XX:-UseCodeCacheFlushing + 512m reserve: the JDK-17 sweeper's
 # speculative cold-code flushing is the sf1000 cross-query session-rot
 # mechanism (SCALE.md round 16) — mirror build.sbt's javaOptions
+# GRAFT_EXTRA_JVM_OPTS: ad-hoc JVM flags for A/B experiments
+# (e.g. -XX:-TieredCompilation for the r18 ivf_ann variance bisect)
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"$HEAP" -XX:+ExplicitGCInvokesConcurrent \
   -XX:ReservedCodeCacheSize=512m -XX:-UseCodeCacheFlushing \
+  ${GRAFT_EXTRA_JVM_OPTS:-} \
   -cp "$CLS:/opt/spark/jars/*" "$@"
