@@ -358,6 +358,56 @@ class SimilaritySpec extends SparkSpec {
       "native projected cosine drifts from the HOF fold")
   }
 
+  test("kNN graph: constructed fixture edges, ranking, and cluster blocking") {
+    // 2 clusters of hand-built unit-ish vectors: within cluster 0,
+    // vector 0 is closest to 1, then 2; vector 10 (cluster 1) can never
+    // appear among cluster-0 neighbors even though it is IDENTICAL to
+    // vector 0 — candidates come only from the same inverted list
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def v(xs: Float*): Seq[Float] = xs
+    val lists = Seq(
+      (0, 0L, v(1f, 0f, 0f)),
+      (0, 1L, v(0.9f, 0.1f, 0f)),
+      (0, 2L, v(0.5f, 0.5f, 0f)),
+      (0, 3L, v(0f, 1f, 0f)),
+      (1, 10L, v(1f, 0f, 0f)),
+      (1, 11L, v(0f, 0f, 1f))
+    ).toDF("cluster", "vec_id", "embedding")
+    val edges = Similarity.knnEdges(lists, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(edges.contains((0L, 1, 1L)) && edges.contains((0L, 2, 2L)),
+      s"vector 0's ranked neighbors wrong: $edges")
+    assert(!edges.exists(e => e._1 < 10 && e._3 >= 10),
+      s"cross-cluster edge leaked: $edges")
+    assert(edges.contains((10L, 1, 11L)),
+      s"cluster-1 pair missing (k > list size must emit what exists): $edges")
+  }
+
+  test("kNN graph: judged mutual flags equal a full-graph recomputation") {
+    // the mutual flag on the judged slice must agree with re-deriving
+    // the WHOLE graph and checking reverse membership — pins that the
+    // filter-pruned reverse join loses no edge whose source is outside
+    // the slice
+    import org.apache.spark.sql.functions._
+    val judged = graft.queries.Registry.all
+      .find(_.name == "q_sim_knn_graph").get
+      .run(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getBoolean(4))).toMap
+    val lists = spark.read
+      .parquet(s"${Similarity.ivfIndexPath(spark, sf)}/lists")
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+    val full = Similarity.knnEdges(lists, 3)
+      .select(col("vec_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    judged.foreach { case ((a, b), m) =>
+      assert(m == full.contains((b, a)),
+        s"mutual($a,$b)=$m but full graph says ${full.contains((b, a))}")
+    }
+    assert(judged.nonEmpty && judged.exists(_._2),
+      "slice empty or no mutual edge anywhere — fixture degenerate")
+  }
+
   test("incremental IVF index answers equal the from-scratch q_sim_ivf_ann") {
     // training is deterministic (fixed seeds + fixed-point Lloyd
     // update), so probing the persisted index must give byte-identical
