@@ -137,6 +137,16 @@ object GraftFunctions {
   def fingerprint(a: Column): Column =
     GraftColumnBridge.column(Fingerprint(GraftColumnBridge.expression(a)))
 
+  /** Column-API entry point: `graftTokens($"text")` — space-split,
+    * empties dropped, inside codegen (the toks() twin). */
+  def graftTokens(a: Column): Column =
+    GraftColumnBridge.column(GraftTokens(GraftColumnBridge.expression(a)))
+
+  /** Column-API entry point: `countIn($"ws", words)` — membership
+    * count against a constant word set, inside codegen. */
+  def countIn(a: Column, words: Seq[String]): Column =
+    GraftColumnBridge.column(CountIn(GraftColumnBridge.expression(a), words))
+
   /** Column-API entry point: `jlProject($"embedding")` — the 8-dim
     * LCG-plane JL projection as one fused codegen loop. */
   def jlProject(a: Column): Column =
@@ -192,5 +202,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((NbDotProduct.ident, NbDotProduct.info,
       NbDotProduct.builder))
     ext.injectFunction((JlProject.ident, JlProject.info, JlProject.builder))
+    ext.injectFunction((GraftTokens.ident, GraftTokens.info,
+      GraftTokens.builder))
   }
 }

@@ -18,7 +18,7 @@ object Curation {
     * common-subexpression elimination across HOF boundaries and goes
     * O(L²); see Dedup.shingles). */
   private[graft] def grams5(c: Column): Column = {
-    val ws = filter(split(c, " "), w => w =!= "")
+    val ws = graft.functions.GraftFunctions.graftTokens(c)
     val n = size(ws)
     def sl(k: Int) = slice(ws, lit(k), n - 4)
     val g = zip_with(
@@ -137,7 +137,8 @@ object Curation {
     packSequences(Tables(spark, dir).documents
       .select(col("doc_id"),
         (Scramble(col("doc_id")) % 8).as("shard"),
-        size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
+        size(graft.functions.GraftFunctions.graftTokens(col("text")))
+          .cast("long")
           .as("n_tok")),
       budget = 256)
       .groupBy("shard", "bin")
@@ -237,7 +238,7 @@ object Curation {
       |    AS BIGINT) AS sum_flagged_ids
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val ws = filter(split(col("text"), " "), x => x =!= "")
+    val ws = graft.functions.GraftFunctions.graftTokens(col("text"))
     val grams2 = when(size(ws) >= 2,
       zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
         (a, b) => concat_ws(" ", a, b)))

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * proportional to candidate pairs, not n². */
 object Dedup {
 
-  private def toks(c: Column): Column = filter(split(c, " "), w => w =!= "")
+  private def toks(c: Column): Column =
+    graft.functions.GraftFunctions.graftTokens(c)  // codegen twin (r18)
 
   /** Word-3-gram shingle set (distinct), built by zipping three shifted
     * slices — strictly linear per document. (The index-based

@@ -56,7 +56,7 @@ object Misc {
     val docs = Tables(spark, dir).documents
     val nDocs = docs.count() // tiny metadata-ish count; broadcast as literal
     val tok = docs.select(col("lang"), col("doc_id"),
-      explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+      explode(graft.functions.GraftFunctions.graftTokens(col("text"))).as("w"))
     val tf = tok.groupBy("lang", "w").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy("lang")

@@ -80,7 +80,7 @@ object PipelineQueries {
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val toks = graft.functions.GraftFunctions.graftTokens(col("text"))
     val graph =
       // per-doc token stats are PER-ROW expressions (size / array_distinct
       // over the split array, all codegen'd) — the explode+groupBy
@@ -210,7 +210,7 @@ object PipelineQueries {
       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val toks2 = filter(split(col("text2"), " "), w => w =!= "")
+    val toks2 = graft.functions.GraftFunctions.graftTokens(col("text2"))
     val packW = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val graph =

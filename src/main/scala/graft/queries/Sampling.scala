@@ -174,7 +174,7 @@ object Sampling {
       .when(col("lang") === "es", 3000).otherwise(2000)
     val d = Tables(spark, dir).documents
       .select(col("lang"), col("doc_id"),
-        size(filter(split(col("text"), " "), x => x =!= ""))
+        size(graft.functions.GraftFunctions.graftTokens(col("text")))
           .cast("long").as("n_tok"),
         (Scramble(col("doc_id")) % 1000000007L).as("ord"),
         budget.as("budget"))
@@ -294,7 +294,7 @@ object Sampling {
   private[graft] def dsirScored(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val B = 256
-    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val ws = graft.functions.GraftFunctions.graftTokens(col("text"))
     // hash bigrams to bucket ids IN-ROW (the bigram string never leaves
     // the scan — only 8-byte buckets explode), and cache the bucketed
     // stream across its two consumers (model build + scoring), the

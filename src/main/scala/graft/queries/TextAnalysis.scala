@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens with empties removed (trailing-space artifacts). */
+  // round 18: the HOF tokenizer (filter(split(...))) is CodegenFallback
+  // and kept every text-family projection out of whole-stage codegen
+  // (~50 us/doc interpreted); graft_tokens is its bit-exact codegen twin
   private def toks(c: Column): Column =
-    filter(split(c, " "), w => w =!= "")
+    graft.functions.GraftFunctions.graftTokens(c)
 
   /** Top-20 tokens by frequency: tokenize → explode → count. The classic
     * word-count; at scale the explode shuffles (token, 1) pairs but
@@ -835,7 +838,7 @@ object TextAnalysis {
 
   /** Marker score: how many of `words` appear in the token array. */
   private def mScore(ws: Column, words: Seq[String]): Column =
-    size(filter(ws, w => w.isInCollection(words)))
+    graft.functions.GraftFunctions.countIn(ws, words)
 
   /** The teacher label: q_text_langid's en-rule over a token array
     * (en marker count ≥ every other language's marker count — ties to
@@ -900,14 +903,23 @@ object TextAnalysis {
   private[graft] def nbLogit(labeled: DataFrame, weights: DataFrame,
       meta: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.nbDot
-    // ONE combined broadcast row (vocab arrays + prior): a second
-    // 1-row BNLJ would re-copy every corpus row's buffer a second time
+    // ONE combined broadcast row (vocab arrays + prior), attached as a
+    // dummy-key EQUI join: a crossJoin plans as BroadcastNestedLoopJoin,
+    // which does not participate in whole-stage codegen and forces the
+    // ENTIRE scan → fold → census pipeline into interpreted row-at-a-
+    // time evaluation (~50 µs/doc measured at sf10/sf1000v); the same
+    // 1-row broadcast behind BroadcastHashJoin keeps the pipeline in
+    // one codegen stage. Same rows, same values, same staged-model
+    // scan in the plan.
     val wrow = weights
       .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("tw"))
       .select(transform(col("tw"), s => s("tok")).as("wtoks"),
         transform(col("tw"), s => s("w")).as("wvals"))
       .crossJoin(meta.select(col("prior_w")))
-    labeled.crossJoin(broadcast(wrow))
+      .withColumn("jk", lit(1))
+    labeled.withColumn("jk", lit(1))
+      .join(broadcast(wrow), Seq("jk"))
+      .drop("jk")
       .withColumn("logit",
         // coalesce: a null token array scores the prior alone, exactly
         // like the former explode plan (explode dropped the row, the

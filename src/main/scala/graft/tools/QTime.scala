@@ -92,10 +92,16 @@ object QTime {
           val cg0 = graft.Forensics.codegenCompileCount
           val t0 = System.nanoTime()
           val df = q.run(spark, dir)
-          df.count()
+          // GRAFT_QTIME_PLAN: drive the action through df's OWN
+          // QueryExecution (collect), so the printed executedPlan is
+          // the AQE-final, codegen-collapsed plan that actually ran —
+          // count() plans a separate query and leaves df's plan
+          // unexecuted (isFinalPlan=false, no WSCG wrappers), which
+          // misled the r18 codegen investigation until caught
+          val plan = rep == 1 && sys.env.contains("GRAFT_QTIME_PLAN")
+          if (plan) df.collect() else df.count()
           val wall = (System.nanoTime() - t0) / 1e9
-          if (rep == 1 && sys.env.contains("GRAFT_QTIME_PLAN"))
-            println(df.queryExecution.executedPlan.toString)
+          if (plan) println(df.queryExecution.executedPlan.toString)
           spark.catalog.clearCache()
           Thread.sleep(300)
           val cpu = (procCpu - c0) / 1e9

@@ -126,6 +126,41 @@ class PropertySpec extends SparkSpec {
         s"declarative ${r.getLong(1)} vs native ${r.getLong(2)}"))
   }
 
+  test("native tokenizer and count-in equal the HOF towers, malformed bytes included") {
+    // graft_tokens / graft_count_in replaced the CodegenFallback HOF
+    // idioms catalog-wide (r18): filter(split(text," "), _ =!= "") and
+    // size(filter(ws, isInCollection(...))). Exact array/int equality
+    // on the corpus, generated strings, AND the fingerprint suite's
+    // malformed-UTF-8 fixtures (the native byte path must reproduce
+    // split()'s U+FFFD replacement semantics)
+    import graft.functions.GraftFunctions.{graftTokens, countIn}
+    val words = Seq("the", "a", "scan", "table")
+    def hofToks(c: org.apache.spark.sql.Column) =
+      filter(split(c, " "), w => w =!= "")
+    def hofCount(c: org.apache.spark.sql.Column) =
+      size(filter(hofToks(c), w => w.isInCollection(words)))
+    val corpus = Tables(spark, sf).documents.select(col("text"))
+    val gen = textDf(samples(genText, 60).distinct)
+    import spark.implicits._
+    val bad = Seq(
+      "FF", "80", "C2", "E282", "F09F", "C080", "EDA080", "F4908080",
+      "414220C320414220E28220", "E2824120F0284142", "80414220C2C2")
+      .toDF("hx").select(expr("cast(unhex(hx) as string)").as("text"))
+    for (df <- Seq(corpus, gen, bad)) {
+      val rows = df.select(hofToks(col("text")).as("h"),
+        graftTokens(col("text")).as("n"),
+        hofCount(col("text")).as("hc"),
+        countIn(graftTokens(col("text")), words).as("nc")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"tokens diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+        assert(r.getInt(2) == r.getInt(3),
+          s"count-in diverged: ${r.getInt(2)} vs ${r.getInt(3)}")
+      }
+    }
+  }
+
   test("salted join equals the plain join on random skewed data") {
     import spark.implicits._
     val genRows: Gen[(Int, List[Long])] = for {
