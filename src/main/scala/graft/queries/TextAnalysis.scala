@@ -770,7 +770,10 @@ object TextAnalysis {
       .select(col("doc_id"), toks(col("text")).as("ws"))
       .select(col("doc_id") +: size(col("ws")).as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("ws"), w => w === t)).as(s"tf${i + 1}")
+          // countIn with a 1-word set ≡ size(filter(ws, _ === t)),
+          // but stays inside whole-stage codegen (r18 HOF discipline)
+          graft.functions.GraftFunctions.countIn(col("ws"), Seq(t))
+            .as(s"tf${i + 1}")
         }: _*)
     val aggs = Seq(
       count(lit(1)).as("n"),
