@@ -329,7 +329,117 @@ object Sampling {
           .cast("long")).as("skey"))
   }
 
+  /** TEMPERATURE-SCALED source mixing (UNIMAX / mT5 style, round 18):
+    * sampling weights ∝ n_s^α with α = 0.7 flatten the source
+    * distribution — scarce sources are over-represented relative to
+    * their share, dominant ones capped — the standard multilingual /
+    * multi-domain rebalancing move between uniform (α=0) and
+    * proportional (α=1) mixing. Each source receives an integer
+    * document quota from a 10 000-doc budget and fills it in
+    * deterministic scramble order (membership a pure function of the
+    * data, the house sampling discipline).
+    *
+    * Exactness: the ONE libm call is pow(n_s, 0.7), quantized at
+    * model-build time to integer micro-weights
+    * w_s = floor(1e6·n_s^0.7 + 0.5) — the DSIR/classify ln precedent
+    * applied to pow (a 1–2 ulp cross-engine disagreement flips a unit
+    * only within ~1e-9 of a half-integer boundary; accepted and
+    * documented there). Quotas are then pure integer arithmetic:
+    * quota_s = (10000·w_s) div Σw. Selection ranks per source by the
+    * Knuth scramble with doc_id tie-break.
+    *
+    * 100 TB shape: weights/quotas live on a SOURCES-sized frame (tiny;
+    * the 1-row total attaches there, never touching the corpus); the
+    * per-source ranking uses the q_mix_token_budget shard
+    * decomposition — 64 scramble-range shards, per-(source, shard)
+    * COUNT histogram → exclusive prefix offsets (a sources×64-row
+    * window) → broadcast back; each doc needs only its WITHIN-SHARD
+    * row_number, so window parallelism is sources × shards and no
+    * whale partitions form. The oracle states the naive global
+    * per-source window; the hash match proves the decomposition. */
+  val qMixTemperature: QueryDef = QueryDef.oracle(
+    "q_mix_temperature",
+    s"""WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ${Scramble.sql("doc_id")} % 1000000007 AS ord
+      |  FROM documents),
+      |n AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+      |w AS (SELECT source, n_s,
+      |        CAST(floor(pow(CAST(n_s AS DOUBLE), 0.7) * 1000000.0 + 0.5)
+      |          AS BIGINT) AS wgt
+      |      FROM n),
+      |t AS (SELECT CAST(SUM(wgt) AS BIGINT) AS totw FROM w),
+      |q AS (SELECT source, n_s, wgt,
+      |        CAST((10000 * wgt) // totw AS BIGINT) AS quota FROM w, t),
+      |r AS (SELECT source, n_chars, ROW_NUMBER() OVER (
+      |        PARTITION BY source ORDER BY ord, doc_id) AS rk FROM d),
+      |sel AS (SELECT r.source, COUNT(*) AS n_sel,
+      |          CAST(SUM(r.n_chars) AS BIGINT) AS sum_chars
+      |        FROM r JOIN q ON q.source = r.source AND r.rk <= q.quota
+      |        GROUP BY 1)
+      |SELECT q.source, CAST(q.n_s AS BIGINT) AS n_docs, q.wgt, q.quota,
+      |  CAST(COALESCE(sel.n_sel, 0) AS BIGINT) AS n_sel,
+      |  COALESCE(sel.sum_chars, 0) AS sum_chars
+      |FROM q LEFT JOIN sel ON sel.source = q.source
+      |ORDER BY q.source""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 64
+    val shardWidth = 1000000007L / nShards + 1L
+    val d = Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (Scramble(col("doc_id")) % 1000000007L).as("ord"))
+      .withColumn("shard", (col("ord") / shardWidth).cast("int"))
+    // weights + quotas on the SOURCES-sized frame (the corpus never
+    // sees pow or the 1-row total)
+    val q = temperatureQuotas(
+      d.groupBy("source").agg(count(lit(1)).as("n_s")), 10000L)
+    // shard-decomposed per-source ranking (no whale partitions)
+    val offsets = d.groupBy("source", "shard")
+      .agg(count(lit(1)).as("shard_n"))
+      .withColumn("offset",
+        coalesce(sum(col("shard_n")).over(
+          Window.partitionBy("source").orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source").as("o_source"), col("shard").as("o_shard"),
+        col("offset"))
+    val withinShard = Window.partitionBy("source", "shard")
+      .orderBy(col("ord").asc, col("doc_id").asc)
+    val sel = d
+      .withColumn("rk_in_shard", row_number().over(withinShard))
+      .join(broadcast(offsets),
+        col("source") === col("o_source") && col("shard") === col("o_shard"))
+      .join(broadcast(q.select(col("source"), col("quota"))), Seq("source"))
+      .filter(col("offset") + col("rk_in_shard") <= col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sel"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    q.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_s").cast("long").as("n_docs"),
+        col("wgt"), col("quota"),
+        coalesce(col("n_sel"), lit(0L)).cast("long").as("n_sel"),
+        coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  /** The α = 0.7 quota algebra behind q_mix_temperature, on any
+    * (source, n_s) frame — factored so SamplingSpec can pin the
+    * flattening property on a SKEWED fixture (this corpus's sources
+    * are uniform, where temperature scaling is inert by construction).
+    * Emits (source, n_s, wgt, quota). */
+  private[graft] def temperatureQuotas(
+      n: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = n.select(col("source"), col("n_s"),
+      floor(pow(col("n_s").cast("double"), lit(0.7d)) * 1000000.0d + 0.5d)
+        .cast("long").as("wgt"))
+    val t = w.agg(sum(col("wgt")).cast("long").as("totw"))
+    w.crossJoin(broadcast(t))
+      .withColumn("quota", expr(s"($budget * wgt) div totw"))
+      .select(col("source"), col("n_s"), col("wgt"), col("quota"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qSampleHash, qSampleSplit, qSampleStratified, qSampleBalance,
-    qMixTokenBudget, qSelectDsir)
+    qMixTokenBudget, qSelectDsir, qMixTemperature)
 }

@@ -67,22 +67,22 @@ object TextAnalysis {
       |        FROM documents))
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    // per-doc metrics via explode + conditional aggregation: higher-order
-    // functions are CodegenFallback (no common-subexpression elimination),
-    // so the size/distinct/filter formulation re-tokenized every doc 3×;
-    // the exploded hash-aggregate tokenizes once and stays codegen'd
+    // per-doc metrics IN-ROW (round 18): the explode + doc-keyed
+    // conditional aggregation below this rollup existed only because
+    // the HOF tokenizer was CodegenFallback with no CSE — re-tokenizing
+    // per metric. graft_tokens/graft_count_in/array_distinct are all
+    // codegen and CSE-eligible, so the per-doc metrics are one scan
+    // projection: no 100×-corpus token explode, no 50 M-group
+    // countDistinct aggregate, nothing shuffles before the ≤5-row
+    // language rollup — the 100 TB profile this query should have had
     val stop = Seq("the", "a", "of", "and")
-    // explode_outer, not explode: a token-less document must still count
-    // as a document (one all-null token row), as the oracle's len(ws)=0
-    // semantics do — plain explode would silently drop it from n_docs
+    val ws = toks(col("text"))
     Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), col("n_chars"),
+      .select(col("lang"), col("n_chars"),
         size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re_tok"),
-        explode_outer(toks(col("text"))).as("w"))
-      .groupBy("doc_id", "lang", "n_chars", "n_re_tok")
-      .agg(count(col("w")).as("n_tok"),
-        countDistinct(col("w")).as("n_uniq"),
-        count(when(col("w").isInCollection(stop), 1)).as("n_stop"))
+        size(ws).as("n_tok"),
+        size(array_distinct(ws)).as("n_uniq"),
+        graft.functions.GraftFunctions.countIn(ws, stop).as("n_stop"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -123,15 +123,15 @@ object TextAnalysis {
       |          FROM documents)))
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   ) { (spark, dir) =>
-    // explode + 5 conditional counts: tokenize once (see q_text_quality)
+    // 5 in-row marker counts (round 18): the explode + doc-keyed
+    // aggregate was the HOF-no-CSE workaround; graft_count_in scores
+    // all five languages in one codegen scan projection — token-less
+    // docs score 0 everywhere → 'en' by the tie chain, as before
+    val ws = toks(col("text"))
     def score(words: Seq[String]): Column =
-      count(when(col("w").isInCollection(words), 1))
-    // explode_outer: token-less docs keep a row (all scores 0 → 'en' by
-    // the tie chain, matching the oracle) instead of vanishing
+      graft.functions.GraftFunctions.countIn(ws, words)
     Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), explode_outer(toks(col("text"))).as("w"))
-      .groupBy("doc_id", "lang")
-      .agg(
+      .select(col("lang"),
         score(Seq("the", "a", "scan", "table")).as("s_en"),
         score(Seq("data", "row", "query")).as("s_es"),
         score(Seq("join", "merge", "batch")).as("s_de"),

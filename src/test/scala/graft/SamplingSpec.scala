@@ -120,4 +120,41 @@ class SamplingSpec extends SparkSpec {
     assert(counts.head == minClass,
       s"balanced size ${counts.head} != scarcest class $minClass")
   }
+
+  test("temperature quotas flatten a skewed source distribution (alpha = 0.7)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed fixture: this corpus's sources are uniform, where
+    // temperature scaling is inert by construction — the algebra must
+    // be pinned where it has something to do
+    val counts = Seq(("big", 10000L), ("mid", 1000L), ("tiny", 10L))
+      .toDF("source", "n_s")
+    val q = graft.queries.Sampling.temperatureQuotas(counts, 10000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // exact integer expectations: wgt = floor(1e6 * n^0.7 + 0.5) with
+    // the SAME JVM pow the engine uses
+    for ((src, (n, wgt, _)) <- q)
+      assert(wgt == math.floor(math.pow(n.toDouble, 0.7) * 1e6 + 0.5).toLong,
+        s"$src weight drifted: $wgt for n=$n")
+    val (nB, wB, qB) = q("big"); val (nT, wT, qT) = q("tiny")
+    // flattening: big/tiny quota ratio must sit strictly BELOW the
+    // proportional ratio (1000x) and ABOVE uniform (1x)
+    assert(qB > qT && qB.toDouble / qT < nB.toDouble / nT,
+      s"no flattening: quotas $qB/$qT vs counts $nB/$nT")
+    // quotas respect the budget and monotonicity in n_s
+    assert(q.values.map(_._3).sum <= 10000L)
+    assert(qB >= q("mid")._3 && q("mid")._3 >= qT)
+  }
+
+  test("temperature mix selection is deterministic and quota-bounded on the corpus") {
+    val run1 = graft.queries.Sampling.qMixTemperature.run(spark, sf).collect()
+    val run2 = graft.queries.Sampling.qMixTemperature.run(spark, sf).collect()
+    assert(run1.sameElements(run2), "selection not deterministic")
+    run1.foreach { r =>
+      val (nDocs, quota, nSel) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(nSel == math.min(nDocs, quota),
+        s"${r.getString(0)}: selected $nSel of quota $quota with $nDocs docs")
+    }
+  }
 }
