@@ -44,8 +44,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 final case class PqEncodeCodes(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private val subs = 8
-  private val dim = 8
+  private val subs = PqEncodeCodes.Subs
+  private val dim = PqEncodeCodes.Dim
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -153,11 +153,19 @@ object PqEncodeCodes {
     * not a whole number of (sub, code) blocks would silently misindex
     * (k from integer division) — fail loudly instead. One modulo per row,
     * negligible against the subs×k×dim fold it guards. */
+  /** Block size of one (sub, code) codebook entry group: every dense
+    * codebook is a whole number of these. Shared by requireDense (both
+    * eval paths) and the codegen template so the guard cannot drift from
+    * the layout if subs/dim ever change. */
+  val Subs: Int = 8
+  val Dim: Int = 8
+  val SubsDim: Int = Subs * Dim // single source for the instance AND the guard
+
   def requireDense(cbLen: Int): Unit =
-    if (cbLen <= 0 || cbLen % 64 != 0)
+    if (cbLen <= 0 || cbLen % SubsDim != 0)
       throw new IllegalArgumentException(
         s"graft_pq_encode: cbflat length $cbLen is not a positive multiple " +
-          "of subs*dim = 64 — codebook must be dense in (sub, code, dim) order")
+          s"of subs*dim = $SubsDim — codebook must be dense in (sub, code, dim) order")
 
   val ident: FunctionIdentifier = FunctionIdentifier("graft_pq_encode")
 

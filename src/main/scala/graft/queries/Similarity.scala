@@ -2111,7 +2111,15 @@ object Similarity {
       .select(col("cluster"), col("vec_id"), col("embedding"))
     val knn = knnEdges(lists, 3)
     // reverse edges that could flag a slice row: target inside the
-    // slice — a filter-pruned, broadcastable subset of the edge list
+    // slice — a filter-pruned subset of the edge list. Size bound
+    // (r18 ADVICE): an edge lands in rev only if its TARGET is one of
+    // the 48 slice vectors, and a vector can only point at a target
+    // inside its own IVF cluster, so |rev| ≤ 48 × (max cluster size − 1)
+    // ≈ 48·√n rows of 17 bytes at the k≈√n sizing (sf1000v: ~216k rows,
+    // ~4 MB) — data-dependent through cluster skew but sub-linear in n,
+    // comfortably under the broadcast ceiling. If a degenerate quantizer
+    // ever produced a whale cluster, AQE would fall back to a shuffle
+    // join on the same (vec_id, n_id) equi-keys — the plan stays valid.
     val rev = knn.filter(col("n_id") < 48)
       .select(col("n_id").as("vec_id"), col("vec_id").as("n_id"),
         lit(true).as("m"))

@@ -17,13 +17,22 @@ object AuditTails {
     val spark = graft.Graft.builder("local[4]", 4)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort, Project}
+    import org.apache.spark.sql.catalyst.plans.logical._
     graft.queries.Registry.all.foreach { q =>
       try {
-        def tail(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-            : String = p match {
+        // Descend through EVERY cardinality-preserving-or-reducing unary
+        // node that count()'s ColumnPruning can see through — not just
+        // Sort/Project. A keyless Aggregate under Filter/Limit/
+        // SubqueryAlias/Repartition is just as prunable (r18 ADVICE).
+        def tail(p: LogicalPlan): String = p match {
           case s: Sort => tail(s.child)
           case pr: Project => tail(pr.child)
+          case f: Filter => tail(f.child)
+          case l: GlobalLimit => tail(l.child)
+          case l: LocalLimit => tail(l.child)
+          case sa: SubqueryAlias => tail(sa.child)
+          case r: Repartition => tail(r.child)
+          case r: RepartitionByExpression => tail(r.child)
           case a: Aggregate if a.groupingExpressions.isEmpty =>
             "KEYLESS-AGG-TAIL"
           case other => other.nodeName

@@ -33,7 +33,24 @@ object QTime {
     val names = args.drop(2).toSet
 
     // cumulative executor-side counters (listener delivery is async —
-    // drained via waitUntilEmpty-equivalent sleep before each snapshot)
+    // drained DETERMINISTICALLY via listenerBus.waitUntilEmpty through
+    // reflection before each snapshot; falls back to a 300 ms sleep if
+    // the private[spark] accessor ever disappears — in that mode, under
+    // heavy stages, task-end events can land after the snapshot and
+    // bleed counters into the next rep's deltas)
+    def drainListenerBus(): Unit = {
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        val wait = bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 1 &&
+            m.getParameterTypes()(0) == java.lang.Long.TYPE)
+        wait match {
+          case Some(m) => m.invoke(bus, java.lang.Long.valueOf(5000L)); ()
+          case None => Thread.sleep(300)
+        }
+      } catch { case _: Throwable => Thread.sleep(300) }
+    }
     val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
     val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
@@ -84,7 +101,7 @@ object QTime {
       .foreach { q =>
         (1 to reps).foreach { rep =>
           // settle async listener traffic from the previous rep
-          Thread.sleep(300)
+          drainListenerBus()
           val (ms0, ds0, sw0, sr0, tk0, rc0) = (memSpill.get, diskSpill.get,
             shufWrite.get, shufRead.get, nTasks.get, shufRecs.get)
           val c0 = procCpu; val g0 = gcMs
@@ -103,7 +120,7 @@ object QTime {
           val wall = (System.nanoTime() - t0) / 1e9
           if (plan) println(df.queryExecution.executedPlan.toString)
           spark.catalog.clearCache()
-          Thread.sleep(300)
+          drainListenerBus()
           val cpu = (procCpu - c0) / 1e9
           val gc = (gcMs - g0) / 1e3
           val jit = (graft.Forensics.jitMillis - j0) / 1e3

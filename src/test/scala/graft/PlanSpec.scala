@@ -41,7 +41,8 @@ class PlanSpec extends SparkSpec {
     "q_hybrid_rrf", // both legs: 1-row broadcast attaches (bm25 stats; query vector)
     "q_text_classify", // 1-row broadcast model-prior scalar attach
     "q_profile_drift", // 1-row broadcast snapshot-totals scalar attach
-    "q_select_dsir") // 1-row broadcast corpus-total scalar attach (model build)
+    "q_select_dsir", // 1-row broadcast corpus-total scalar attach (model build)
+    "q_mix_temperature") // 1-row broadcast weight-total scalar attach (Sampling.scala temperatureQuotas)
 
   for (q <- Registry.all if !q.name.startsWith("q_stream_")) {
     test(s"${q.name}: no cartesian product; nested-loop only by design") {
