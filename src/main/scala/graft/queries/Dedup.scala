@@ -1229,14 +1229,20 @@ object Dedup {
     * driver-sf plan keeps its PlanSpec-pinned broadcast shape. */
   private[graft] val LshBroadcastBandRows = 10000000L
 
+  /** Band b's key from a 16-lane minhash signature: XXH64 of lanes
+    * (2b+1, 2b+2). The ONE source of the band-key algebra — shared by
+    * [[bandKeys]] (the exploded 8-band form the index build and the
+    * single-pass probe use) and the band-sequential passes of
+    * [[incrementalLshPairs]], so the two sides can never drift. */
+  private def bandKeyOf(mh: Column, b: Int): Column =
+    xxhash64(element_at(mh, 2 * b + 1), element_at(mh, 2 * b + 2))
+
   private def bandKeys(withArrays: DataFrame, id: Column): DataFrame =
     withArrays
       .select(id.as("id"),
         graft.functions.GraftFunctions.minhash(col("s"), 16).as("mh"))
       .select(col("id"), explode(array((0 until 8).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(element_at(col("mh"), 2 * b + 1),
-            element_at(col("mh"), 2 * b + 2)).as("key"))
+        struct(lit(b).as("band"), bandKeyOf(col("mh"), b).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
 
@@ -1271,9 +1277,33 @@ object Dedup {
     * buckets (oracle-mirrored), and the [[LshBroadcastPairs]] gate
     * turns the attach joins into shuffle hash joins when the pair
     * count exceeds a safe driver collect — same answer, and the
-    * driver-sf plan keeps its pinned broadcast shape. */
+    * driver-sf plan keeps its pinned broadcast shape.
+    *
+    * FOURTH-DECADE path (round 19): past [[LshBroadcastBandRows]] the
+    * single-pass shape's corpus-wide candidate distinct is
+    * measured-intrinsic death on one box (sf1000v: 3.73 B capped
+    * incidences ≈ 45–90 GB of partial-agg spill vs 46 GB scratch —
+    * SCALE.md round 16), so [[incrementalLshPairs]] switches to
+    * BAND-SEQUENTIAL passes: 8 passes, one per band, each a single
+    * key equi-join that streams the verify, with peak scratch ~1/8 of
+    * the single-pass distinct's and each pass's shuffle files
+    * deterministically deleted before the next starts. Same answer
+    * (DedupSpec pins forced-band-sequential ≡ single-pass), same
+    * candidate admission (the staged index still governs: widths from
+    * the bands leg, signatures from the arrays leg). */
   val qDedupIncrementalLsh: QueryDef = QueryDef.oracle(
     "q_dedup_incremental_lsh", incrementalLshOracleSql) { (spark, dir) =>
+    incrementalLshPairs(spark, dir, forceBandSequential = false)
+  }
+
+  /** Body of q_dedup_incremental_lsh with the pass structure exposed:
+    * `forceBandSequential` lets DedupSpec pin the band-sequential path
+    * against the judged single-pass plan at fixture scale (the gate
+    * itself — batch band rows vs [[LshBroadcastBandRows]] — only trips
+    * it at the third decade and beyond). */
+  private[graft] def incrementalLshPairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      forceBandSequential: Boolean): DataFrame = {
     val idx = lshIndexPath(spark, dir)
     val baseBands = spark.read.parquet(s"$idx/bands")
       .select(col("id").as("base_doc"), col("band"), col("key"))
@@ -1296,16 +1326,22 @@ object Dedup {
     val wideKeys = baseBands.groupBy("band", "key")
       .agg(count(lit(1)).as("w")).filter(col("w") > LshBucketCap)
       .select(col("band"), col("key"))
+    // [[LshBroadcastBandRows]] is now the PASS-STRUCTURE gate: at or
+    // under it (every driver sf, and any nightly batch on a cluster
+    // with per-executor scratch to match) the judged single-pass shape
+    // runs — batch bands broadcast, one candidate distinct, one
+    // verify. Above it the corpus is in the regime where that distinct
+    // is disk-intrinsic on this box (measured at sf1000v, SCALE.md
+    // round 16) and the band-sequential passes below take over. The
+    // cached batchArrays makes the gate count a cheap second pass over
+    // the banding.
+    val bandGate = batchBands.count() <= LshBroadcastBandRows
+    if (!bandGate || forceBandSequential)
+      return incrementalLshBandSequential(
+        spark, baseArrays, batchArrays, wideKeys)
     // candidate id-pairs: batch BANDS broadcast (24-byte rows — MBs for
     // any nightly batch), the 100 TB base index streams; distinct
     // BEFORE the array attach so nothing downstream carries band rows.
-    // [[LshBroadcastBandRows]] guards the broadcast: the sf1000 probe's
-    // 12.5 M-doc batch (100 M band rows ≈ 1 GiB+ serialized) killed the
-    // unconditional collect — above the gate the probe join runs as a
-    // shuffle hash join on (band, key), same candidates, while driver
-    // sfs keep the pinned broadcast shape. The cached batchArrays makes
-    // the gate count a cheap second pass over the banding.
-    val bandGate = batchBands.count() <= LshBroadcastBandRows
     def bandGated(df: DataFrame): DataFrame =
       if (bandGate) broadcast(df) else df
     val cand = baseBands
@@ -1363,6 +1399,107 @@ object Dedup {
         size(col("sb")).as("n_base_shingles"))
       .filter(lit(3) * col("n_shared")
         >= col("n_batch_shingles") + col("n_base_shingles"))
+      .orderBy("batch_doc", "base_doc")
+  }
+
+  /** Band-sequential candidate generation + verify — the fourth-decade
+    * body of q_dedup_incremental_lsh (round 19, closing the one r18
+    * scale failure). Why this completes where the single pass dies:
+    *
+    *   - NO corpus-wide candidate distinct exists anywhere. Within one
+    *     band every (batch, base) pair occurs AT MOST ONCE — a document
+    *     holds exactly one key per band — so a band's join output is
+    *     duplicate-free by construction, and cross-band duplicates are
+    *     removed by anti-joining each pass against the survivors
+    *     accumulated so far (a pair verifies in its FIRST passing band,
+    *     then never again). The single-pass shape's 3.73 B-row distinct
+    *     (45–90 GB of spill at sf1000v) simply has no counterpart.
+    *   - NO pair-level exchange carries arrays. Each side recomputes
+    *     band b's key DIRECTLY from its signature arrays ([[bandKeyOf]]
+    *     — bit-identical to the staged bands leg, which still governs
+    *     admission through the width cap), so the pass is ONE equi-join
+    *     on the 8-byte key with both shingle arrays already aboard:
+    *     per-band shuffle = the two array tables once each (~sig bytes,
+    *     not pair×sig bytes), and the ~466 M joined candidate rows
+    *     STREAM through the codegen intersect verify without touching
+    *     disk. Bucket width ≤ [[LshBucketCap]] bounds per-key join
+    *     amplification, so no whale keys form.
+    *   - Pass scratch is RECLAIMED deterministically: survivors are
+    *     localCheckpointed (near-dup-mass-sized blocks), which truncates
+    *     lineage, and the pass's shuffle files are deleted via
+    *     cleanShuffleDependencies(blocking) before the next pass starts
+    *     — peak scratch is one pass's, not eight.
+    *
+    * Total work vs the single pass: candidate mass that shares k bands
+    * is verified once (anti-join) but joined k times — the join mass is
+    * the same 3.73 B rows the single pass ALSO materialized into its
+    * distinct; the B index re-reads are cheap column scans of the
+    * arrays leg (3.7 GB parquet at sf1000v, OS-page-cached after pass
+    * 1). On a 1000-executor cluster the single-pass distinct is ~90 MB
+    * of shuffle per executor and remains the better plan — which is
+    * exactly what the [[LshBroadcastBandRows]] gate encodes: pass
+    * structure follows the scratch a box can actually offer.
+    *
+    * If accumulated survivors outgrow [[LshBroadcastSemiIds]] the
+    * anti-join is dropped for the remaining passes (a broadcast must
+    * stay bounded by contract) and the terminal dropDuplicates — a
+    * survivors-sized aggregate, nothing like the candidate distinct —
+    * restores exactly-once emission. */
+  private def incrementalLshBandSequential(
+      spark: org.apache.spark.sql.SparkSession,
+      baseArrays: DataFrame, batchArrays: DataFrame,
+      wideKeys: DataFrame): DataFrame = {
+    // signatures once per side; the batch side caches (it is re-read
+    // every pass and is nightly-batch-sized), the base side re-scans
+    // the index arrays leg per pass (page-cache-resident)
+    val batchSig = batchArrays
+      .select(col("batch_doc"), col("s"),
+        graft.functions.GraftFunctions.minhash(col("s"), 16).as("mh"))
+      .cache()
+    val baseSig = baseArrays
+      .select(col("base_doc"), col("s"),
+        graft.functions.GraftFunctions.minhash(col("s"), 16).as("mh"))
+    val wide = wideKeys.cache() // KBs by the [[LshBucketCap]] bound
+    var done = Vector.empty[DataFrame] // per-pass survivors, lineage-cut
+    var survCount = 0L
+    var antiOn = true
+    for (b <- 0 until 8) {
+      val wb = wide.filter(col("band") === b).select("key")
+      val bs = baseSig
+        .select(col("base_doc"), bandKeyOf(col("mh"), b).as("key"),
+          col("s").as("sb"))
+        .join(broadcast(wb), Seq("key"), "left_anti")
+      val ts = batchSig
+        .select(col("batch_doc"), bandKeyOf(col("mh"), b).as("key"),
+          col("s").as("sa"))
+      val joined = bs.join(ts, Seq("key"))
+      val fresh =
+        if (antiOn && done.nonEmpty)
+          joined.join(
+            broadcast(done.reduce(_ unionByName _)
+              .select(col("batch_doc"), col("base_doc"))),
+            Seq("batch_doc", "base_doc"), "left_anti")
+        else joined
+      val verified = fresh
+        .select(col("batch_doc"), col("base_doc"),
+          size(array_intersect(col("sa"), col("sb"))).as("n_shared"),
+          size(col("sa")).as("n_batch_shingles"),
+          size(col("sb")).as("n_base_shingles"))
+        .filter(lit(3) * col("n_shared")
+          >= col("n_batch_shingles") + col("n_base_shingles"))
+      val qe = verified.queryExecution
+      val ck = verified.localCheckpoint(eager = true)
+      // the checkpoint above cut ck's lineage, so this pass's shuffle
+      // files are dead weight — delete them NOW (same ShuffleDependency
+      // instances: exchange nodes cache theirs), not at next GC
+      qe.toRdd.cleanShuffleDependencies(blocking = true)
+      survCount += ck.count()
+      if (survCount > LshBroadcastSemiIds) antiOn = false
+      done = done :+ ck
+    }
+    batchSig.unpersist(); wide.unpersist()
+    done.reduce(_ unionByName _)
+      .dropDuplicates("batch_doc", "base_doc")
       .orderBy("batch_doc", "base_doc")
   }
 

@@ -239,6 +239,42 @@ object Graph {
     Exec.materialized(rN, withDeg)
   }
 
+  /** Seeded label propagation, integer-deterministic — the community
+    * layer the k-NN graph's consumers need (q_graph_label_prop runs it
+    * over [[Similarity]]'s judged edge list; GraphSpec pins the round
+    * algebra on constructed fixtures).
+    *
+    * Determinism discipline (the update-order hazard classic LPA
+    * carries is designed OUT): labels FREEZE once assigned — a round
+    * only labels nodes still unlabeled — and a round's choice per node
+    * is the neighbor label of maximal count with ties to the SMALLEST
+    * label, an exact integer argmax. No update ordering, no float
+    * scores, so any engine at any parallelism produces identical
+    * assignments and the oracle can unroll the rounds as CTEs (the
+    * q_graph_pagerank convention).
+    *
+    * Scale shape: the Pregel-by-DataFrame discipline of [[pagerank]] —
+    * `edges` is the persisted loop invariant the caller provides (at
+    * 100 TB, bucketed by `dst`), each round moves only node-sized
+    * label rows through one equi-join, one (node, label) count, and
+    * one per-node struct-argmax (both aggregates partial+final, no
+    * windows — a per-node window would ride every edge row through a
+    * whale partition at scale). `edges` must be DISTINCT directed
+    * pairs (symmetrize before calling): the majority count is over the
+    * neighbor SET. */
+  private[graft] def labelPropagate(
+      edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(seeds) { (labels, _) =>
+      val next = edges
+        .join(labels.select(col("node").as("dst"), col("lab")), "dst")
+        .join(labels.select(col("node").as("src")), Seq("src"), "left_anti")
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("lab"))
+      labels.unionByName(next)
+    }
+
   /** The sf-independent CONVERGENCE graph: the nation↔region commerce
     * map — 25 nation nodes (id = n_nationkey·4) and 5 region nodes
     * (id = r_regionkey·4 + 1), linked both ways — plus a planted

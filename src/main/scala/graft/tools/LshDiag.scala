@@ -86,6 +86,46 @@ object LshDiag {
       println("top surviving buckets (bw,tw): " +
         topT.map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(","))
     }
+    // per-band decomposition off the STAGED index — the sizing numbers
+    // for q_dedup_incremental_lsh's band-sequential scale path (round-19):
+    // per band, the capped incidence mass (that band's pair-join output),
+    // the distinct batch/base docs among its candidates (the semi-prune
+    // volume whose arrays ride the attach exchanges), all from width
+    // aggregations + semi joins — the cross mass itself is never
+    // materialized, so the diag runs where the query cannot.
+    if (args.lift(1).contains("bands")) {
+      val cap = graft.queries.Dedup.LshBucketCap
+      val idx = graft.queries.Dedup.lshIndexPath(spark, sfDir)
+      val baseBands = spark.read.parquet(s"$idx/bands")
+        .select(col("id").as("base_doc"), col("band"), col("key"))
+      val (_, batch) = graft.queries.Dedup.baseBatchSplitDiag(spark, sfDir)
+      val batchBands = graft.queries.Dedup.bandKeysDiag(
+        batch.select(col("doc_id"),
+          graft.functions.GraftFunctions.shingleHashes(col("text")).as("s"))
+          .filter(size(col("s")) > 0))
+        .select(col("id").as("batch_doc"), col("band"), col("key"))
+        .cache()
+      println(s"batch band rows: ${batchBands.count()}")
+      val baseW = baseBands.groupBy("band", "key")
+        .agg(count(lit(1)).as("bw")).filter(col("bw") <= cap)
+      val batchW = batchBands.groupBy("band", "key")
+        .agg(count(lit(1)).as("tw"))
+      val shared = baseW.join(batchW, Seq("band", "key")).cache()
+      shared.groupBy("band")
+        .agg(sum(col("bw") * col("tw")).cast("long").as("incidences"),
+          count(lit(1)).as("buckets"),
+          sum("bw").cast("long").as("base_rows"),
+          sum("tw").cast("long").as("batch_rows"))
+        .orderBy("band").collect()
+        .foreach(r => println(s"band ${r.get(0)}: incidences=${r.get(1)} " +
+          s"buckets=${r.get(2)} base_docs=${r.get(3)} batch_docs=${r.get(4)}"))
+      // base_rows/batch_rows above ARE distinct docs per band: a doc
+      // contributes exactly one (band,key) row per band, so summing
+      // bucket widths within a band counts each candidate doc once.
+      val tot = shared.agg(sum(col("bw") * col("tw")).cast("long")).head()
+      println(s"total capped incidence mass: ${tot.get(0)}")
+      shared.unpersist(); batchBands.unpersist()
+    }
     spark.stop()
   }
 }

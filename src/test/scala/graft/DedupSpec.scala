@@ -189,6 +189,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("band-sequential incremental LSH equals the single-pass plan row for row") {
+    // the fourth-decade pass structure (8 sequential band passes,
+    // survivor anti-join, checkpoint-per-pass) must be answer-invariant:
+    // force it at fixture scale — where the gate would pick single-pass
+    // — and compare full rows against the judged registry query
+    val single = graft.queries.Registry.all
+      .find(_.name == "q_dedup_incremental_lsh").get.run(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val seq = Dedup.incrementalLshPairs(spark, sf, forceBandSequential = true)
+      .collect().map(_.toSeq).toSet
+    assert(seq.nonEmpty, "band-sequential path returned nothing")
+    assert(seq == single,
+      s"band-sequential diverged: only-seq=${(seq -- single).take(3)} " +
+        s"only-single=${(single -- seq).take(3)}")
+  }
+
   test("exact dedup removes nothing on a duplicate-free corpus") {
     val removed = Dedup.qDedupExact.run(spark, sf)
       .select("n_removed").collect().map(_.getLong(0)).sum

@@ -18,6 +18,43 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  private def propagate(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    // symmetrized distinct set, as the labelPropagate contract requires
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    graft.queries.Graph.labelPropagate(
+      sym.toDF("src", "dst"), seeds.toDF("node", "lab"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("label propagation: hop-by-hop spread, frozen labels, min-label ties") {
+    // chain 1—2—3—4—5 seeded at the ends with labels 20 (node 1) and
+    // 10 (node 5): labels advance one hop per round, and the middle
+    // node sees one neighbor of each label in round 2 — the tie must
+    // go to the SMALLER label regardless of seed order
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq((1L, 20L), (5L, 10L))
+    assert(propagate(chain, seeds, 1) ==
+      Map(1L -> 20L, 5L -> 10L, 2L -> 20L, 4L -> 10L))
+    val r2 = propagate(chain, seeds, 2)
+    assert(r2(3L) == 10L, s"tie must take the smaller label: $r2")
+    // frozen-once-assigned: round 3 changes nothing on the chain
+    assert(propagate(chain, seeds, 3) == r2)
+  }
+
+  test("label propagation: majority beats the smaller label when counts differ") {
+    // node 9 has neighbors 1,2 labeled 30 and neighbor 3 labeled 5:
+    // majority (2×30) must win over the smaller label (1×5)
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L))
+    val seeds = Seq((1L, 30L), (2L, 30L), (3L, 5L))
+    assert(propagate(star, seeds, 1)(9L) == 30L)
+    // unreached nodes stay unlabeled: an isolated 2-cycle away from
+    // any seed acquires nothing
+    val r = propagate(star ++ Seq((7L, 8L)), seeds, 3)
+    assert(!r.contains(7L) && !r.contains(8L))
+  }
+
   test("3-path concentrates rank in the middle, exact hand-computed values") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
     // iter 1: r(1)=r(3)=150000+(85*500000)div 100=575000;
