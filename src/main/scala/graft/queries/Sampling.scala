@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Sampling operators — first-class for a training-data pipeline
@@ -439,7 +440,103 @@ object Sampling {
       .select(col("source"), col("n_s"), col("wgt"), col("quota"))
   }
 
+  /** Greedy k-center selection over an embedding frame — the diversity
+    * primitive (Gonzalez's 2-approximation of the k-center objective):
+    * seed with the smallest vec_id, then k−1 times pick the vector
+    * FARTHEST from its nearest selected center (in cosine distance:
+    * argmin over candidates of the max cosine to the selected set,
+    * ties to the smallest vec_id). Returns (rn, vec_id, gap) where gap
+    * is 1 − that max cosine at selection time (seed: −1.0) — the
+    * covering-radius trace.
+    *
+    * Determinism: every cosine is the bit-exact [[graft.functions
+    * .GraftFunctions.cosineSim]] double fold (the VecSql-pinned twin),
+    * and selection is pure comparison (greatest + min-by) — no sums
+    * across rows, so parallelism cannot reorder anything.
+    *
+    * Scale shape: one corpus scan per round, with the ≤k−1 selected
+    * centers UNROLLED AS LITERALS into a single codegen projection
+    * (`greatest(cos(e, c₁), …)`) — no join, no groupBy, no window; the
+    * only movement per round is a TakeOrdered(1) and a pushed-filter
+    * pinpoint lookup of the winner's embedding. The k·scan cost is the
+    * honest distributed k-center bound; the ≤2k driver rows are the
+    * BpeMerges-class bounded artifact. */
+  private[graft] def kCenterGreedy(
+      vecs: DataFrame, k: Int): Seq[(Int, Long, Double)] = {
+    val seed = vecs.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    var sel = Vector((seed.getLong(0), seed.getSeq[Float](1).toArray, -1.0))
+    while (sel.size < k) {
+      val coss = sel.map(c => graft.functions.GraftFunctions
+        .cosineSim(col("embedding"), typedLit(c._2)))
+      val mx = if (coss.size == 1) coss.head else greatest(coss: _*)
+      val ids = sel.map(_._1)
+      val win = vecs.filter(!col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), mx.as("mx"))
+        .orderBy(col("mx").asc, col("vec_id").asc).limit(1).collect()(0)
+      val emb = vecs.filter(col("vec_id") === win.getLong(0))
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      sel = sel :+ ((win.getLong(0), emb, 1.0 - win.getDouble(1)))
+    }
+    sel.zipWithIndex.map { case ((id, _, gap), i) => (i + 1, id, gap) }
+  }
+
+  /** One k-center round as DuckDB CTEs: sel_i = the round's winner
+    * (max-over-centers cosine via a ≤(i−1)-row cross join + MAX — the
+    * same value Spark's literal-unrolled greatest computes), cents_i =
+    * the accumulated center set. */
+  private def coresetRoundSql(i: Int): String =
+    s"""sel$i AS MATERIALIZED (
+       |  SELECT m.vec_id, n2.embedding, ROUND(1 - m.mx, 6) AS gap
+       |  FROM (SELECT vec_id, mx FROM (
+       |          SELECT v.vec_id,
+       |            MAX(${VecSql.cos("v.embedding", "c.embedding")}) AS mx
+       |          FROM n v, cents${i - 1} c
+       |          WHERE v.vec_id NOT IN (SELECT vec_id FROM cents${i - 1})
+       |          GROUP BY v.vec_id)
+       |        ORDER BY mx ASC, vec_id LIMIT 1) m
+       |  JOIN n n2 ON n2.vec_id = m.vec_id),
+       |cents$i AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM cents${i - 1}
+       |  UNION ALL SELECT vec_id, embedding FROM sel$i)""".stripMargin
+
+  /** Diversity/coreset selection — the second consumer the k-NN graph
+    * scaladoc names (round-18 verdict item 5): greedy k-center over the
+    * vectors of the PERSISTED IVF index (artifact consumption, no
+    * retrain — the lists leg is the corpus at rest for the similarity
+    * family). The curation family selects by quality and importance
+    * (DSIR, temperature); this selects by COVERAGE — the 8 centers are
+    * a 2-approximate minimax cover of embedding space, the seed set a
+    * diversity-first curriculum or eval probe wants. SamplingSpec pins
+    * the coverage property against a naive prefix baseline on a
+    * clustered fixture. Output: selection order, vector, and the
+    * covering-radius trace (gap = 1 − max cosine to the prior centers
+    * at selection time; monotone non-increasing up to float ties). */
+  val qSelectCoreset: QueryDef = QueryDef.oracle(
+    "q_select_coreset",
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, CAST(-1.0 AS DOUBLE) AS gap FROM n
+       |  WHERE vec_id = (SELECT MIN(vec_id) FROM n)),
+       |cents1 AS MATERIALIZED (SELECT vec_id, embedding FROM sel1),
+       |${(2 to 8).map(coresetRoundSql).mkString(",\n")},
+       |u AS MATERIALIZED (
+       |${(1 to 8).map(i =>
+            s"  SELECT $i AS rn, vec_id, gap FROM sel$i")
+          .mkString(" UNION ALL\n")})
+       |SELECT rn, vec_id, gap FROM u ORDER BY rn""".stripMargin,
+  ) { (spark, dir) =>
+    val lists = spark.read
+      .parquet(s"${Similarity.ivfIndexPath(spark, dir)}/lists")
+      .select(col("vec_id"), col("embedding"))
+    val sel = kCenterGreedy(lists, 8)
+    import spark.implicits._
+    sel.toDF("rn", "vec_id", "gap_raw")
+      .select(col("rn"), col("vec_id"), round(col("gap_raw"), 6).as("gap"))
+      .orderBy("rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qSampleHash, qSampleSplit, qSampleStratified, qSampleBalance,
-    qMixTokenBudget, qSelectDsir, qMixTemperature)
+    qMixTokenBudget, qSelectDsir, qMixTemperature, qSelectCoreset)
 }

@@ -157,4 +157,37 @@ class SamplingSpec extends SparkSpec {
         s"${r.getString(0)}: selected $nSel of quota $quota with $nDocs docs")
     }
   }
+
+  test("k-center coreset covers every cluster of a clustered fixture; a prefix sample does not") {
+    // 4 well-separated clusters on orthogonal axes (8 members each,
+    // tiny deterministic in-cluster jitter on a SECOND axis so members
+    // are distinct but stay cos≈1 to their own cluster and cos≈0 to
+    // the others). k-center's defining property: 4 selections must
+    // land one per cluster — while the naive prefix baseline (first 4
+    // ids: the "cheap sample" a pipeline would otherwise take) stays
+    // inside cluster 0 by construction.
+    import spark.implicits._
+    val vecs = (0L until 32L).map { id =>
+      val cl = (id / 8).toInt
+      val v = Array.fill(8)(0f)
+      v(cl) = 1f
+      v((cl + 4) % 8) = 0.01f * (id % 8 + 1)
+      (id, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val sel = graft.queries.Sampling.kCenterGreedy(df, 4)
+    val clusters = sel.map(_._2 / 8).toSet
+    assert(clusters == Set(0L, 1L, 2L, 3L),
+      s"k-center must span all 4 clusters, got $sel")
+    val prefixClusters = vecs.take(4).map(_._1 / 8).toSet
+    assert(prefixClusters == Set(0L), "fixture broken: prefix spans clusters")
+    // gap trace: strictly positive after the seed, non-increasing
+    // (the covering radius shrinks monotonically up to float ties)
+    val gaps = sel.drop(1).map(_._3)
+    assert(gaps.forall(_ > 0.5), s"inter-cluster gaps must be large: $gaps")
+    assert(gaps.zip(gaps.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"gap trace not non-increasing: $gaps")
+    // determinism: a second run is identical
+    assert(graft.queries.Sampling.kCenterGreedy(df, 4) == sel)
+  }
 }
