@@ -299,6 +299,40 @@ object Media {
     (peak, zcr, ss)
   }
 
+  /** 63-bit GAIN-INVARIANT audio fingerprint over decoded PCM — the
+    * DCT-pHash discipline ported to the 1-D modality (round-18 verdict
+    * item 6). The clip is split into 63 balanced windows (sample i →
+    * window ⌊i·63/n⌋); bit j is set iff window j's energy exceeds the
+    * clip MEAN energy, as the exact integer test 63·e_j > Σe (no
+    * division, no floats). Uniform gain g scales every e_j and the
+    * total by g² — both sides of the compare — so bits are invariant
+    * under re-mastering/volume edits, the pHash row-sum argument one
+    * modality over; localized edits flip only the windows they touch,
+    * so near-dups sit at small Hamming distance and the banded
+    * [[graft.queries.MediaQueries.phashDedupPairs]] stage applies
+    * verbatim. 63 bits keep the value positive in a signed long (the
+    * pHash layout, so the 16/16/16/15 band split is shared too).
+    * Energies fit comfortably: e_j ≤ n·32768² and the guard product
+    * 63·e_j stays under 2⁶³ for any clip below ~2.1e9 samples. */
+  def audioFingerprint(samples: Array[Short]): Long = {
+    val ns = samples.length
+    if (ns == 0) return 0L
+    val e = new Array[Long](63)
+    var i = 0
+    while (i < ns) {
+      val v = samples(i).toLong
+      e((i.toLong * 63 / ns).toInt) += v * v
+      i += 1
+    }
+    var tot = 0L
+    var j = 0
+    while (j < 63) { tot += e(j); j += 1 }
+    var fp = 0L
+    j = 0
+    while (j < 63) { if (63L * e(j) > tot) fp |= 1L << j; j += 1 }
+    fp
+  }
+
   /** Deterministic synthetic media table derived from `documents`.
     * IMAGE rows carry REAL binary-PPM payloads (small w×h frames whose
     * pixel bytes cycle the document's text bytes); AUDIO rows carry

@@ -1472,7 +1472,14 @@ object Dedup {
       val ts = batchSig
         .select(col("batch_doc"), bandKeyOf(col("mh"), b).as("key"),
           col("s").as("sa"))
-      val joined = bs.join(ts, Seq("key"))
+      // SHUFFLE_HASH, build = the batch side: sort-merge would SORT
+      // both array-bearing sides per pass (the r19 sf1000v maiden run
+      // measured 95 GB of transient sort spill across the 8 passes);
+      // hashing the nightly-batch side instead is ~180 MB of build per
+      // task at 32 partitions and leaves the base side a pure stream.
+      // Bucket width ≤ LshBucketCap bounds per-key amplification, so
+      // no build partition can whale.
+      val joined = bs.join(ts.hint("shuffle_hash"), Seq("key"))
       val fresh =
         if (antiOn && done.nonEmpty)
           joined.join(

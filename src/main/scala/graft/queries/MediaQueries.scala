@@ -626,7 +626,111 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
+  /** AUDIO perceptual dedup — the fingerprint-banding leg the image
+    * modality already has (round-18 verdict item 6): decode the WAV
+    * corpus, fingerprint each clip with the 63-bit gain-invariant
+    * window-energy hash ([[Media.audioFingerprint]] — the DCT-pHash
+    * discipline on the 1-D modality), and dedup through the VERBATIM
+    * judged pair stage ([[phashDedupPairs]]: 16/16/16/15 banding,
+    * first-agreeing-band emission, Hamming ≤ 6 verify fused in the
+    * join) with the q_media_dedup CC tail. The corpus plants its own
+    * perceptual edits: every fifth audio doc also ships a "quiet
+    * re-master" (exact half-gain — PCM values are even by the ×256
+    * construction, so ÷2 is lossless), which the gain-invariance
+    * argument forces to Hamming 0 from its original; the oracle
+    * re-derives fingerprints from the closed-form sample algebra (the
+    * q_media_audio convention — never parsing WAV) through the same
+    * banded candidate SQL, so the cluster census is hash-compared
+    * exactly. Scale shape: decode + fingerprint are scan-local
+    * per-row work, payloads never ride a shuffle, only 8-byte hashes
+    * reach the pair join, and the CC tail is the pointer-jumping
+    * fixpoint. MediaSpec pins planted recall 1.0 (gain edits at ÷2
+    * and ÷4) and the gain-invariance equality itself. */
+  val qMediaAudioDedup: QueryDef = QueryDef.oracle(
+    "q_media_audio_dedup",
+    """WITH RECURSIVE a AS (
+      |  SELECT doc_id, text, n_chars, n_chars % 800 + 64 AS ns
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s0 AS MATERIALIZED (
+      |  SELECT doc_id, i, ns,
+      |    CASE WHEN n_chars = 0 THEN 0 ELSE
+      |      ((ascii(substr(text, CAST(i % n_chars AS INT) + 1, 1)) * (i + 1))
+      |        % 256 - 128) * 256 END AS v
+      |  FROM a, UNNEST(range(0, ns)) t(i)),
+      |s AS MATERIALIZED (
+      |  SELECT doc_id AS media_id, i, ns, v FROM s0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, i, ns, v // 2 FROM s0
+      |  WHERE doc_id % 5 = 1),
+      |e AS MATERIALIZED (
+      |  SELECT media_id, CAST(i * 63 // ns AS INT) AS w,
+      |    SUM(CAST(v AS BIGINT) * v) AS ew
+      |  FROM s GROUP BY 1, 2),
+      |fp AS MATERIALIZED (
+      |  SELECT e.media_id,
+      |    CAST(SUM(CASE WHEN 63 * e.ew > t.et
+      |      THEN (CAST(1 AS BIGINT) << e.w) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM e JOIN (SELECT media_id, SUM(ew) AS et FROM e GROUP BY 1) t
+      |    USING (media_id)
+      |  GROUP BY 1),
+      |phb AS MATERIALIZED (
+      |  SELECT media_id, phash,
+      |    phash & 65535 AS b0, (phash >> 16) & 65535 AS b1,
+      |    (phash >> 32) & 65535 AS b2, (phash >> 48) & 32767 AS b3
+      |  FROM fp),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT da, db FROM (
+      |    SELECT x.media_id AS da, y.media_id AS db FROM phb x
+      |    JOIN phb y ON x.b0 = y.b0 AND x.media_id < y.media_id
+      |    UNION ALL
+      |    SELECT x.media_id, y.media_id FROM phb x
+      |    JOIN phb y ON x.b1 = y.b1 AND x.media_id < y.media_id
+      |    UNION ALL
+      |    SELECT x.media_id, y.media_id FROM phb x
+      |    JOIN phb y ON x.b2 = y.b2 AND x.media_id < y.media_id
+      |    UNION ALL
+      |    SELECT x.media_id, y.media_id FROM phb x
+      |    JOIN phb y ON x.b3 = y.b3 AND x.media_id < y.media_id)),
+      |pr AS MATERIALIZED (
+      |  SELECT c.da, c.db FROM cand c
+      |  JOIN fp x ON x.media_id = c.da
+      |  JOIN fp y ON y.media_id = c.db
+      |  WHERE bit_count(xor(x.phash, y.phash)) <= 6),
+      |edges AS MATERIALIZED (
+      |  SELECT da AS a, db AS b FROM pr
+      |  UNION ALL SELECT db, da FROM pr),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc, MIN(dst) AS cluster FROM reach GROUP BY 1)
+      |SELECT cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(SUM(cluster) AS BIGINT) AS sum_canonical
+      |FROM (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val prints = Media.mediaTable(spark, dir).filter(_.kind == "audio")
+      .flatMap { m =>
+        Media.decodeWavPcm16(m.payload) match {
+          case Some((_, samples)) =>
+            val base = (m.media_id, Media.audioFingerprint(samples))
+            if (m.media_id % 5 == 1) {
+              // quiet re-master: ÷2 is exact on the even-valued PCM,
+              // so the fingerprint is IDENTICAL by gain-invariance
+              val half = samples.map(v => (v / 2).toShort)
+              Seq(base,
+                (m.media_id + 1000000000L, Media.audioFingerprint(half)))
+            } else Seq(base)
+          case None => Seq.empty[(Long, Long)] // non-PCM codec payload
+        }
+      }
+      .toDF("media_id", "phash")
+    graft.operators.ConnectedComponents.summarized(phashDedupPairs(prints))(
+      Dedup.clusterSummary)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qMediaMetadata, qMediaFrames, qMediaFeatures, qMediaAudio,
-      qMediaVideo, qMediaDedup, qMediaJpeg)
+      qMediaVideo, qMediaDedup, qMediaJpeg, qMediaAudioDedup)
 }

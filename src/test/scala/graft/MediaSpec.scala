@@ -268,6 +268,40 @@ class MediaSpec extends SparkSpec {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("audio fingerprint: gain edits flip ZERO bits; dedup leg recall 1.0, no false pairs") {
+    import spark.implicits._
+    // a deterministic pseudo-speech clip: the corpus sample algebra on
+    // a synthetic text, even values by the ×256 construction
+    def clip(seed: Int, n: Int): Array[Short] =
+      Array.tabulate(n)(i => (((seed + i * 31) % 256 - 128) * 256).toShort)
+    val base = clip(7, 777)
+    // gain-invariance, end-to-end: ÷2 and ÷4 are exact on even PCM and
+    // must flip NOTHING (the pHash brightness argument, one modality over)
+    for (g <- Seq(2, 4)) {
+      val quiet = base.map(v => (v / g).toShort)
+      assert(Media.audioFingerprint(base) == Media.audioFingerprint(quiet),
+        s"gain 1/$g changed the fingerprint")
+    }
+    // a localized edit (one window zeroed out) flips only the windows
+    // it touches — the near-dup regime the Hamming ≤ 6 verify admits
+    val clipped = base.clone(); (0 until 12).foreach(i => clipped(i) = 0)
+    val d = java.lang.Long.bitCount(
+      Media.audioFingerprint(base) ^ Media.audioFingerprint(clipped))
+    assert(d <= 6, s"localized edit moved $d bits")
+    // dedup leg over planted edits + unrelated clips: exactly the
+    // planted pairs, nothing else
+    val prints = Seq(
+      1L -> base, 2L -> base.map(v => (v / 2).toShort), 3L -> clipped,
+      10L -> clip(101, 300), 11L -> clip(202, 500), 12L -> clip(55, 640))
+      .map { case (id, s) => (id, Media.audioFingerprint(s)) }
+      .toDF("media_id", "phash")
+    val got = graft.queries.MediaQueries.phashDedupPairs(prints)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+  }
+
   test("histogram banding misses the perceptual duplicates pHash catches") {
     // the documented failure that motivated the round-13 replacement: a
     // +20 brightness shift moves every byte two 16-bins over and a JPEG
