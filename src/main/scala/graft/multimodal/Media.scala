@@ -655,7 +655,13 @@ object Media {
     * ever happens → bit k−1 set for coefficient k = u·8+v. Every step is
     * exact 64-bit integer arithmetic: |F| ≤ 255·2²⁸·64 ≈ 2⁴², and the
     * oracle SQL replays the identical algebra. */
-  def pHash64(w: Int, h: Int, px: Array[Byte]): Long = {
+  /** 8×8 pooled mean-gray cells of an RGB raster — the shared front
+    * half of [[pHash64]] and the cross-modal alignment score (round
+    * 19): pixel (x, y) lands in cell (⌊y·8/h⌋, ⌊x·8/w⌋); each cell is
+    * the integer mean of its pixels' gray = (77r + 150g + 29b) >> 8.
+    * Exact integers end to end, so the closed-form oracle (the
+    * q_media_dedup `pool` CTE) states identical values. */
+  def pooledCells(w: Int, h: Int, px: Array[Byte]): Array[Long] = {
     val sums = new Array[Long](64)
     val cnts = new Array[Long](64)
     var y = 0
@@ -679,6 +685,11 @@ object Media {
       if (cnts(k) > 0) p(k) = sums(k) / cnts(k)
       k += 1
     }
+    p
+  }
+
+  def pHash64(w: Int, h: Int, px: Array[Byte]): Long = {
+    val p = pooledCells(w, h, px)
     val f = new Array[Long](64)
     var u = 0
     while (u < 8) {
@@ -700,7 +711,7 @@ object Media {
       u += 1
     }
     var s = 0L
-    k = 1
+    var k = 1
     while (k < 64) { s += f(k); k += 1 }
     var ph = 0L
     k = 1

@@ -730,7 +730,124 @@ object MediaQueries {
       Dedup.clusterSummary)
   }
 
+  /** CROSS-MODAL pair curation — the CLIP-filter shape (round-18
+    * verdict "what's missing" item 4): media and text compose in one
+    * judged query for the first time. Every (image, caption) pair gets
+    * an alignment score = how many of the image's 64 pooled mean-gray
+    * cells ([[Media.pooledCells]], the pHash front half) EQUAL the
+    * cells a caption-conditioned generator predicts for that caption —
+    * the deterministic stand-in for a learned image–text alignment
+    * model, with the corpus's own closed-form text→raster derivation
+    * playing the model (exact integers, so the score is
+    * oracle-expressible). The pairing table plants its own negatives:
+    * each image is scored against its TRUE caption ('aligned') and
+    * against the next image doc's caption ('shifted' — the mismatched
+    * web-scrape pair a CLIP filter exists to drop); the filter keeps
+    * pairs with ≥ 48/64 matching cells. Lossless containers make
+    * aligned scores exactly 64, so the census separates cleanly.
+    *
+    * Scale shape: the image branch reads the STAGED codec table and
+    * decodes scan-locally (payloads never shuffle — only 12-byte
+    * (id, cell, value) rows do, the pool-CTE shape materialized);
+    * the caption branch is one documents scan through the same pooled
+    * algebra; scoring is two equi-joins + a partial+final count —
+    * no HOFs, no windows, nothing raster-sized on any exchange. */
+  val qMediaCrossmodal: QueryDef = QueryDef.oracle(
+    "q_media_crossmodal",
+    """WITH pimg AS MATERIALIZED (
+      |  SELECT doc_id, n_chars, text,
+      |    n_chars % 24 + 8 AS w, n_chars % 16 + 8 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |gpx AS MATERIALIZED (
+      |  SELECT doc_id, w, h, CAST(i % w AS INT) AS x,
+      |    CAST(i // w AS INT) AS y,
+      |    (77 * b0 + 150 * b1 + 29 * b2) // 256 AS g
+      |  FROM (
+      |    SELECT doc_id, w, h, i,
+      |      CASE WHEN n_chars = 0 THEN 0 ELSE ascii(substr(text,
+      |        CAST((3 * i) % n_chars AS INT) + 1, 1)) END AS b0,
+      |      CASE WHEN n_chars = 0 THEN 0 ELSE ascii(substr(text,
+      |        CAST((3 * i + 1) % n_chars AS INT) + 1, 1)) END AS b1,
+      |      CASE WHEN n_chars = 0 THEN 0 ELSE ascii(substr(text,
+      |        CAST((3 * i + 2) % n_chars AS INT) + 1, 1)) END AS b2
+      |    FROM pimg, UNNEST(range(0, w * h)) t(i))),
+      |pool AS MATERIALIZED (
+      |  SELECT doc_id, (x * 8) // w AS cx, (y * 8) // h AS cy,
+      |    SUM(g) // COUNT(*) AS p
+      |  FROM gpx GROUP BY 1, 2, 3),
+      |cells AS MATERIALIZED (
+      |  SELECT doc_id, cy * 8 + cx AS cell, p FROM pool),
+      |ids AS (SELECT DISTINCT doc_id FROM pimg),
+      |pairs AS MATERIALIZED (
+      |  SELECT 'aligned' AS kind, doc_id AS img_id, doc_id AS cap_id
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT 'shifted', a.doc_id, b.doc_id
+      |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 3),
+      |sc AS MATERIALIZED (
+      |  SELECT p.kind, p.img_id, p.cap_id,
+      |    COUNT(*) FILTER (i.p = c.p) AS matches
+      |  FROM pairs p
+      |  JOIN cells i ON i.doc_id = p.img_id
+      |  JOIN cells c ON c.doc_id = p.cap_id AND c.cell = i.cell
+      |  GROUP BY 1, 2, 3)
+      |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(*) FILTER (4 * matches >= 192) AS BIGINT) AS n_kept,
+      |  CAST(SUM(matches) AS BIGINT) AS sum_matches
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val imgCells = Media.codecMediaTable(spark, dir)
+      .filter(_.kind == "image")
+      .flatMap { m =>
+        Media.decodeImage(m.payload).toSeq.flatMap { case (w, h, px) =>
+          val p = Media.pooledCells(w, h, px)
+          p.indices.map(k => (m.media_id, k, p(k)))
+        }
+      }.toDF("img_id", "cell", "pi")
+    val capCells = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .flatMap { case (id, text, nc) =>
+        // the caption-conditioned cell prediction: the corpus
+        // generator's own text→raster algebra (cycle the UTF-8 bytes
+        // through a w×h RGB raster), pooled by the SAME pooledCells —
+        // one implementation, two modal branches
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = (nc % 24 + 8).toInt
+        val h = (nc % 16 + 8).toInt
+        val px = new Array[Byte](w * h * 3)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < px.length) { px(i) = bytes(i % bytes.length); i += 1 }
+        }
+        val p = Media.pooledCells(w, h, px)
+        p.indices.map(k => (id, k, p(k)))
+      }.toDF("cap_id", "cell", "pc")
+    val ids = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val pairs = ids
+      .select(lit("aligned").as("kind"), col("doc_id").as("img_id"),
+        col("doc_id").as("cap_id"))
+      .unionByName(ids
+        .select(lit("shifted").as("kind"), col("doc_id").as("img_id"),
+          (col("doc_id") + 3).as("cap_id"))
+        .join(ids.select(col("doc_id").as("cap_id")), Seq("cap_id"),
+          "left_semi"))
+    pairs.join(imgCells, "img_id")
+      .join(capCells, Seq("cap_id", "cell"))
+      .groupBy(col("kind"), col("img_id"), col("cap_id"))
+      .agg(count(when(col("pi") === col("pc"), 1)).as("matches"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(lit(4) * col("matches") >= 192, 1)).as("n_kept"),
+        sum("matches").as("sum_matches"))
+      .orderBy("kind")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qMediaMetadata, qMediaFrames, qMediaFeatures, qMediaAudio,
-      qMediaVideo, qMediaDedup, qMediaJpeg, qMediaAudioDedup)
+      qMediaVideo, qMediaDedup, qMediaJpeg, qMediaAudioDedup,
+      qMediaCrossmodal)
 }
