@@ -1474,12 +1474,20 @@ object Dedup {
           col("s").as("sa"))
       // SHUFFLE_HASH, build = the batch side: sort-merge would SORT
       // both array-bearing sides per pass (the r19 sf1000v maiden run
-      // measured 95 GB of transient sort spill across the 8 passes);
-      // hashing the nightly-batch side instead is ~180 MB of build per
-      // task at 32 partitions and leaves the base side a pure stream.
-      // Bucket width ≤ LshBucketCap bounds per-key amplification, so
-      // no build partition can whale.
-      val joined = bs.join(ts.hint("shuffle_hash"), Seq("key"))
+      // measured 95 GB of transient sort spill across the 8 passes).
+      // The build must be SLICED to fit task execution memory: at the
+      // session's 32 partitions one build asks ~512 MB (UnsafeHashed-
+      // Relation is 2-3× the raw bytes) and 32 concurrent requests
+      // exhausted the pool ("Can't acquire ... to build hash relation",
+      // measured). 8× the session partitions puts one build at
+      // ~25-60 MB; the explicit numPartitions makes the shuffle origin
+      // REPARTITION_BY_NUM, which AQE does not re-coalesce. Bucket
+      // width ≤ LshBucketCap bounds per-key amplification, so no build
+      // partition can whale.
+      val parts = spark.sessionState.conf.numShufflePartitions * 8
+      val joined = bs.repartition(parts, col("key"))
+        .join(ts.repartition(parts, col("key")).hint("shuffle_hash"),
+          Seq("key"))
       val fresh =
         if (antiOn && done.nonEmpty)
           joined.join(
