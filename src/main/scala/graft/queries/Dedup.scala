@@ -514,6 +514,125 @@ object Dedup {
           " ").as("t"))
   }
 
+  /** LONGEST duplicated substrings — variable-length maximal repeats,
+    * the suffix-array-class capability the gram family lacked (round-18
+    * "what's missing" item 5: the fixed-granularity span pass detects
+    * duplication AT 8 tokens; this recovers each shared run's EXACT
+    * length and position). The suffix-array result is reconstructed
+    * from the positional gram table by the DIAGONAL decomposition: a
+    * shared token run of length T ≥ g between (a, b) at offsets
+    * (pa₀, pb₀) is EXACTLY T−g+1 consecutive shared g-grams on the
+    * diagonal d = pa − pb, so maximal runs = gaps-and-islands per
+    * (doc_a, doc_b, diagonal) — pa minus its rank is constant within an
+    * island — and len = grams + g − 1 recovers the token length
+    * exactly. No suffix sorting anywhere: one compiled positional-gram
+    * scan, one equi-join on 8-byte gram hashes, one bounded window.
+    *
+    * Scale shape: the pairwise occurrence join is capped by
+    * [[HotGramCap]] — a gram with more corpus occurrences than any
+    * real shared-run population is boilerplate whose pair mass is the
+    * quadratic this family always refuses (the LshBucketCap discipline;
+    * mirrored in the oracle, so the answer is exact over the admitted
+    * gram set: every maximal repeat composed of ≤cap-occurrence grams,
+    * i.e. everything but the hottest template mass, which the
+    * fixed-gram trim pass already cuts). The islands window partitions
+    * by (pair, diagonal) — bounded by a document's length, never a
+    * corpus whale; the final top-k is a distributed TakeOrdered.
+    * Cross-doc only (doc_a < doc_b); within-doc repeats are a
+    * different operator. Hash-vs-string collision tolerance: the
+    * family's standard clause (oracle groups gram STRINGS). */
+  val qDedupLongestSpan: QueryDef = QueryDef.oracle(
+    "q_dedup_longest_span",
+    """WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |occ AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS s
+      |  FROM ws, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+      |hs AS MATERIALIZED (
+      |  SELECT s FROM occ
+      |  GROUP BY s HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(*) <= 64),
+      |p AS MATERIALIZED (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+      |    a.pos - b.pos AS diag
+      |  FROM occ a JOIN hs ON a.s = hs.s JOIN occ b ON b.s = hs.s
+      |  WHERE a.doc_id < b.doc_id),
+      |r AS (
+      |  SELECT da, db, diag, pa,
+      |    pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa)
+      |      AS grp
+      |  FROM p),
+      |runs AS MATERIALIZED (
+      |  SELECT da AS doc_a, db AS doc_b,
+      |    CAST(MIN(pa) AS BIGINT) AS start_a,
+      |    CAST(MIN(pa) - diag AS BIGINT) AS start_b,
+      |    CAST(COUNT(*) + 7 AS BIGINT) AS len_tokens
+      |  FROM r GROUP BY da, db, diag, grp),
+      |u AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, start_a, start_b, len_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY len_tokens DESC, doc_a, doc_b,
+      |      start_a, start_b) AS rn
+      |  FROM runs)
+      |SELECT rn, doc_a, doc_b, start_a, start_b, len_tokens
+      |FROM u WHERE rn <= 20 ORDER BY rn""".stripMargin,
+  ) { (spark, dir) =>
+    longestSpans(Tables(spark, dir).documents.select("doc_id", "text"),
+      8, HotGramCap, 20)
+  }
+
+  /** Pairwise-gram admission cap for [[longestSpans]]: a gram occurring
+    * more than this many times corpus-wide contributes occ² pair rows —
+    * the boilerplate quadratic — while carrying no pair-specific
+    * signal; sized like [[LshBucketCap]] (well above any planted or
+    * organic shared-run population at every measured sf). */
+  private[graft] val HotGramCap = 64
+
+  /** The maximal-repeat pipeline behind q_dedup_longest_span, on any
+    * (doc_id, text) frame — shared with DedupSpec's planted-run
+    * fixtures. Emits the top-k runs as
+    * (rn, doc_a, doc_b, start_a, start_b, len_tokens), positions
+    * 1-based (the oracle's UNNEST(range(1, …)) convention). */
+  private[graft] def longestSpans(
+      input: DataFrame, g: Int, cap: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = input.select(col("doc_id"),
+        graft.functions.GraftFunctions.gramHashes(col("text"), g).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .cache() // feeds admission AND both join sides; harness-cleared
+    val eligible = occ.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("no"))
+      .filter(col("nd") > 1 && col("no") <= cap)
+      .select("h")
+    val dupOcc = occ.join(eligible, "h")
+    val pairs = dupOcc
+      .select(col("h"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(dupOcc.select(col("h"), col("doc_id").as("db"),
+        col("pos").as("pb")), Seq("h"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val island = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    val runs = pairs
+      .withColumn("grp", col("pa") - row_number().over(island))
+      .groupBy("da", "db", "diag", "grp")
+      .agg(min(col("pa")).as("pa0"), count(lit(1)).as("ng"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("pa0") + 1).cast("long").as("start_a"),
+        (col("pa0") - col("diag") + 1).cast("long").as("start_b"),
+        (col("ng") + g - 1).as("len_tokens"))
+    // distributed TakeOrdered, rank window over the k survivors only
+    // (the Graph.top20 pattern)
+    val top = runs.orderBy(col("len_tokens").desc, col("doc_a"),
+      col("doc_b"), col("start_a"), col("start_b")).limit(k)
+    val rankW = Window.orderBy(col("len_tokens").desc, col("doc_a"),
+      col("doc_b"), col("start_a"), col("start_b"))
+    top.withColumn("rn", row_number().over(rankW))
+      .select(col("rn"), col("doc_a"), col("doc_b"), col("start_a"),
+        col("start_b"), col("len_tokens"))
+      .orderBy("rn")
+  }
+
   /** The shared rolling-fingerprint oracle fragment ([[FingerprintSql]]
     * — one definition for every fingerprint-grouping oracle). */
   private val fpSql: String = FingerprintSql.sql("text")
@@ -1993,6 +2112,7 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNormalized, qDedupSubstring, qDedupSubstringTrim,
+    qDedupLongestSpan,
     qDedupNgramJaccard, qDedupContainment, qDedupWinnow,
     qDedupMinhashLsh, qDedupSimhash,
     qDedupClusters,

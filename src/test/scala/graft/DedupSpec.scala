@@ -205,6 +205,32 @@ class DedupSpec extends SparkSpec {
         s"only-single=${(single -- seq).take(3)}")
   }
 
+  test("longest-span: planted maximal runs recovered at exact length and position") {
+    import spark.implicits._
+    // doc1 carries two planted blocks (s: 30 tokens at 1-based pos 6,
+    // u: 12 tokens at pos 46); doc2 shares s, doc3 shares u, doc4
+    // shares only 7 s-tokens — below gram width, must vanish. All
+    // other tokens are globally unique, so no accidental grams.
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val s = toks("s", 30); val u = toks("u", 12)
+    val fixture = Seq(
+      (1L, (toks("w", 5) ++ s ++ toks("x", 10) ++ u ++ toks("y", 3))
+        .mkString(" ")),
+      (2L, (toks("a", 5) ++ s ++ toks("b", 6)).mkString(" ")),
+      (3L, (toks("c", 3) ++ u ++ toks("d", 5)).mkString(" ")),
+      (4L, (toks("e", 1) ++ s.take(7) ++ toks("f", 4)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.longestSpans(fixture, 8, 64, 20).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 2L, 6L, 6L, 30L),
+      (2, 1L, 3L, 46L, 4L, 12L)),
+      s"maximal runs wrong: ${got.mkString(", ")}")
+    // maximality both ways: the 30-run must be ONE island (not split)
+    // and must not leak into the unique flanks (len exactly 30)
+  }
+
   test("exact dedup removes nothing on a duplicate-free corpus") {
     val removed = Dedup.qDedupExact.run(spark, sf)
       .select("n_removed").collect().map(_.getLong(0)).sum
