@@ -264,7 +264,7 @@ object Graph {
     * neighbor SET. */
   private[graft] def labelPropagate(
       edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(seeds) { (labels, _) =>
+    (1 to rounds).foldLeft(seeds) { (labels, r) =>
       val next = edges
         .join(labels.select(col("node").as("dst"), col("lab")), "dst")
         .join(labels.select(col("node").as("src")), Seq("src"), "left_anti")
@@ -272,7 +272,14 @@ object Graph {
         .groupBy(col("src"))
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("lab"))
-      labels.unionByName(next)
+      val acc = labels.unionByName(next)
+      // each round's accumulated table feeds THREE consumers in round
+      // r+1 (neighbor-label join, frozen-node anti, the next union) —
+      // unpersisted, the label DAG re-derives per use and the plan's
+      // codegen unit count compounds per round (measured ~150 compiled
+      // units per execution at 3 rounds). Node-sized caches,
+      // harness-cleared like every interior loop invariant.
+      if (r < rounds) acc.persist() else acc
     }
 
   /** The sf-independent CONVERGENCE graph: the nation↔region commerce
