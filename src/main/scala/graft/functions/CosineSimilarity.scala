@@ -112,6 +112,13 @@ object GraftFunctions {
     GraftColumnBridge.column(PqEncodeCodes(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cbflat)))
 
+  /** Column-API entry point: `pqAdcNative($"codes", $"lut")` — the PQ
+    * asymmetric distance (8 LUT lookups + left-fold sum) as one fused
+    * codegen loop (see [[PqAdc]]). */
+  def pqAdcNative(codes: Column, lut: Column): Column =
+    GraftColumnBridge.column(PqAdc(
+      GraftColumnBridge.expression(codes), GraftColumnBridge.expression(lut)))
+
   /** Column-API entry point: `lshBucket($"embedding", 6)`. */
   def lshBucket(a: Column, nBits: Int): Column =
     GraftColumnBridge.column(HyperplaneBucket(
@@ -199,6 +206,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((L2Squared.ident, L2Squared.info, L2Squared.builder))
     ext.injectFunction((PqEncodeCodes.ident, PqEncodeCodes.info,
       PqEncodeCodes.builder))
+    ext.injectFunction((PqAdc.ident, PqAdc.info, PqAdc.builder))
     ext.injectFunction((NbDotProduct.ident, NbDotProduct.info,
       NbDotProduct.builder))
     ext.injectFunction((JlProject.ident, JlProject.info, JlProject.builder))

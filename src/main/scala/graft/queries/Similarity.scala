@@ -628,14 +628,24 @@ object Similarity {
     val refined = ivfCentroids(n).persist()
     val indexed = ivfNearest(n, refined, "cluster").persist()
     val qProbe = ivfProbes(n, refined, nprobe = 2)
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    // top-5 per query via the bounded-heap aggregate, NOT a row_number
+    // window (the q_embed_project discipline at :996): the window shape
+    // shuffled ALL probe-join candidate rows (~nprobe/k of the corpus
+    // per query — 40 M rows at sf1000v) into EIGHT partitions —
+    // parallelism capped at the query count — and TimSorted each
+    // corpus-sized group. The aggregate keeps per-partition k-bounded
+    // heaps: the exchange carries ≤ 8×5 rows per partition and map-side
+    // parallelism stays at the scan width. Ranking (cos DESC, n_id ASC)
+    // and the emitted rn are identical.
     val res = indexed.join(broadcast(qProbe),
         col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosineSim(col("eq"), col("embedding")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topK(5, col("cos"), col("n_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("col")("id").as("n_id"), round(col("col")("score"), 6).as("cos"))
       .orderBy("q_id", "rn")
     Exec.materialized(res, n, refined, indexed)
   }
@@ -703,14 +713,17 @@ object Similarity {
       n: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
     val qProbe = ivfProbes(n, cents, nprobe = 2)
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    // bounded-heap top-5 per query, not a row_number window (the
+    // q_embed_project discipline — see qSimIvfAnn for the full note)
     lists.join(broadcast(qProbe),
         col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosineSim(col("eq"), col("embedding")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("rn"), col("n_id"), round(col("cos"), 6).as("cos"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topK(5, col("cos"), col("n_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("col")("id").as("n_id"), round(col("col")("score"), 6).as("cos"))
       .orderBy("q_id", "rn")
   }
 
@@ -1842,13 +1855,18 @@ object Similarity {
     val cb = pqCodebook(v)
     val enc = pqEncoded(v, cb)
     val lut = pqLut(pqDists(v.filter(col("vec_id") < 8), cb))
-    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
+    // bounded-heap top-5, not a row_number window (the q_embed_project
+    // discipline): the window shape funneled ALL n×8 ADC rows into 8
+    // partitions; the heap takes the NEGATED distance (IEEE negation is
+    // exact) so (score DESC, id ASC) ≡ (adist ASC, n_id ASC).
     enc.join(broadcast(lut), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), pqAdc.as("adist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("rn"), col("n_id"),
-        round(col("adist"), 6).as("adist"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topK(5, -col("adist"), col("n_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("col")("id").as("n_id"),
+        round(-col("col")("score"), 6).as("adist"))
       .orderBy("q_id", "rn")
   }
 
@@ -1863,10 +1881,21 @@ object Similarity {
         array_sort(collect_list(struct(col("code"), col("sub"), col("dist")))),
         s => s.getField("dist")).as("lut"))
 
-  /** The ADC distance expression: 8 lookups + 7 left-associated adds
-    * over `lut` (8×k doubles, (code, sub)-ordered) and `codes` (8 ints,
-    * sub-ordered) — matches the oracle's explicit chain bit-for-bit. */
+  /** The ADC distance: 8 lookups + 7 left-associated adds over `lut`
+    * (8×k doubles, (code, sub)-ordered) and `codes` (8 ints,
+    * sub-ordered) — matches the oracle's explicit chain bit-for-bit.
+    * Native fused codegen loop ([[graft.functions.PqAdc]]) since round
+    * 20: the Column chain below was 8 element_at + 7 Add nodes PER
+    * CANDIDATE ROW — q_sim_ivfpq burned 3,972 CPU-s warm at sf1000v in
+    * exactly this stage. SimilaritySpec pins native ≡ chain on the
+    * live corpus. */
   private[graft] def pqAdc: Column =
+    graft.functions.GraftFunctions.pqAdcNative(col("codes"), col("lut"))
+
+  /** The interpreted Column-chain twin of [[pqAdc]] — kept ONLY as the
+    * equality oracle for the native kernel (the graft_tokens/toks()
+    * twin discipline): same 0-based lookups, same left-fold order. */
+  private[graft] def pqAdcChain: Column =
     (0 until pqSubs).map { s =>
       element_at(col("lut"),
         element_at(col("codes"), s + 1) * lit(pqSubs) + lit(s + 1))
@@ -1971,14 +2000,24 @@ object Similarity {
     val qrows = ivfProbes(nv, cents, nprobe = 2)
       .join(lut, "q_id")
       .select(col("q_id"), col("probe"), col("lut"))
-    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
+    // top-5 per query via the bounded-heap aggregate, NOT a row_number
+    // window (the q_embed_project discipline at :996): the window shape
+    // shuffled the full ADC-scored candidate mass (~nprobe/k of the
+    // corpus per query) into EIGHT partitions and TimSorted each
+    // corpus-sized group — the single largest non-LSH sf1000v cost.
+    // TopKAgg ranks (score DESC, id ASC), so the heap takes the NEGATED
+    // distance — IEEE negation is exact, giving (adist ASC, n_id ASC)
+    // bit-identically — and the readout negates back before the 6dp
+    // display rounding. The exchange carries ≤ 8×5 rows per partition.
     val res = enc.join(broadcast(qrows),
         col("cluster") === col("probe") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), pqAdc.as("adist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("rn"), col("n_id"),
-        round(col("adist"), 6).as("adist"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topK(5, -col("adist"), col("n_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("col")("id").as("n_id"),
+        round(-col("col")("score"), 6).as("adist"))
       .orderBy("q_id", "rn")
     Exec.materialized(res, nv, cents)
   }

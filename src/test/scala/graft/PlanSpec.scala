@@ -293,6 +293,29 @@ class PlanSpec extends SparkSpec {
       s"centroid TRAINING aggregate in the merged-query plan:\n${p.take(4000)}")
   }
 
+  test("ANN readouts: bounded-heap top-k — no rank window over the scored candidate mass") {
+    // the round-18 q_embed_project discipline, catalog-wide since round
+    // 20: the ONLY window an ANN read plan may carry is the 8×k≤16
+    // probe ranking (ivfProbes). A row_number window over the scored
+    // candidates funnels ~corpus/8 rows into EIGHT partitions
+    // (parallelism = query count) and TimSorts corpus-sized groups —
+    // the named 100× scale-killer the bounded-heap TopKAgg replaces.
+    for (name <- Seq("q_sim_ivf_ann", "q_sim_ivfpq", "q_sim_ivf_incremental",
+        "q_sim_ivf_merge", "q_sim_pq_search")) {
+      val p0 = plan(name)
+      // AQE toString renders the plan twice (== Final Plan == then
+      // == Initial Plan ==); count operators in the final section only
+      val p = p0.split("== Initial Plan ==").head
+      val windows = "Window \\[".r.findAllIn(p).size
+      val cap = if (name == "q_sim_pq_search") 0 else 1 // probe ranking only
+      assert(windows <= cap,
+        s"$name: $windows Window ops (cap $cap) — candidate rank window " +
+          s"sneaked back:\n${p.take(4000)}")
+      assert(p.contains("TopKAgg"),
+        s"$name: bounded-heap top-k aggregate absent:\n${p.take(4000)}")
+    }
+  }
+
   test("projected-IVF retrieval: scores the 8-dim sidecar, never retrains, never scans raw lists") {
     // the composition contract: candidate scoring reads the projected
     // sidecar (<base index>.jl_v1/plists — 8-dim rows; the path derives

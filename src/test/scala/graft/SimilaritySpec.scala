@@ -109,16 +109,60 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(0) == 25.0)
   }
 
+  test("native graft_pq_adc equals the element_at chain bit-for-bit over the corpus") {
+    // the arithmetic contract behind q_sim_pq_search / q_sim_ivfpq: the
+    // fused loop must be the SAME left-associated 8-lookup sum as the
+    // Column chain it replaced (and as the oracle's explicit SQL sum)
+    import org.apache.spark.sql.functions._
+    val v = Similarity.normalized(
+      Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding")))
+    val cb = Similarity.pqCodebook(v)
+    val enc = Similarity.pqEncoded(v, cb)
+    val lut = Similarity.pqLut(
+      Similarity.pqDists(v.filter(col("vec_id") < 8), cb))
+    val bad = enc.join(broadcast(lut), col("vec_id") =!= col("q_id"))
+      .filter(Similarity.pqAdc =!= Similarity.pqAdcChain)
+      .count()
+    assert(bad == 0, "graft_pq_adc drifts from the element_at chain")
+  }
+
+  test("graft_pq_adc works from pure SQL via the registered function") {
+    // codes all 0 → 0-based lut indices 0..7 → 1+2+…+8 = 36
+    val r = spark.sql(
+      "SELECT graft_pq_adc(array(0,0,0,0,0,0,0,0), " +
+        "array(1.0D,2.0D,3.0D,4.0D,5.0D,6.0D,7.0D,8.0D)) AS d").head()
+    assert(r.getDouble(0) == 36.0)
+  }
+
+  test("graft_pq_adc rejects malformed shapes loudly (no silent misindex)") {
+    // 7 codes, and an out-of-k code id: both must throw, not misread
+    intercept[Exception] {
+      spark.sql("SELECT graft_pq_adc(array(0,0,0,0,0,0,0), " +
+        "array(1.0D,2.0D,3.0D,4.0D,5.0D,6.0D,7.0D,8.0D))").head()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_pq_adc(array(5,0,0,0,0,0,0,0), " +
+        "array(1.0D,2.0D,3.0D,4.0D,5.0D,6.0D,7.0D,8.0D))").head()
+    }
+  }
+
   test("native expressions: interpreted eval equals codegen over the corpus") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions._
+    // pq_adc inputs derived from the row (non-foldable, so ConstantFolding
+    // can't pre-evaluate them): k=2 lut from the vector's first 16 dims,
+    // codes alternating with the row's parity
+    val codes = array((0 until 8).map(s =>
+      ((col("vec_id") + s) % 2).cast("int")): _*)
     val e = Tables(spark, sf).embeddings
       .select(col("vec_id"), lshBucket(col("embedding"), 6).as("b"),
         cosineSim(col("embedding"), col("embedding")).as("c"),
-        l2sq(col("embedding"), reverse(col("embedding"))).as("l"))
+        l2sq(col("embedding"), reverse(col("embedding"))).as("l"),
+        pqAdcNative(codes,
+          slice(col("embedding"), 1, 16).cast("array<double>")).as("a"))
     def snap() = e.collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
     val codegen = snap()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
