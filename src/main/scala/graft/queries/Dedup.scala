@@ -538,9 +538,13 @@ object Dedup {
     * fixed-gram trim pass already cuts). The islands window partitions
     * by (pair, diagonal) — bounded by a document's length, never a
     * corpus whale; the final top-k is a distributed TakeOrdered.
-    * Cross-doc only (doc_a < doc_b); within-doc repeats are a
-    * different operator. Hash-vs-string collision tolerance: the
-    * family's standard clause (oracle groups gram STRINGS). */
+    * Cross-doc only (doc_a < doc_b); within-doc repeats are
+    * [[qDedupSelfSpan]]. Hash-vs-string collision tolerance: the
+    * family's standard clause (oracle groups gram STRINGS) — and here,
+    * because ADMISSION (doc-count > 1, occurrences ≤ cap) is decided
+    * per gram, a collision at either boundary can also SPLIT or EXTEND
+    * a reported run (perturbing its length/position), not merely add
+    * or drop a pair (round-19 advice note). */
   val qDedupLongestSpan: QueryDef = QueryDef.oracle(
     "q_dedup_longest_span",
     """WITH ws AS (
@@ -631,6 +635,142 @@ object Dedup {
       .select(col("rn"), col("doc_a"), col("doc_b"), col("start_a"),
         col("start_b"), col("len_tokens"))
       .orderBy("rn")
+  }
+
+  /** WITHIN-DOC repeats — the self-join arm q_dedup_longest_span's
+    * scaladoc defers: the same diagonal decomposition with
+    * doc_a = doc_b and pa < pb (so diag = pb − pa > 0 — occurrence
+    * pairs instead of document pairs), COMPOSED with the
+    * q_dedup_substring_trim cut-set algebra self-scoped so the operator
+    * REWRITES, not just reports: per (doc, gram) the earliest
+    * occurrence is the owner, every later occurrence's token cover is
+    * cut, and the doc reassembles on single spaces. One row per doc
+    * that carries an admitted in-doc repeat: the run census (n_runs
+    * islands, exact max run length via len = grams + g − 1) next to the
+    * rewrite receipt (tokens cut, before-size, md5 of the deduped
+    * text — lowercase hex on both engines).
+    *
+    * g = 3 here, not the cross-doc 8: within one document the
+    * duplication that matters is the repeated phrase/sentence (a
+    * training-data degeneracy signal — loops in generated text, copied
+    * boilerplate paragraphs), and organic in-doc repeats are short;
+    * the corpus carries 3-token repeats at every sf while 8-token
+    * in-doc runs exist only when planted (DedupSpec does).
+    *
+    * Scale shape: everything is per-doc — admission (count > 1,
+    * ≤ [[HotGramCap]] — the occ² pair mass of a degenerate
+    * one-token-repeated doc is the quadratic the cap refuses), the
+    * occurrence self-join (keyed by (doc, gram) — never crosses
+    * documents, so no corpus-pair mass exists at any scale), the
+    * islands window (partitioned by (doc, diag) — bounded by doc
+    * length), and the positional cut. Nothing corpus-sized shuffles
+    * beyond the gram table itself.
+    *
+    * Collision tolerance: the family's standard clause (64-bit gram
+    * hashes vs the oracle's gram strings), with the longest-span
+    * refinement — an admission-boundary collision can split/extend a
+    * run and perturb the cut set, and since the md5 of the rewritten
+    * text is pinned, such a collision fails the hash-match outright
+    * rather than silently (the q_dedup_substring_trim clause). */
+  val qDedupSelfSpan: QueryDef = QueryDef.oracle(
+    "q_dedup_selfspan",
+    """WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |occ AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS s
+      |  FROM ws, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      |rep AS MATERIALIZED (
+      |  SELECT doc_id, s, MIN(pos) AS own
+      |  FROM occ GROUP BY 1, 2 HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
+      |docc AS MATERIALIZED (
+      |  SELECT o.doc_id, o.s, o.pos, r.own
+      |  FROM occ o JOIN rep r ON o.doc_id = r.doc_id AND o.s = r.s),
+      |p AS (
+      |  SELECT a.doc_id, a.pos AS pa, b.pos - a.pos AS diag
+      |  FROM docc a JOIN docc b
+      |    ON a.doc_id = b.doc_id AND a.s = b.s AND a.pos < b.pos),
+      |r AS (
+      |  SELECT doc_id, diag,
+      |    pa - ROW_NUMBER() OVER (PARTITION BY doc_id, diag ORDER BY pa)
+      |      AS grp
+      |  FROM p),
+      |isl AS (SELECT doc_id, COUNT(*) AS ng FROM r GROUP BY doc_id, diag, grp),
+      |runs AS MATERIALIZED (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+      |    CAST(MAX(ng + 2) AS BIGINT) AS max_len_tokens
+      |  FROM isl GROUP BY doc_id),
+      |cut AS (
+      |  SELECT DISTINCT d.doc_id, u.ti
+      |  FROM docc d, UNNEST(range(d.pos, d.pos + 3)) AS u(ti)
+      |  WHERE d.pos <> d.own),
+      |cuta AS MATERIALIZED (
+      |  SELECT doc_id, list(ti) AS cut,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tokens_cut
+      |  FROM cut GROUP BY doc_id)
+      |SELECT w.doc_id, rr.n_runs, rr.max_len_tokens, c.n_tokens_cut,
+      |  CAST(len(w.ws) AS BIGINT) AS toks_before,
+      |  md5(array_to_string(
+      |    list_filter(w.ws, (x, i) -> NOT list_contains(c.cut, i)), ' '))
+      |    AS t_md5
+      |FROM ws w JOIN runs rr ON w.doc_id = rr.doc_id
+      |  JOIN cuta c ON w.doc_id = c.doc_id
+      |ORDER BY w.doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    selfSpans(Tables(spark, dir).documents.select("doc_id", "text"),
+      3, HotGramCap)
+  }
+
+  /** The within-doc repeat pipeline behind q_dedup_selfspan, on any
+    * (doc_id, text) frame — shared with DedupSpec's planted-run
+    * fixture. Emits one row per doc with admitted in-doc repeats:
+    * (doc_id, n_runs, max_len_tokens, n_tokens_cut, toks_before,
+    * t_md5). */
+  private[graft] def selfSpans(
+      input: DataFrame, g: Int, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withToks = input.select(col("doc_id"), toks(col("text")).as("ws"),
+      graft.functions.GraftFunctions.gramHashes(col("text"), g).as("hs"))
+    val occ = withToks
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .cache() // feeds admission AND both self-join sides; harness-cleared
+    val rep = occ.groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("no"), min(col("pos")).as("own"))
+      .filter(col("no") > 1 && col("no") <= cap)
+      .select("doc_id", "h", "own")
+    val docc = occ.join(rep, Seq("doc_id", "h"))
+    val pairs = docc.select(col("doc_id"), col("h"), col("pos").as("pa"))
+      .join(docc.select(col("doc_id"), col("h"), col("pos").as("pb")),
+        Seq("doc_id", "h"))
+      .filter(col("pa") < col("pb"))
+      .select(col("doc_id"), col("pa"), (col("pb") - col("pa")).as("diag"))
+    val island = Window.partitionBy("doc_id", "diag").orderBy("pa")
+    val runs = pairs
+      .withColumn("grp", col("pa") - row_number().over(island))
+      .groupBy(col("doc_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("ng"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("ng") + g - 1).as("max_len_tokens"))
+    val cut = docc.filter(col("pos") =!= col("own"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + g - 1)).as("ti"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(collect_list(col("ti")).as("cut"),
+        count(lit(1)).as("n_tokens_cut"))
+    withToks.join(runs, "doc_id").join(cut, "doc_id")
+      .select(col("doc_id"), col("n_runs"), col("max_len_tokens"),
+        col("n_tokens_cut"), size(col("ws")).cast("long").as("toks_before"),
+        md5(array_join(
+          filter(
+            zip_with(col("ws"), sequence(lit(0), size(col("ws")) - 1),
+              (w, i) => when(array_contains(col("cut"), i), lit(null))
+                .otherwise(w)),
+            x => x.isNotNull),
+          " ").cast("binary")).as("t_md5"))
+      .orderBy("doc_id")
   }
 
   /** The shared rolling-fingerprint oracle fragment ([[FingerprintSql]]
@@ -1622,11 +1762,24 @@ object Dedup {
         .filter(lit(3) * col("n_shared")
           >= col("n_batch_shingles") + col("n_base_shingles"))
       val qe = verified.queryExecution
-      val ck = verified.localCheckpoint(eager = true)
-      // the checkpoint above cut ck's lineage, so this pass's shuffle
-      // files are dead weight — delete them NOW (same ShuffleDependency
-      // instances: exchange nodes cache theirs), not at next GC
-      qe.toRdd.cleanShuffleDependencies(blocking = true)
+      // LOCAL-MODE-ONLY scratch reclamation (round-19 advice): the
+      // lineage cut + eager shuffle delete below is exactly the
+      // single-box discipline this method exists for — on a cluster a
+      // lost executor would make the non-reliable localCheckpoint
+      // blocks unrecoverable (no lineage to recompute). Off local[*]
+      // the survivors stay a persisted plan (lineage intact, shuffle
+      // files GC'd normally) — and per the scaladoc the single-pass
+      // plan should be used there anyway.
+      val ck =
+        if (spark.sparkContext.isLocal) {
+          val c = verified.localCheckpoint(eager = true)
+          // the checkpoint cut c's lineage, so this pass's shuffle
+          // files are dead weight — delete them NOW (same Shuffle-
+          // Dependency instances: exchange nodes cache theirs), not at
+          // next GC
+          qe.toRdd.cleanShuffleDependencies(blocking = true)
+          c
+        } else verified.persist()
       survCount += ck.count()
       if (survCount > LshBroadcastSemiIds) antiOn = false
       done = done :+ ck
@@ -2112,7 +2265,7 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNormalized, qDedupSubstring, qDedupSubstringTrim,
-    qDedupLongestSpan,
+    qDedupLongestSpan, qDedupSelfSpan,
     qDedupNgramJaccard, qDedupContainment, qDedupWinnow,
     qDedupMinhashLsh, qDedupSimhash,
     qDedupClusters,

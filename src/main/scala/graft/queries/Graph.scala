@@ -264,22 +264,33 @@ object Graph {
     * neighbor SET. */
   private[graft] def labelPropagate(
       edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(seeds) { (labels, r) =>
-      val next = edges
-        .join(labels.select(col("node").as("dst"), col("lab")), "dst")
-        .join(labels.select(col("node").as("src")), Seq("src"), "left_anti")
-        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
-        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("lab"))
-      val acc = labels.unionByName(next)
-      // each round's accumulated table feeds THREE consumers in round
-      // r+1 (neighbor-label join, frozen-node anti, the next union) —
-      // unpersisted, the label DAG re-derives per use and the plan's
-      // codegen unit count compounds per round (measured ~150 compiled
-      // units per execution at 3 rounds). Node-sized caches,
-      // harness-cleared like every interior loop invariant.
-      if (r < rounds) acc.persist() else acc
+    labelPropagateCached(edges, seeds, rounds)._1
+
+  /** [[labelPropagate]] plus its interior caches: each round's
+    * accumulated label table feeds THREE consumers in round r+1
+    * (neighbor-label join, frozen-node anti, the next union) —
+    * unpersisted, the label DAG re-derives per use and the plan's
+    * codegen unit count compounds per round (measured ~150 compiled
+    * units per execution at 3 rounds). The rounds−1 node-sized caches
+    * are RETURNED so the caller can free them deterministically once
+    * its result materializes (hand them to Exec.materialized, the
+    * qGraphLabelProp shape) instead of leaking them until the
+    * harness's clearCache — the round-19 advice nit. */
+  private[graft] def labelPropagateCached(
+      edges: DataFrame, seeds: DataFrame,
+      rounds: Int): (DataFrame, Seq[DataFrame]) =
+    (1 to rounds).foldLeft((seeds, Seq.empty[DataFrame])) {
+      case ((labels, cached), r) =>
+        val next = edges
+          .join(labels.select(col("node").as("dst"), col("lab")), "dst")
+          .join(labels.select(col("node").as("src")), Seq("src"), "left_anti")
+          .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("src").as("node"), (-col("m.nl")).as("lab"))
+        val acc = labels.unionByName(next)
+        if (r < rounds) { val p = acc.persist(); (p, cached :+ p) }
+        else (acc, cached)
     }
 
   /** The sf-independent CONVERGENCE graph: the nation↔region commerce

@@ -457,10 +457,10 @@ object Sampling {
     * Scale shape: one corpus scan per round, with the ≤k−1 selected
     * centers UNROLLED AS LITERALS into a single codegen projection
     * (`greatest(cos(e, c₁), …)`) — no join, no groupBy, no window; the
-    * only movement per round is a TakeOrdered(1) and a pushed-filter
-    * pinpoint lookup of the winner's embedding. The k·scan cost is the
-    * honest distributed k-center bound; the ≤2k driver rows are the
-    * BpeMerges-class bounded artifact. */
+    * only movement per round is ONE TakeOrdered(1) row that carries the
+    * winner's embedding alongside its argmin score. The (k−1)·scan cost
+    * is the honest distributed k-center bound; the ≤2k driver rows are
+    * the BpeMerges-class bounded artifact. */
   private[graft] def kCenterGreedy(
       vecs: DataFrame, k: Int): Seq[(Int, Long, Double)] = {
     val seed = vecs.orderBy("vec_id").limit(1)
@@ -471,12 +471,15 @@ object Sampling {
         .cosineSim(col("embedding"), typedLit(c._2)))
       val mx = if (coss.size == 1) coss.head else greatest(coss: _*)
       val ids = sel.map(_._1)
+      // the winner's embedding rides the SAME TakeOrdered(1) row as the
+      // argmin (round-19 advice nit: a separate pinpoint lookup doubled
+      // the honest k-scan bound to 2(k−1) scans) — one ~300-byte row
+      // per partition through the take, one scan per round
       val win = vecs.filter(!col("vec_id").isin(ids: _*))
-        .select(col("vec_id"), mx.as("mx"))
+        .select(col("vec_id"), col("embedding"), mx.as("mx"))
         .orderBy(col("mx").asc, col("vec_id").asc).limit(1).collect()(0)
-      val emb = vecs.filter(col("vec_id") === win.getLong(0))
-        .select("embedding").collect()(0).getSeq[Float](0).toArray
-      sel = sel :+ ((win.getLong(0), emb, 1.0 - win.getDouble(1)))
+      sel = sel :+ ((win.getLong(0), win.getSeq[Float](1).toArray,
+        1.0 - win.getDouble(2)))
     }
     sel.zipWithIndex.map { case ((id, _, gap), i) => (i + 1, id, gap) }
   }

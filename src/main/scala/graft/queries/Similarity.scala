@@ -2270,13 +2270,13 @@ object Similarity {
       .distinct().persist()
     val seeds = lists.filter(col("vec_id") % 17 === 0)
       .select(col("vec_id").as("node"), col("cluster").as("lab"))
-    val labels = Graph.labelPropagate(edges, seeds, 3)
+    val (labels, roundCaches) = Graph.labelPropagateCached(edges, seeds, 3)
     val out = lists.select(col("vec_id"))
       .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
       .groupBy(coalesce(col("lab"), lit(-1)).cast("long").as("label"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("label")
-    Exec.materialized(out, edges)
+    Exec.materialized(out, edges +: roundCaches: _*)
   }
 
   val all: Seq[QueryDef] = Seq(

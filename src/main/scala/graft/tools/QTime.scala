@@ -49,7 +49,14 @@ object QTime {
           case Some(m) => m.invoke(bus, java.lang.Long.valueOf(5000L)); ()
           case None => Thread.sleep(300)
         }
-      } catch { case _: Throwable => Thread.sleep(300) }
+      } catch {
+        // NonFatal only: swallowing OOM/fatal errors (or an interrupt,
+        // without restoring the flag) into a 300 ms sleep hid them —
+        // the round-19 advice nit
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => Thread.sleep(300)
+      }
     }
     val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
     val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)

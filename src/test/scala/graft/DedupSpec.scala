@@ -231,6 +231,36 @@ class DedupSpec extends SparkSpec {
     // and must not leak into the unique flanks (len exactly 30)
   }
 
+  test("selfspan: planted in-doc repeat at exact length; rewrite cuts only the later occurrence") {
+    import spark.implicits._
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    // doc1: a 5-token phrase planted twice (0-based pos 5 and 20) in
+    // otherwise-unique tokens; doc2 repeat-free; doc3 a degenerate
+    // one-token loop whose single gram (68 occurrences) is over the
+    // cap and must be refused, not quadratically joined
+    val p5 = toks("p", 5)
+    val fixture = Seq(
+      (1L, (toks("w", 5) ++ p5 ++ toks("x", 10) ++ p5 ++ toks("y", 3))
+        .mkString(" ")),
+      (2L, toks("z", 8).mkString(" ")),
+      (3L, Seq.fill(70)("r").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.selfSpans(fixture, 3, 64).collect()
+    assert(got.length == 1,
+      s"only doc 1 carries an admitted repeat: ${got.mkString(", ")}")
+    val r = got.head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 1L, s"one island expected: $r")
+    assert(r.getLong(2) == 5L, s"exact planted run length: $r")
+    assert(r.getLong(3) == 5L, s"cut = the second occurrence only: $r")
+    assert(r.getLong(4) == 28L, s"toks_before: $r")
+    val rewritten = (toks("w", 5) ++ p5 ++ toks("x", 10) ++ toks("y", 3))
+      .mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(rewritten.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(5) == md, s"rewrite must drop tokens 20-24 only: $r")
+  }
+
   test("exact dedup removes nothing on a duplicate-free corpus") {
     val removed = Dedup.qDedupExact.run(spark, sf)
       .select("n_removed").collect().map(_.getLong(0)).sum
