@@ -787,7 +787,7 @@ object Dedup {
     * LSH oracle and the incremental banded-index oracle — the two sides'
     * signature algebra must never drift, on the SQL side exactly as on
     * the Spark side. */
-  private def lshOracleProgram(
+  private[graft] def lshOracleProgram(
       src: String, keys: Seq[String]): Seq[(String, String)] = {
     val k = keys.mkString(", ")
     val kg = keys.map("g." + _).mkString(", ")
@@ -1806,12 +1806,22 @@ object Dedup {
     * q_dedup_ngram_jaccard pairs, and precision via the verify step. */
   val qDedupMinhashLsh: QueryDef = QueryDef.oracle(
     "q_dedup_minhash_lsh", minhashLshOracleSql) { (spark, dir) =>
+      minhashLshVerified(Tables(spark, dir).documents.select("doc_id", "text"))
+  }
+
+  /** The full shingle → minhash → band → bucket-join → Jaccard-verify
+    * pipeline of [[qDedupMinhashLsh]] on any (doc_id, text) frame —
+    * factored (round 20) so the cross-modal pair dedup's caption leg
+    * runs the IDENTICAL algebra (one implementation, one oracle
+    * rendering — the two can never drift). Emits confirmed
+    * (doc_a, doc_b, n_inter, n_union), ordered. */
+  private[graft] def minhashLshVerified(input: DataFrame): DataFrame = {
       // cached: the shingle-hash arrays feed the signature build AND both
       // sides of the candidate-verification rejoin (hashes, not strings —
       // graft_minhash consumes them directly and exact-Jaccard
       // verification intersects them with identical counts, so the
       // strings never materialize at all)
-      val docs = Tables(spark, dir).documents
+      val docs = input
         .select(col("doc_id"),
           graft.functions.GraftFunctions.shingleHashes(col("text")).as("s"))
         .filter(size(col("s")) > 0)

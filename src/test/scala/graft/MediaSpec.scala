@@ -268,6 +268,45 @@ class MediaSpec extends SparkSpec {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("pair dedup: same-image-new-caption and same-caption-reencoded-image recall 1.0") {
+    import spark.implicits._
+    // the LAION post-filter composition, on planted fixtures: pair 1001
+    // reuses pair 1's image (JPEG re-encode — phash near, not equal)
+    // under a fresh caption; pair 2002 reuses pair 2's caption verbatim
+    // over a brand-new image. Both MUST drop to their base pair; the
+    // two unrelated base pairs must both survive.
+    val (w, h) = (48, 32)
+    val imgA = texture(w, h, 1, 0, 12)
+    val imgB = texture(w, h, 2, 1, 36)
+    val imgC = texture(w, h, 1, 2, 18)
+    def ph(px: Array[Byte]) = Media.pHash64(w, h, px)
+    def jpegPh(px: Array[Byte]) = {
+      val Some((dw, dh, dec)) =
+        Media.decodeImage(Media.encodeImage("jpg", w, h, px))
+      Media.pHash64(dw, dh, dec)
+    }
+    val capA = "the quick brown fox jumps over the lazy dog tonight"
+    val capB = "colorless green ideas sleep furiously under warm rain"
+    val capC = "a completely fresh unrelated caption about mountain lakes"
+    val caps = Seq(
+      (1L, capA), (2L, capB),
+      (1000000001L, capC), // same image as 1, new caption
+      (2000000002L, capB)) // same caption as 2, new image
+      .toDF("pair_id", "text")
+    val imgs = Seq(
+      (1L, ph(imgA)), (2L, ph(imgB)),
+      (1000000001L, jpegPh(imgA)), (2000000002L, ph(imgC)))
+      .toDF("media_id", "phash")
+    val got = graft.queries.MediaQueries.pairDedupCensus(caps, imgs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("base") == ((2L, 0L, 0L)), s"bases must survive: $got")
+    assert(got("img_dup") == ((1L, 1L, 1000000001L)),
+      s"same-image-new-caption must drop: $got")
+    assert(got("cap_dup") == ((1L, 1L, 2000000002L)),
+      s"same-caption-new-image must drop: $got")
+  }
+
   test("audio fingerprint: gain edits flip ZERO bits; dedup leg recall 1.0, no false pairs") {
     import spark.implicits._
     // a deterministic pseudo-speech clip: the corpus sample algebra on
