@@ -326,8 +326,74 @@ object Aggregates {
     }.toString
   }
 
+  /** MERGEABLE QUANTILE SKETCH union — percentiles with the
+    * q_agg_sketch_union staged-rollup economics ([[graft.functions
+    * .QuantileHistAgg]]): stage 1 builds one fixed-boundary histogram
+    * sketch per (flag, linenumber) shard through the UDAF's
+    * partial+final update path; stage 2 UNIONS the shard sketches per
+    * flag through the dedicated union aggregate (exact integer vector
+    * addition — associative and parallelism-invariant, which is what a
+    * GK/t-digest-class sketch cannot offer a hash-checked pipeline);
+    * the readout picks p50/p95/p99 as the smallest bucket whose
+    * cumulative count reaches ⌈q·n⌉ — exact integer arithmetic the
+    * oracle states verbatim over the same histogram definition.
+    *
+    * Scale shape: raw data is touched exactly once (stage 1, map-side
+    * partials); everything after is config-sized — 32 KB vectors per
+    * shard, a union shuffle of O(shards) rows, a cumulative window
+    * over ≤ 4096-row groups. At 100 TB the shard sketches are the
+    * persisted nightly artifact and day-2 percentile reads run stage 2
+    * alone — the HDR-histogram operational pattern.
+    * AggregatesSpec pins merge associativity/commutativity directly
+    * and parallelism-invariance of the whole pipeline. */
+  val qAggQuantileSketch: QueryDef = QueryDef.oracle(
+    "q_agg_quantile_sketch",
+    """WITH b AS (
+      |  SELECT l_returnflag AS scope,
+      |    LEAST(4095, GREATEST(0,
+      |      CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 32) AS BIGINT)))
+      |      AS bucket
+      |  FROM lineitem),
+      |h AS (SELECT scope, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT scope, bucket, c,
+      |    SUM(c) OVER (PARTITION BY scope ORDER BY bucket) AS cum,
+      |    SUM(c) OVER (PARTITION BY scope) AS n
+      |  FROM h)
+      |SELECT scope, CAST(MAX(n) AS BIGINT) AS n_rows,
+      |  CAST(MIN(CASE WHEN 100 * cum >= 50 * n THEN bucket END) * 32
+      |    AS BIGINT) AS p50,
+      |  CAST(MIN(CASE WHEN 100 * cum >= 95 * n THEN bucket END) * 32
+      |    AS BIGINT) AS p95,
+      |  CAST(MIN(CASE WHEN 100 * cum >= 99 * n THEN bucket END) * 32
+      |    AS BIGINT) AS p99
+      |FROM cum GROUP BY scope ORDER BY scope""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("scope"), col("l_linenumber"),
+        col("l_extendedprice").cast("double").as("v"))
+    val shards = li.groupBy("scope", "l_linenumber")
+      .agg(graft.functions.QuantileHistAgg.sketch(col("v")).as("sk"))
+    val merged = shards.groupBy("scope")
+      .agg(graft.functions.QuantileHistAgg.union(col("sk")).as("sk"))
+    val hist = merged
+      .select(col("scope"), posexplode(col("sk")).as(Seq("bucket", "c")))
+      .filter(col("c") > 0)
+    def q(p: Int) =
+      (min(when(col("cum") * 100 >= col("n") * p, col("bucket"))) * 32)
+        .cast("long").as(s"p$p")
+    hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("scope").orderBy("bucket")))
+      .withColumn("n", sum("c").over(Window.partitionBy("scope")))
+      .groupBy("scope")
+      .agg(max("n").as("n_rows"), q(50), q(95), q(99))
+      .orderBy("scope")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qAggDistinct, qAggApproxDistinct, qAggCube, qAggRollup, qAggGroupingSets,
     qAggStats, qAggConditional, qAggCollect, qAggUnpivot, qAggPercentile,
-    qAggSketchUnion)
+    qAggSketchUnion, qAggQuantileSketch)
 }

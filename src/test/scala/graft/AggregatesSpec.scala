@@ -44,6 +44,45 @@ class AggregatesSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("quantile sketch: exact-integer merge is associative and parallelism-invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{QuantileHistAgg, QuantileHistUnionAgg}
+    import spark.implicits._
+    // the algebra, pinned directly on the aggregator: (x⊕y)⊕z = x⊕(y⊕z)
+    // and x⊕y = y⊕x, as EXACT arrays (merge mutates its left arg — feed
+    // it clones, the same contract Spark's ObjectAggregation honors)
+    val u = new QuantileHistUnionAgg(4)
+    val (x, y, z) = (Array(1L, 0L, 5L, 2L), Array(0L, 7L, 1L, 0L),
+      Array(3L, 3L, 0L, 9L))
+    val left = u.merge(u.merge(x.clone(), y.clone()), z.clone())
+    val right = u.merge(x.clone(), u.merge(y.clone(), z.clone()))
+    val swapped = u.merge(y.clone(), x.clone())
+    assert(left.sameElements(right), "merge must be associative")
+    assert(u.merge(x.clone(), y.clone()).sameElements(swapped),
+      "merge must be commutative")
+    // end-to-end: identical sketches at any parallelism, and the
+    // shard-then-union path equals the direct single-pass sketch —
+    // the property that makes persisted per-shard sketches mergeable
+    val vals = (1 to 997).map(i => (i % 5, i % 13, (i * 37 % 131500).toDouble))
+    def skOf(parts: Int) = vals.toDF("g", "shard", "v").repartition(parts)
+      .groupBy("g").agg(QuantileHistAgg.sketch(col("v")).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val one = skOf(1)
+    val thirteen = skOf(13)
+    assert(one == thirteen, "sketch must be parallelism-invariant")
+    val viaUnion = vals.toDF("g", "shard", "v")
+      .groupBy("g", "shard")
+      .agg(QuantileHistAgg.sketch(col("v")).as("sk"))
+      .groupBy("g").agg(QuantileHistAgg.union(col("sk")).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(viaUnion == one, "shard-then-union must equal direct sketch")
+    // config-mismatch guard: a wrong-width sketch fails loudly
+    intercept[Exception] {
+      Seq(Seq(1L, 2L)).toDF("sk")
+        .agg(QuantileHistAgg.union(col("sk"))).collect()
+    }
+  }
+
   test("persisted HLL sketch union tracks exact distincts; merge ≡ direct") {
     import org.apache.spark.sql.functions._
     val orders = graft.Tables(spark, sf).orders
