@@ -1562,7 +1562,7 @@ object Dedup {
     * it at the third decade and beyond). */
   private[graft] def incrementalLshPairs(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      forceBandSequential: Boolean): DataFrame = {
+      forceBandSequential: Boolean, bandsPerPass: Int = 0): DataFrame = {
     val idx = lshIndexPath(spark, dir)
     val baseBands = spark.read.parquet(s"$idx/bands")
       .select(col("id").as("base_doc"), col("band"), col("key"))
@@ -1597,7 +1597,7 @@ object Dedup {
     val bandGate = batchBands.count() <= LshBroadcastBandRows
     if (!bandGate || forceBandSequential)
       return incrementalLshBandSequential(
-        spark, baseArrays, batchArrays, wideKeys)
+        spark, baseArrays, batchArrays, wideKeys, bandsPerPass)
     // candidate id-pairs: batch BANDS broadcast (24-byte rows — MBs for
     // any nightly batch), the 100 TB base index streams; distinct
     // BEFORE the array attach so nothing downstream carries band rows.
@@ -1704,10 +1704,21 @@ object Dedup {
     * stay bounded by contract) and the terminal dropDuplicates — a
     * survivors-sized aggregate, nothing like the candidate distinct —
     * restores exactly-once emission. */
-  private def incrementalLshBandSequential(
+  private[graft] def incrementalLshBandSequential(
       spark: org.apache.spark.sql.SparkSession,
       baseArrays: DataFrame, batchArrays: DataFrame,
-      wideKeys: DataFrame): DataFrame = {
+      wideKeys: DataFrame, bandsPerPass: Int = 0): DataFrame = {
+    // Pass-fusion knob (round-20 experiment): fuse k bands into one
+    // pass — k× the per-pass scratch bound for 8/k base scans +
+    // signature recomputations. 0 = env-or-default; the shipped
+    // default stays 1 (see the measurement note below).
+    val perPass = (if (bandsPerPass > 0) bandsPerPass
+      else sys.env.get("GRAFT_LSH_BANDS_PER_PASS").map(_.toInt).getOrElse(1))
+      match {
+        case v if v == 1 || v == 2 || v == 4 => v
+        case v => throw new IllegalArgumentException(
+          s"bands per pass must be 1, 2, or 4 (got $v)")
+      }
     // signatures once per side; the batch side caches (it is re-read
     // every pass and is nightly-batch-sized), the base side re-scans
     // the index arrays leg per pass (page-cache-resident)
@@ -1722,15 +1733,49 @@ object Dedup {
     var done = Vector.empty[DataFrame] // per-pass survivors, lineage-cut
     var survCount = 0L
     var antiOn = true
-    for (b <- 0 until 8) {
-      val wb = wide.filter(col("band") === b).select("key")
-      val bs = baseSig
-        .select(col("base_doc"), bandKeyOf(col("mh"), b).as("key"),
-          col("s").as("sb"))
-        .join(broadcast(wb), Seq("key"), "left_anti")
-      val ts = batchSig
-        .select(col("batch_doc"), bandKeyOf(col("mh"), b).as("key"),
-          col("s").as("sa"))
+    for (grp <- (0 until 8).toList.grouped(perPass).toList) {
+      // Single-band pass: the shipped shape, untouched. Fused pass
+      // (k > 1): each side explodes to one row per pass-band — (band,
+      // key) becomes the equi-key, the per-band wide-key anti keys on
+      // both columns, and a FIRST-AGREEING-BAND residual (the
+      // phashDedupPairs rule, integer compares on the pass's earlier
+      // keys carried as array columns) keeps within-pass pair emission
+      // unique, so the verify mass is identical to k single-band
+      // passes. Repartitioning stays on `key` alone — a strict subset
+      // of the join keys, so no extra exchange forms.
+      val (bs, ts, joinKeys, passFilter) = if (grp.size == 1) {
+        val b = grp.head
+        val wb = wide.filter(col("band") === b).select("key")
+        (baseSig
+           .select(col("base_doc"), bandKeyOf(col("mh"), b).as("key"),
+             col("s").as("sb"))
+           .join(broadcast(wb), Seq("key"), "left_anti"),
+         batchSig
+           .select(col("batch_doc"), bandKeyOf(col("mh"), b).as("key"),
+             col("s").as("sa")),
+         Seq("key"), lit(true))
+      } else {
+        val wb = wide.filter(col("band").isin(grp: _*))
+          .select("band", "key")
+        def banded(sig: DataFrame, doc: String, sOut: String,
+            keysOut: String) = sig
+          .select(col(doc), col("s").as(sOut),
+            array(grp.map(b => bandKeyOf(col("mh"), b)): _*).as(keysOut))
+          .select(col(doc), col(sOut), col(keysOut),
+            posexplode(col(keysOut)).as(Seq("bi", "key")))
+          .select(col(doc), col(sOut), col(keysOut),
+            element_at(typedLit(grp), col("bi") + 1).as("band"), col("key"))
+        val firstBand = grp.indices.map { j =>
+          (col("band") === grp(j)) && (0 until j)
+            .map(i => element_at(col("kb"), i + 1)
+              =!= element_at(col("ka"), i + 1))
+            .foldLeft(lit(true))(_ && _)
+        }.reduce(_ || _)
+        (banded(baseSig, "base_doc", "sb", "kb")
+           .join(broadcast(wb), Seq("band", "key"), "left_anti"),
+         banded(batchSig, "batch_doc", "sa", "ka"),
+         Seq("band", "key"), firstBand)
+      }
       // SHUFFLE_HASH, build = the batch side: sort-merge would SORT
       // both array-bearing sides per pass (the r19 sf1000v maiden run
       // measured 95 GB of transient sort spill across the 8 passes).
@@ -1746,7 +1791,8 @@ object Dedup {
       val parts = spark.sessionState.conf.numShufflePartitions * 8
       val joined = bs.repartition(parts, col("key"))
         .join(ts.repartition(parts, col("key")).hint("shuffle_hash"),
-          Seq("key"))
+          joinKeys)
+        .filter(passFilter)
       val fresh =
         if (antiOn && done.nonEmpty)
           joined.join(

@@ -203,6 +203,18 @@ class DedupSpec extends SparkSpec {
     assert(seq == single,
       s"band-sequential diverged: only-seq=${(seq -- single).take(3)} " +
         s"only-single=${(single -- seq).take(3)}")
+    // the fused-pass variants (2 and 4 bands per pass, round-20
+    // experiment knob) must emit the identical pair set — the
+    // first-agreeing-band residual keeps within-pass emission unique
+    for (k <- Seq(2, 4)) {
+      val fused = Dedup.incrementalLshPairs(spark, sf,
+        forceBandSequential = true, bandsPerPass = k)
+        .collect().map(_.toSeq).toSet
+      assert(fused == single,
+        s"$k-band fused pass diverged: only-fused=" +
+          s"${(fused -- single).take(3)} " +
+          s"only-single=${(single -- fused).take(3)}")
+    }
   }
 
   test("longest-span: planted maximal runs recovered at exact length and position") {
