@@ -119,6 +119,13 @@ object GraftFunctions {
     GraftColumnBridge.column(PqAdc(
       GraftColumnBridge.expression(codes), GraftColumnBridge.expression(lut)))
 
+  /** Column-API entry point: `ivfArgmax($"embedding", $"cids", $"ceflat")`
+    * — nearest-centroid id by cosine against a flattened broadcast
+    * centroid table, one fused codegen loop (see [[IvfArgmax]]). */
+  def ivfArgmax(vec: Column, cids: Column, ceflat: Column): Column =
+    GraftColumnBridge.column(IvfArgmax(GraftColumnBridge.expression(vec),
+      GraftColumnBridge.expression(cids), GraftColumnBridge.expression(ceflat)))
+
   /** Column-API entry point: `lshBucket($"embedding", 6)`. */
   def lshBucket(a: Column, nBits: Int): Column =
     GraftColumnBridge.column(HyperplaneBucket(
@@ -207,6 +214,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((PqEncodeCodes.ident, PqEncodeCodes.info,
       PqEncodeCodes.builder))
     ext.injectFunction((PqAdc.ident, PqAdc.info, PqAdc.builder))
+    ext.injectFunction((IvfArgmax.ident, IvfArgmax.info, IvfArgmax.builder))
     ext.injectFunction((NbDotProduct.ident, NbDotProduct.info,
       NbDotProduct.builder))
     ext.injectFunction((JlProject.ident, JlProject.info, JlProject.builder))

@@ -442,6 +442,30 @@ object Similarity {
     * cost.) Shared by q_sim_ivf_ann and the IVF×PQ composition. */
   private[graft] def ivfNearest(vecs: DataFrame, cents: DataFrame,
       out: String): DataFrame = {
+    // Native fused argmax ([[graft.functions.IvfArgmax]]) since round
+    // 20: the HOF fold below is CodegenFallback — the whole projection
+    // ran interpreted, lambda-dispatching k cosineSim evals per corpus
+    // row (the round-18 tokenizer-tower finding one family over; the
+    // r20 sf1000v profile billed ~1,000 CPU-s of q_sim_ivfpq to the
+    // assignment stages). The quantizer still rides as ONE broadcast
+    // row — now as (cid array, flattened cid-ordered centroid table) —
+    // and SimilaritySpec pins native ≡ fold on the live corpus.
+    val carr = cents.agg(array_sort(collect_list(
+        struct(col("cid").cast("long").as("cid"), col("ce")))).as("carr"))
+      .select(transform(col("carr"), c => c.getField("cid")).as("cids"),
+        flatten(transform(col("carr"), c => c.getField("ce"))).as("ceflat"))
+    vecs.crossJoin(broadcast(carr))
+      .withColumn(out, graft.functions.GraftFunctions
+        .ivfArgmax(col("embedding"), col("cids"), col("ceflat")))
+      .drop("cids", "ceflat")
+  }
+
+  /** The interpreted HOF-fold twin of [[ivfNearest]]'s pick — kept ONLY
+    * as the equality oracle for the native kernel (the graft_tokens /
+    * pqAdcChain twin discipline): same per-centroid cosineSim, same
+    * strict-`>` first-wins tie rule over the cid-ascending entries. */
+  private[graft] def ivfNearestFold(vecs: DataFrame, cents: DataFrame,
+      out: String): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
     val carr = cents.agg(array_sort(collect_list(
       struct(col("cid").cast("long").as("cid"), col("ce")))).as("carr"))

@@ -126,6 +126,29 @@ class SimilaritySpec extends SparkSpec {
     assert(bad == 0, "graft_pq_adc drifts from the element_at chain")
   }
 
+  test("native graft_ivf_argmax equals the HOF-fold assignment over the corpus") {
+    // the arithmetic contract behind every IVF oracle: the fused argmax
+    // must pick the SAME centroid as the interpreted aggregate() fold —
+    // per-centroid cosineSim fold, strict >, lowest-cid ties — on the
+    // live corpus against the actually-trained quantizer
+    import org.apache.spark.sql.functions._
+    val n = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.ivfCentroids(n)
+    val native = Similarity.ivfNearest(n, cents, "cluster")
+      .select("vec_id", "cluster")
+    val fold = Similarity.ivfNearestFold(n, cents, "cluster")
+      .select(col("vec_id"), col("cluster").as("cluster_f"))
+    val bad = native.join(fold, "vec_id")
+      .filter(col("cluster") =!= col("cluster_f")).count()
+    assert(bad == 0, "graft_ivf_argmax drifts from the HOF fold")
+    // empty-quantizer seed: the fold's -1 survives the rewrite
+    val none = Similarity.ivfNearest(n.limit(3),
+      cents.filter(lit(false)), "cluster")
+      .select("cluster").collect().map(_.getLong(0)).toSeq
+    assert(none == Seq(-1L, -1L, -1L), s"empty centroids must seed -1: $none")
+  }
+
   test("graft_pq_adc works from pure SQL via the registered function") {
     // codes all 0 → 0-based lut indices 0..7 → 1+2+…+8 = 36
     val r = spark.sql(
