@@ -1788,9 +1788,22 @@ object Dedup {
       // REPARTITION_BY_NUM, which AQE does not re-coalesce. Bucket
       // width ≤ LshBucketCap bounds per-key amplification, so no build
       // partition can whale.
-      val parts = spark.sessionState.conf.numShufflePartitions * 8
-      val joined = bs.repartition(parts, col("key"))
-        .join(ts.repartition(parts, col("key")).hint("shuffle_hash"),
+      // sliced build (r19): 8× session partitions puts ONE band's build
+      // at ~25-60 MB. A fused pass carries grp.size bands of build rows
+      // through the same exchange, so the slice count scales with it —
+      // and the repartition MUST cover the full join key set: with
+      // spark.sql.requireAllClusterKeysForCoPartition (default true) a
+      // key-only partitioning is NOT accepted as co-partitioning for
+      // the fused (band, key) join, so EnsureRequirements silently
+      // inserted fresh session-width exchanges and one build became
+      // ~1 GB — the first two sf1000v fusion runs died exactly there
+      // ("not enough memory to build hash map"), while sf100's 10×
+      // smaller builds hid it.
+      val parts =
+        spark.sessionState.conf.numShufflePartitions * 8 * grp.size
+      val jk = joinKeys.map(col)
+      val joined = bs.repartition(parts, jk: _*)
+        .join(ts.repartition(parts, jk: _*).hint("shuffle_hash"),
           joinKeys)
         .filter(passFilter)
       val fresh =
