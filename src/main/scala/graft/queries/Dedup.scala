@@ -1710,8 +1710,15 @@ object Dedup {
       wideKeys: DataFrame, bandsPerPass: Int = 0): DataFrame = {
     // Pass-fusion knob (round-20 experiment): fuse k bands into one
     // pass — k× the per-pass scratch bound for 8/k base scans +
-    // signature recomputations. 0 = env-or-default; the shipped
-    // default stays 1 (see the measurement note below).
+    // signature recomputations. 0 = env-or-default. MEASURED: at sf100
+    // (scratch headroom ample) 2-band fusion completes in 63.0 s warm
+    // vs the 100–110 s single-band record (~1.6×, zero failures); at
+    // sf1000v the fused pass ENOSPC'd ~11 min into the cold run — the
+    // doubled per-pass shuffle scratch exceeds the ~55 GB headroom the
+    // single-band structure was sized to fit, which is exactly the
+    // budget this method exists to respect. The shipped default
+    // therefore stays 1 on this box; a node with ≥2× scratch per
+    // executor takes the knob and banks the ~1.6×.
     val perPass = (if (bandsPerPass > 0) bandsPerPass
       else sys.env.get("GRAFT_LSH_BANDS_PER_PASS").map(_.toInt).getOrElse(1))
       match {
