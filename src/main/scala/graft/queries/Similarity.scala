@@ -1471,11 +1471,45 @@ object Similarity {
     * Returns the (vec_id, embedding, cluster) assignment, unpersisted
     * — callers persist (it feeds both sides of their pair stage). */
   private[graft] def semanticAssign(vecs: DataFrame): DataFrame = {
+    val v = vecs
+    // Nearest-centroid argmax via the fused native kernel (round 20,
+    // guide §1.2 step 2 / §4: no interpreted or aggregate-shaped work on
+    // the corpus-sized path). The previous shape was a k-way broadcast
+    // EXPLODE (crossJoin with all centroids) collapsed by a hash
+    // aggregate keyed by (vec_id, embedding) — every corpus row was
+    // amplified k=16×, and the partial aggregate hashed the FULL
+    // embedding array as a group key per candidate row. graft_ivf_argmax
+    // computes the identical pick (per-centroid cosineSim fold, strict >,
+    // ties to the lowest cid — exactly max(struct(cos, -cid))) in one
+    // codegen loop per row with zero row amplification and no aggregate.
+    // SimilaritySpec pins native ≡ the old aggregate shape
+    // ([[semanticAssignAgg]]) over the live corpus; both SemDeDup oracle
+    // hashes are unchanged. Seeds are never empty (vec_id 0 qualifies at
+    // every sf), so the empty-quantizer −1 seed of the kernel is
+    // unreachable here.
+    def assign(cents: DataFrame, out: String): DataFrame =
+      ivfNearest(v, cents.select(col("cid"), col("cf").as("ce")), out)
+    val seeds = v.filter(col("vec_id") % 61 === 0 && col("vec_id") < 976)
+      .select(col("vec_id").as("cid"), col("embedding").as("cf"))
+    val a1 = assign(seeds, "c1")
+    // one Lloyd step: exact fixed-point centroid per cluster, narrowed
+    // ONCE to float32 (both engines round-to-nearest — the oracle narrows
+    // the same way) so reassignment runs the same native float loop
+    val cents = a1.groupBy(col("c1").as("cid"))
+      .agg(graft.functions.VectorCentroid.centroid(col("embedding")).as("cv"))
+      .select(col("cid"), col("cv").cast("array<float>").as("cf"))
+    assign(cents, "cluster")
+  }
+
+  /** The pre-round-20 aggregate statement of [[semanticAssign]] — kept
+    * ONLY as the equality oracle for the native-kernel rewrite (the
+    * ivfNearestFold twin discipline): broadcast k-way explode +
+    * `max(struct(cos, -cid))`, i.e. highest cosine with ties to the
+    * lowest cid, the same pick graft_ivf_argmax makes in one fused
+    * loop. SimilaritySpec pins the two bit-equal on the live corpus. */
+  private[graft] def semanticAssignAgg(vecs: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
     val v = vecs
-    // argmax over broadcast centroids, collapsed in the partial aggregate;
-    // max(struct(cos, -cid)) = highest cosine, ties to the lowest cid —
-    // identical to the oracle's ROW_NUMBER pick on identical doubles
     def assign(cents: DataFrame, out: String): DataFrame =
       v.join(broadcast(cents), lit(true))
         .groupBy(col("vec_id"), col("embedding"))
@@ -1485,9 +1519,6 @@ object Similarity {
     val seeds = v.filter(col("vec_id") % 61 === 0 && col("vec_id") < 976)
       .select(col("vec_id").as("cid"), col("embedding").as("cf"))
     val a1 = assign(seeds, "c1")
-    // one Lloyd step: exact fixed-point centroid per cluster, narrowed
-    // ONCE to float32 (both engines round-to-nearest — the oracle narrows
-    // the same way) so reassignment runs the same native float loop
     val cents = a1.groupBy(col("c1").as("cid"))
       .agg(graft.functions.VectorCentroid.centroid(col("embedding")).as("cv"))
       .select(col("cid"), col("cv").cast("array<float>").as("cf"))

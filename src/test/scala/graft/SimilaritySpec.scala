@@ -149,6 +149,26 @@ class SimilaritySpec extends SparkSpec {
     assert(none == Seq(-1L, -1L, -1L), s"empty centroids must seed -1: $none")
   }
 
+  test("semanticAssign native kernel equals the aggregate argmax shape") {
+    // round-20 rewrite: the SemDeDup assignment moved from the k-way
+    // broadcast explode + max(struct(cos, -cid)) aggregate to the fused
+    // graft_ivf_argmax loop — same per-centroid cosineSim fold, same
+    // strict->/lowest-cid tie rule, zero row amplification. Pin the two
+    // bit-equal over the live corpus (BOTH k-means passes included).
+    import org.apache.spark.sql.functions._
+    val v = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val native = Similarity.semanticAssign(v)
+      .select(col("vec_id"), col("cluster"))
+    val agg = Similarity.semanticAssignAgg(v)
+      .select(col("vec_id"), col("cluster").as("cluster_a"))
+    val n = native.count()
+    val bad = native.join(agg, "vec_id")
+      .filter(col("cluster") =!= col("cluster_a")).count()
+    assert(n > 0 && bad == 0,
+      s"semanticAssign native drifts from the aggregate shape ($bad/$n)")
+  }
+
   test("graft_pq_adc works from pure SQL via the registered function") {
     // codes all 0 → 0-based lut indices 0..7 → 1+2+…+8 = 36
     val r = spark.sql(
