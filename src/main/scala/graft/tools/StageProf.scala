@@ -16,14 +16,14 @@ object StageProf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
-    val name = args(2)
+    val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Graft.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = graft.queries.Registry.all.find(_.name == name)
-      .getOrElse(sys.error(s"unknown query: $name"))
+    val qs = names.map(n => graft.queries.Registry.all.find(_.name == n)
+      .getOrElse(sys.error(s"unknown query: $n")))
     @volatile var rows =
       Vector.empty[(Int, String, Double, Double, Long, Double, Double, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -41,7 +41,7 @@ object StageProf {
         val _ = site
       }
     })
-    for (rep <- 1 to reps) {
+    for (q <- qs; rep <- 1 to reps) {
       rows = Vector.empty
       val t0 = System.nanoTime()
       q.run(spark, sfDir).count()
@@ -49,10 +49,10 @@ object StageProf {
       spark.catalog.clearCache()
       // let straggler stage-completed events land before printing
       Thread.sleep(500)
-      println(f"== rep $rep $name wall=$wall%.2f s ==")
+      println(f"== rep $rep ${q.name} wall=$wall%.2f s ==")
       println(f"${"stage"}%7s ${"op"}%-28s ${"wall_s"}%7s ${"cpu_s"}%7s " +
         f"${"tasks"}%6s ${"shRdMB"}%8s ${"shWrMB"}%8s")
-      rows.sortBy(-_._4).foreach { case (id, nm, w, c, t, rd, wr, _) =>
+      rows.sortBy(-_._4).take(12).foreach { case (id, nm, w, c, t, rd, wr, _) =>
         println(f"$id%7d $nm%-28s $w%7.2f $c%7.2f $t%6d $rd%8.1f $wr%8.1f")
       }
       println(f"stage cpu total = ${rows.map(_._4).sum}%.1f s over " +
