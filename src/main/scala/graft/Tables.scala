@@ -28,7 +28,25 @@ final class Tables(val spark: SparkSession, val dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.normalizeTs(t("events"))
   }
-  def documents: DataFrame  = t("documents")
+  /** The document corpus, with the same COMPUTE-DENSE scan parallelism
+    * guard as [[embeddings]] (round 20): the text family's cost is
+    * per-row kernel work (shingle/minhash/gram/token folds), and the
+    * corpus ships as one small single-row-group parquet file that
+    * byte-splitting cannot divide — StageProf measured
+    * q_dedup_containment's whole shingle scan in ONE task (1.5 s of its
+    * 2.7 s warm wall) while 31 cores idled. Same contract as
+    * embeddings: results are partition-independent, filters push
+    * through Repartition, and a real 100 TB corpus (many files / row
+    * groups) takes the no-shuffle branch. */
+  def documents: DataFrame  =
+    computeDense(t("documents"), "documents", "doc_id")
+
+  /** The document corpus WITHOUT the [[computeDense]] guard — for the
+    * one consumer whose RESULT is the plan itself (q_plan_display: its
+    * oracle pins the displayed operator chain, and the guard's logical
+    * Repartition would change the answer, not just the physics). Every
+    * compute-bearing query goes through [[documents]]. */
+  private[graft] def documentsRaw: DataFrame = t("documents")
 
   /** The embedding corpus, with COMPUTE-DENSE scan parallelism. The
     * vector family's cost is per-row arithmetic (cosine/JL/PQ folds,
@@ -45,8 +63,16 @@ final class Tables(val spark: SparkSession, val dir: String) {
     * are partition-independent (per-row expressions, key-partitioned
     * aggregates, deterministic ORDER BY), and Catalyst pushes filters
     * through Repartition so scan pruning is unchanged. */
-  def embeddings: DataFrame = {
-    val raw = t("embeddings")
+  def embeddings: DataFrame =
+    computeDense(t("embeddings"), "embeddings", "vec_id")
+
+  /** The guard behind [[embeddings]]/[[documents]]: when the corpus
+    * file's REAL split count (row groups, not planner byte-splits)
+    * would leave most of the machine idle, round-robin the rows to the
+    * session's cores — a one-off shuffle of the raw rows, trivially
+    * cheaper than the per-row kernel folds it parallelizes. */
+  private def computeDense(raw: DataFrame, name: String,
+      key: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     // Splittability floor = real row groups, not planner byte-splits:
     // the FileScan happily "splits" a one-row-group file into 27 byte
@@ -55,7 +81,7 @@ final class Tables(val spark: SparkSession, val dir: String) {
     // to catch. Estimate actual splits as max(files, bytes / 128 MB —
     // the standard row-group target); a corpus of big multi-row-group
     // files or many files takes the no-shuffle branch.
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(p)
     val (files, bytes) =
@@ -65,7 +91,16 @@ final class Tables(val spark: SparkSession, val dir: String) {
         (parts.length.max(1), parts.map(_.getLen).sum)
       } else (1, st.getLen)
     val splits = math.max(files.toLong, bytes / (128L << 20))
-    if (splits * 4 < par) raw.repartition(par) else raw
+    // HASH-repartition on the unique row key, not round-robin (round
+    // 20): a keyless repartition(n) pays sortBeforeRepartition — a
+    // local sort of the FULL rows (multi-KB text) on every read, per
+    // consumer, measured at ~2x the CPU of the shingle queries it was
+    // meant to speed up. Hashing the unique id spreads rows evenly,
+    // needs no sort, and is deterministic under task retry (the
+    // guide-§2.5 rule: derive synthetic keys deterministically).
+    if (splits * 4 < par)
+      raw.repartition(par, org.apache.spark.sql.functions.col(key))
+    else raw
   }
 }
 

@@ -162,7 +162,11 @@ object PipelineQueries {
             _.groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")),
           Node.batchAll("by_source")(
             _.groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")))
-    val pipe = Pipeline(Tables(spark, dir).documents, graph)
+    // documentsRaw: this query's RESULT is the analyzed plan chain —
+    // the compute-dense guard's Repartition would change the ANSWER
+    // (oracle-pinned), not just the physics, so the display pipeline
+    // reads the unguarded table (round 20)
+    val pipe = Pipeline(Tables(spark, dir).documentsRaw, graph)
     val ctx = Node.Ctx()
     val outs = try pipe.graph.run(pipe.source, ctx) finally ctx.unpersistAll()
     val chain = outs("quality.tokens.by_lang").queryExecution.analyzed.collect {
