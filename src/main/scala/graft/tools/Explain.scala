@@ -7,9 +7,13 @@ import org.apache.spark.sql.SparkSession
   * strategy, codegen spans). Not part of the judged surface. */
 object Explain {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_CPUS so plans can be dumped at the bench's session
+    // width — parallelism-gated shapes (the compute-dense scan guard)
+    // are invisible at local[4]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
