@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object Media {
 
+  // ImageIO's stream cache defaults to DISK: every read(InputStream) /
+  // write spools the payload through a fresh temp FILE before the codec
+  // touches it — per decode, per task. StageProf measured the decode
+  // stages of q_media_pair_dedup at ~2 s wall with near-zero task CPU
+  // (blocked on temp-file churn, not arithmetic). The payloads here are
+  // already in-memory byte arrays, so the memory-backed stream is
+  // strictly better; decode/encode bytes are unchanged (round 20).
+  // Object-initializer so any JVM (executor) that touches a codec path
+  // flips it exactly once.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** payload + typed metadata, the storage schema for media at rest. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int)

@@ -1899,8 +1899,15 @@ object Dedup {
       // paid k+1 lambda closures and k+1 intermediate arrays per
       // document (DedupSpec pins the equality). Banding is [[bandKeys]]
       // — the same algebra the persisted incremental index stages.
+      // CACHED (round 20): the band-key table feeds THREE consumers
+      // (the width guard and both sides of the self-join) — uncached,
+      // each re-ran the full 16-lane minhash fold over every cached
+      // shingle array (StageProf: 3-4 near-identical ~5-CPU-s stages in
+      // q_media_pair_dedup's caption leg). The cache is 8 rows/doc of
+      // 24 bytes — band keys, never arrays; harness-cleared like `docs`.
       val banded = bandKeys(docs, col("doc_id"))
         .select(col("id").as("doc_id"), col("band"), col("key"))
+        .cache()
       // bucket-width guard ([[LshBucketCap]]): degenerate band keys are
       // dropped before the self-join — the sf100 decade catch (934 M
       // candidate pairs, ~quadratic under copy-scaling, ran the box out
