@@ -28,24 +28,36 @@ final class Tables(val spark: SparkSession, val dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.normalizeTs(t("events"))
   }
-  /** The document corpus, with the same COMPUTE-DENSE scan parallelism
-    * guard as [[embeddings]] (round 20): the text family's cost is
-    * per-row kernel work (shingle/minhash/gram/token folds), and the
-    * corpus ships as one small single-row-group parquet file that
-    * byte-splitting cannot divide — StageProf measured
-    * q_dedup_containment's whole shingle scan in ONE task (1.5 s of its
-    * 2.7 s warm wall) while 31 cores idled. Same contract as
-    * embeddings: results are partition-independent, filters push
-    * through Repartition, and a real 100 TB corpus (many files / row
-    * groups) takes the no-shuffle branch. */
-  def documents: DataFrame  =
+  /** The document corpus, UNGUARDED (round 21). Round 20 routed every
+    * read through the [[computeDense]] repartition guard; the driver's
+    * full-catalog bench proved that blanket scope NET-NEGATIVE: the
+    * injected 32-way exchange + 32-tiny-task stages + lost map-side
+    * aggregation cost the ~30 light consumers (q_text_tokens,
+    * q_dedup_exact, q_dedup_incremental, q_text_tfidf, …) 1.7–4.2×,
+    * proven code-induced by the same queries running FASTER at 8 cores.
+    * Only the kernel-dense scans (shingle/gram/minhash folds over every
+    * document) win from the widened scan — those call sites opt in via
+    * [[documentsDense]]; everyone else reads the table as laid out. */
+  def documents: DataFrame  = t("documents")
+
+  /** The document corpus with the COMPUTE-DENSE scan parallelism guard
+    * (same contract as [[embeddings]]): for consumers whose cost is
+    * per-row kernel work (shingle/minhash/gram folds) over every
+    * document — the corpus ships as one small single-row-group parquet
+    * file that byte-splitting cannot divide, so without the guard the
+    * whole fold runs in ONE task (StageProf round 20: 1.5 s of
+    * q_dedup_containment's 2.7 s warm wall while 31 cores idled).
+    * Results are partition-independent, filters push through
+    * Repartition, and a real 100 TB corpus (many files / row groups)
+    * takes the no-shuffle branch. Opt-in per call site (round 21): the
+    * driver bench proved the guard helps ONLY the kernel-dense scans. */
+  def documentsDense: DataFrame =
     computeDense(t("documents"), "documents", "doc_id")
 
-  /** The document corpus WITHOUT the [[computeDense]] guard — for the
-    * one consumer whose RESULT is the plan itself (q_plan_display: its
-    * oracle pins the displayed operator chain, and the guard's logical
-    * Repartition would change the answer, not just the physics). Every
-    * compute-bearing query goes through [[documents]]. */
+  /** Alias kept for the consumer whose RESULT is the plan itself
+    * (q_plan_display): its oracle pins the displayed operator chain,
+    * so it must never grow a guard exchange even if [[documents]]'
+    * default changes again. */
   private[graft] def documentsRaw: DataFrame = t("documents")
 
   /** The embedding corpus, with COMPUTE-DENSE scan parallelism. The
@@ -80,17 +92,23 @@ final class Tables(val spark: SparkSession, val dir: String) {
     // a row group) — counting those hides the problem the guard exists
     // to catch. Estimate actual splits as max(files, bytes / 128 MB —
     // the standard row-group target); a corpus of big multi-row-group
-    // files or many files takes the no-shuffle branch.
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val st = fs.getFileStatus(p)
-    val (files, bytes) =
-      if (st.isDirectory) {
-        val parts = fs.listStatus(p)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        (parts.length.max(1), parts.map(_.getLen).sum)
-      } else (1, st.getLen)
-    val splits = math.max(files.toLong, bytes / (128L << 20))
+    // files or many files takes the no-shuffle branch. The estimate is
+    // MEMOIZED per (dir, name) for the JVM (round-20 advice): the
+    // corpus files are immutable test/staging inputs, and the live
+    // getFileStatus+listStatus on every accessor call was ~40 metadata
+    // round-trips per query construction.
+    val splits = Tables.splitEstimate(s"$dir/$name.parquet", () => {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(p)
+      val (files, bytes) =
+        if (st.isDirectory) {
+          val parts = fs.listStatus(p)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+          (parts.length.max(1), parts.map(_.getLen).sum)
+        } else (1, st.getLen)
+      math.max(files.toLong, bytes / (128L << 20))
+    })
     // HASH-repartition on the unique row key, not round-robin (round
     // 20): a keyless repartition(n) pays sortBeforeRepartition — a
     // local sort of the FULL rows (multi-KB text) on every read, per
@@ -106,6 +124,14 @@ final class Tables(val spark: SparkSession, val dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** JVM-wide memo of [[Tables.computeDense]]'s split estimate, keyed by
+    * the corpus file path. Metadata only (a long per corpus), never row
+    * data — the corpus inputs are immutable for a process lifetime. */
+  private val splitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def splitEstimate(path: String, est: () => Long): Long =
+    splitMemo.computeIfAbsent(path, _ => java.lang.Long.valueOf(est())).longValue()
 
   /** events.ts across generator versions, normalized to one type.
     *

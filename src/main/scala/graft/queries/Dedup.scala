@@ -134,7 +134,7 @@ object Dedup {
     // operator runs a bounded slice — its sub-quadratic-in-mass plan
     // shape is the judged artifact, and the corpus-scale candidate
     // path is the MinHash band join below (5.3× at the same step).
-    val docs = Tables(spark, dir).documents
+    val docs = Tables(spark, dir).documentsDense
       .filter(col("doc_id") < 5000)
       .select(col("doc_id"), col("lang"),
         graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
@@ -194,7 +194,7 @@ object Dedup {
       |  AND LEAST(len(a.s), len(b.s)) > 0
       |ORDER BY doc_a, doc_b""".stripMargin,
   ) { (spark, dir) =>
-    val docs = Tables(spark, dir).documents
+    val docs = Tables(spark, dir).documentsDense
       .filter(col("doc_id") < 5000)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
@@ -274,7 +274,7 @@ object Dedup {
           "WHERE n_shared >= 3 ORDER BY doc_a, doc_b"),
     ) { (spark, dir) =>
       val selArr = winnowFingerprints(
-        Tables(spark, dir).documents.filter(col("doc_id") < 5000))
+        Tables(spark, dir).documentsDense.filter(col("doc_id") < 5000))
       val tok = selArr.select(col("doc_id"), col("n_fp"),
         explode(col("fps")).as("fp")).cache()
       val a = tok.select(col("doc_id").as("doc_a"), col("fp"),
@@ -1058,8 +1058,16 @@ object Dedup {
     * appends a token to turn them into NEAR-dups for the fuzzy
     * variants). */
   private def baseBatchSplit(spark: org.apache.spark.sql.SparkSession,
-      dir: String, perturb: Boolean): (DataFrame, DataFrame) = {
-    val docs = Tables(spark, dir).documents.select("doc_id", "text", "source")
+      dir: String, perturb: Boolean,
+      dense: Boolean = false): (DataFrame, DataFrame) = {
+    // `dense` (round 21): the shingle-fold consumers (fuzzy/LSH) opt in
+    // to the compute-dense scan guard; the fingerprint-light consumers
+    // (exact incremental, index builds' fp leg) read the raw layout —
+    // the driver bench proved the widened scan is a per-consumer call,
+    // not a table property (see Tables.documentsDense).
+    val t = Tables(spark, dir)
+    val docs = (if (dense) t.documentsDense else t.documents)
+      .select("doc_id", "text", "source")
     val base = docs.filter(Scramble(col("doc_id")) % 4 =!= 0)
     val planted0 = base.filter(Scramble(col("doc_id")) % 9 === 1)
       .withColumn("doc_id", col("doc_id") + 1000000000L)
@@ -1075,7 +1083,8 @@ object Dedup {
     * perturbed split q_dedup_incremental_lsh measures against. */
   private[graft] def baseBatchSplitDiag(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, DataFrame) = baseBatchSplit(spark, dir, true)
+      dir: String): (DataFrame, DataFrame) =
+    baseBatchSplit(spark, dir, perturb = true, dense = true)
 
   /** Staged PERSISTED dedup index of the base snapshot — the maintained
     * nightly artifact the incremental queries' docs promise: (a) the
@@ -1354,7 +1363,8 @@ object Dedup {
       |WHERE 3 * i.n_shared >= na.n + nb.n
       |ORDER BY 1, 2""".stripMargin,
   ) { (spark, dir) =>
-    val (base, batchAll) = baseBatchSplit(spark, dir, perturb = true)
+    val (base, batchAll) =
+      baseBatchSplit(spark, dir, perturb = true, dense = true)
     // FIXED-SIZE batch (round 11; original doc_id < 5000 — the whole
     // batch at every driver sf): a nightly ingest is ~constant-sized
     // against a GROWING base, and that is also what keeps this exact
@@ -1407,7 +1417,8 @@ object Dedup {
     graft.Staging.buildOnce(
         graft.Staging.path("graft_dedup_lsh_index", dir, version = 1),
         "_INDEX_READY") { tmp =>
-      val (base, _) = baseBatchSplit(spark, dir, perturb = false)
+      val (base, _) =
+        baseBatchSplit(spark, dir, perturb = false, dense = true)
       val arrays = base
         .select(col("doc_id").as("base_doc"),
           graft.functions.GraftFunctions.shingleHashes(col("text")).as("s"))
@@ -1567,7 +1578,8 @@ object Dedup {
     val baseBands = spark.read.parquet(s"$idx/bands")
       .select(col("id").as("base_doc"), col("band"), col("key"))
     val baseArrays = spark.read.parquet(s"$idx/arrays")
-    val (_, batch) = baseBatchSplit(spark, dir, perturb = true)
+    val (_, batch) =
+      baseBatchSplit(spark, dir, perturb = true, dense = true)
     val batchArrays = batch
       .select(col("doc_id").as("batch_doc"),
         graft.functions.GraftFunctions.shingleHashes(col("text")).as("s"))
@@ -1872,7 +1884,8 @@ object Dedup {
     * q_dedup_ngram_jaccard pairs, and precision via the verify step. */
   val qDedupMinhashLsh: QueryDef = QueryDef.oracle(
     "q_dedup_minhash_lsh", minhashLshOracleSql) { (spark, dir) =>
-      minhashLshVerified(Tables(spark, dir).documents.select("doc_id", "text"))
+      minhashLshVerified(
+        Tables(spark, dir).documentsDense.select("doc_id", "text"))
   }
 
   /** The full shingle → minhash → band → bucket-join → Jaccard-verify
@@ -1881,7 +1894,8 @@ object Dedup {
     * runs the IDENTICAL algebra (one implementation, one oracle
     * rendering — the two can never drift). Emits confirmed
     * (doc_a, doc_b, n_inter, n_union), ordered. */
-  private[graft] def minhashLshVerified(input: DataFrame): DataFrame = {
+  private[graft] def minhashLshVerified(input: DataFrame,
+      cacheBands: Boolean = false): DataFrame = {
       // cached: the shingle-hash arrays feed the signature build AND both
       // sides of the candidate-verification rejoin (hashes, not strings —
       // graft_minhash consumes them directly and exact-Jaccard
@@ -1899,15 +1913,21 @@ object Dedup {
       // paid k+1 lambda closures and k+1 intermediate arrays per
       // document (DedupSpec pins the equality). Banding is [[bandKeys]]
       // — the same algebra the persisted incremental index stages.
-      // CACHED (round 20): the band-key table feeds THREE consumers
-      // (the width guard and both sides of the self-join) — uncached,
-      // each re-ran the full 16-lane minhash fold over every cached
-      // shingle array (StageProf: 3-4 near-identical ~5-CPU-s stages in
-      // q_media_pair_dedup's caption leg). The cache is 8 rows/doc of
-      // 24 bytes — band keys, never arrays; harness-cleared like `docs`.
-      val banded = bandKeys(docs, col("doc_id"))
+      // cacheBands (round 21, gating the round-20 blanket cache): the
+      // band-key table feeds three consumers (the width guard and both
+      // sides of the self-join) — uncached, each re-runs the 16-lane
+      // minhash fold over the cached shingle arrays. For the embedded
+      // two-leg composition (q_media_pair_dedup's caption leg) the
+      // cache wins (StageProf r20: 3-4 near-identical ~5-CPU-s stages);
+      // for the single-consumer judged query the driver's bench showed
+      // the InMemoryRelation materialization barrier costs MORE than
+      // the re-fold at sf0.1 (0.71×, 8-core-faster scaling ratio), so
+      // the default is off. 8 rows/doc of 24 bytes when on — band keys,
+      // never arrays; harness-cleared like `docs` (callers embedding
+      // this in a long-lived session: clear the cache when done).
+      val banded0 = bandKeys(docs, col("doc_id"))
         .select(col("id").as("doc_id"), col("band"), col("key"))
-        .cache()
+      val banded = if (cacheBands) banded0.cache() else banded0
       // bucket-width guard ([[LshBucketCap]]): degenerate band keys are
       // dropped before the self-join — the sf100 decade catch (934 M
       // candidate pairs, ~quadratic under copy-scaling, ran the box out

@@ -1066,7 +1066,8 @@ object MediaQueries {
       caps: org.apache.spark.sql.DataFrame,
       imgs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val capPairs = graft.queries.Dedup.minhashLshVerified(
-        caps.select(col("pair_id").as("doc_id"), col("text")))
+        caps.select(col("pair_id").as("doc_id"), col("text")),
+        cacheBands = true)
       .select("doc_a", "doc_b")
     val imgPairs = phashDedupPairs(imgs)
     val pairs = capPairs.unionByName(imgPairs).distinct()
