@@ -66,6 +66,13 @@ object Staging {
             }
             try {
               probe(0L)
+              // middle probe (round-20 advice): head+tail alone could in
+              // principle miss a same-size in-place rewrite of file
+              // MIDDLES (parquet data pages between an unchanged header
+              // and a rewritten-identical footer); sampling the center
+              // 4 KB closes that class without reading whole files —
+              // size+mtime still guard everything else
+              if (size > 12288) probe(size / 2)
               if (size > 4096) probe(math.max(4096L, size - 4096))
             } catch {
               case _: java.io.IOException => md.update("!unreadable".getBytes)

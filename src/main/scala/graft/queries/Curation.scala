@@ -243,7 +243,7 @@ object Curation {
       zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
         (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
-    val perDoc = Tables(spark, dir).documents
+    val perDoc = Tables(spark, dir).documentsDense
       .select(col("doc_id"), col("source"),
         explode(grams2).as("gram"))
       .groupBy(col("doc_id"), col("source"), col("gram"))

@@ -1884,8 +1884,14 @@ object Dedup {
     * q_dedup_ngram_jaccard pairs, and precision via the verify step. */
   val qDedupMinhashLsh: QueryDef = QueryDef.oracle(
     "q_dedup_minhash_lsh", minhashLshOracleSql) { (spark, dir) =>
+      // RAW scan (round 21): the bench axis proved raw+no-band-cache is
+      // this query's fastest local shape (r20base window 0.647 s vs
+      // 0.94-1.03 s with the dense exchange) — the one-off exchange of
+      // full text costs more than the 16-lane fold it parallelizes at
+      // sf0.1; the shingle cache bounds the refold. At 100 TB the corpus
+      // is multi-file and the guard would no-op anyway.
       minhashLshVerified(
-        Tables(spark, dir).documentsDense.select("doc_id", "text"))
+        Tables(spark, dir).documents.select("doc_id", "text"))
   }
 
   /** The full shingle → minhash → band → bucket-join → Jaccard-verify

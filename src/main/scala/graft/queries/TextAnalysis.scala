@@ -502,7 +502,7 @@ object TextAnalysis {
       |  MAX(tot // nb) AS max_avg_surprise
       |FROM d GROUP BY source ORDER BY source""".stripMargin,
   ) { (spark, dir) =>
-    val docs = Tables(spark, dir).documents
+    val docs = Tables(spark, dir).documentsDense
     val ws = toks(col("text"))
     val big = docs.select(col("doc_id"), col("source"),
         explode(when(size(ws) >= 2,

@@ -703,4 +703,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side shuffle join in encode:\n$p")
   }
+
+  test("pagerank: folded first iteration, coalesced invariant, broadcast rank joins only") {
+    // round-20 wins, pinned round 21 (verdict item 7) so a refactor
+    // can't silently reintroduce the constant-r0 join or lose the
+    // partial-aggregation width derived from the graph stats.
+    val p = plan("q_graph_pagerank")
+    assert(p.contains("1000000"),
+      s"folded first iteration missing (constant-r0 aggregate):\n${p.take(3000)}")
+    assert(p.contains("Coalesce"),
+      s"loop-invariant width coalesce missing:\n${p.take(3000)}")
+    // src-keyed broadcast joins: 1 degree attach + (iters-1)=2 rank
+    // joins; a 4th means the folded iteration came back. DISTINCT by
+    // full key signature: the eagerly-materialized caches embed final
+    // plans whose subtrees are REPRINTED, so a raw occurrence count
+    // sees the same join many times over.
+    val srcJoins =
+      "BroadcastHashJoin \\[src[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(p).toSet
+    assert(srcJoins.size <= 3,
+      s"expected <=3 distinct src-keyed broadcast joins (deg + 2 rank), " +
+        s"got ${srcJoins.size}: $srcJoins")
+    assert(!p.contains("SortMergeJoin"),
+      s"rank iteration fell back to a shuffle join:\n${p.take(3000)}")
+  }
+
+  test("semantic assignment is the fused argmax kernel, not the k-way explode aggregate") {
+    // round-20 win, pinned round 21 (verdict item 7): the pre-r20 shape
+    // amplified every corpus row k=16x and hashed the full embedding
+    // array as an aggregate group key (its signature: max(struct(cos…)).
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("graft_ivf_argmax"),
+      s"fused argmax kernel missing from assignment:\n${p.take(3000)}")
+    assert(!p.contains("max(struct(cos"),
+      s"k-way explode/max-struct assignment shape reappeared:\n${p.take(3000)}")
+  }
 }

@@ -169,6 +169,39 @@ class SimilaritySpec extends SparkSpec {
       s"semanticAssign native drifts from the aggregate shape ($bad/$n)")
   }
 
+  test("argmax kernel and aggregate twin agree on zero-norm vectors and centroids") {
+    // round-20 advice: the kernel's strict '>' would never select a NaN
+    // cosine while max(struct) sorts NaN as the maximum — but both
+    // shapes share CosineSimilarity's `denom == 0 → 0.0` guard, so a
+    // zero-norm embedding or centroid yields cosine 0.0 (never NaN) and
+    // the two picks agree BY CONSTRUCTION. This fixture documents that
+    // contract at the boundary: NaN can only enter via NaN-valued
+    // inputs, which no corpus or staged artifact produces.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(0.0, 0.0, 0.0, 0.0)), // zero-norm query vector
+      (61L, Array(1.0, 0.0, 0.0, 0.0)), // seed → centroid cid 61
+      (122L, Array(0.0, 0.0, 0.0, 0.0)), // seed → ZERO-NORM centroid cid 122
+      (7L, Array(0.9, 0.1, 0.0, 0.0)),
+      (8L, Array(-1.0, 0.0, 0.0, 0.0)) // all cosines <= 0: first strict > wins
+    ).toDF("vec_id", "embedding")
+      // semanticAssign's seed rule picks vec_id % 61 == 0 && < 976:
+      // rows 0 (zero-norm), 61, 122 (zero-norm) become the centroids
+    val native = Similarity.semanticAssign(rows)
+      .select(col("vec_id"), col("cluster"))
+    val agg = Similarity.semanticAssignAgg(rows)
+      .select(col("vec_id"), col("cluster").as("cluster_a"))
+    val joined = native.join(agg, "vec_id").collect()
+    assert(joined.length == 5)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"zero-norm divergence at vec_id=${r.getLong(0)}: " +
+          s"native=${r.getLong(1)} agg=${r.getLong(2)}")
+      assert(r.getLong(1) >= 0L, "assignment must pick a real centroid")
+    }
+  }
+
   test("graft_pq_adc works from pure SQL via the registered function") {
     // codes all 0 → 0-based lut indices 0..7 → 1+2+…+8 = 36
     val r = spark.sql(
