@@ -67,7 +67,7 @@ final class Tables(val spark: SparkSession, val dir: String) {
     * sf100), which byte-based splitting cannot divide: the sf100
     * decade run measured q_sim_ivf_ann at 572 s wall / 702 CPU-s on 32
     * cores — a 1.2-thread plan. When the scan's split count would
-    * leave most of the machine idle, round-robin the rows to the
+    * leave most of the machine idle, hash-spread the rows across the
     * session's cores (a one-off shuffle of the raw vectors, trivially
     * cheaper than the folds it parallelizes); a real 100 TB corpus
     * arrives as thousands of files and takes the no-shuffle branch, so
@@ -78,11 +78,12 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def embeddings: DataFrame =
     computeDense(t("embeddings"), "embeddings", "vec_id")
 
-  /** The guard behind [[embeddings]]/[[documents]]: when the corpus
-    * file's REAL split count (row groups, not planner byte-splits)
-    * would leave most of the machine idle, round-robin the rows to the
-    * session's cores — a one-off shuffle of the raw rows, trivially
-    * cheaper than the per-row kernel folds it parallelizes. */
+  /** The guard behind [[embeddings]]/[[documentsDense]]: when the
+    * corpus file's REAL split count (row groups, not planner
+    * byte-splits) would leave most of the machine idle, hash-spread the
+    * rows across the session's cores — a one-off shuffle of the raw
+    * rows, trivially cheaper than the per-row kernel folds it
+    * parallelizes. */
   private def computeDense(raw: DataFrame, name: String,
       key: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
