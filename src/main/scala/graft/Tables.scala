@@ -98,7 +98,13 @@ final class Tables(val spark: SparkSession, val dir: String) {
     // corpus files are immutable test/staging inputs, and the live
     // getFileStatus+listStatus on every accessor call was ~40 metadata
     // round-trips per query construction.
-    val splits = Tables.splitEstimate(s"$dir/$name.parquet", () => {
+    // A missing/unreadable corpus file estimates as "already splittable"
+    // (round-20 advice): the guard then returns the raw frame, whose own
+    // scan raises the canonical AnalysisException — the probe must never
+    // turn a missing table into an accessor-time FileNotFoundException.
+    // (The failure is NOT memoized: a probe error answers this call
+    // only, so a corpus that appears later re-estimates fresh.)
+    val splits = try Tables.splitEstimate(s"$dir/$name.parquet", () => {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val st = fs.getFileStatus(p)
@@ -109,7 +115,7 @@ final class Tables(val spark: SparkSession, val dir: String) {
           (parts.length.max(1), parts.map(_.getLen).sum)
         } else (1, st.getLen)
       math.max(files.toLong, bytes / (128L << 20))
-    })
+    }) catch { case _: java.io.IOException => Long.MaxValue }
     // HASH-repartition on the unique row key, not round-robin (round
     // 20): a keyless repartition(n) pays sortBeforeRepartition — a
     // local sort of the FULL rows (multi-KB text) on every read, per

@@ -63,4 +63,29 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(p).orderBy("l_returnflag").collect().toSeq ==
       agg.orderBy("l_returnflag").collect().toSeq)
   }
+
+  test("compute-dense split estimate memoizes per path; failures are not cached") {
+    // round-21 (round-20 advice): the guard's file-metadata probe was
+    // ~40 live getFileStatus round-trips per query construction — it is
+    // now memoized per corpus path for the JVM. A probe FAILURE must
+    // not be memoized (a corpus appearing later re-estimates fresh).
+    val key = s"$tmp/split_memo_probe_${System.nanoTime()}"
+    intercept[java.io.FileNotFoundException] {
+      Tables.splitEstimate(key, () => throw new java.io.FileNotFoundException(key))
+    }
+    assert(Tables.splitEstimate(key, () => 7L) == 7L,
+      "a failed probe must not poison the memo")
+    assert(Tables.splitEstimate(key, () => 99L) == 7L,
+      "the estimate must be memoized per path")
+  }
+
+  test("dense accessor on a missing corpus raises the canonical scan error") {
+    // the guard must never turn a missing table into a probe-time
+    // FileNotFoundException: the raw frame's own construction raises
+    // the standard AnalysisException first
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables(spark, s"$tmp/no_such_dir_${System.nanoTime()}").documentsDense
+    }
+    assert(e.getErrorClass != null)
+  }
 }
