@@ -59,8 +59,24 @@ object ConnectedComponents {
     val sessionParts = scala.util.Try(prevParts.toLong).getOrElse(32L)
     val parts = math.max(1L, math.min(sessionParts,
       edges.count() / 2000000L + 1L))
+    // Coalesce the loop-invariant edge checkpoint to the fixpoint width
+    // (round 21, the pagerank loop-invariant discipline): the union
+    // inherits the upstream candidate pipeline's partitioning (64 blocks
+    // at the bench width) and EVERY round's propagation join re-scans
+    // all of them — StageProf on q_dedup_embedding_ann measured one
+    // 64-task near-empty stage per round, pure scheduling mass. One
+    // eager pass rewrites the blocks at the measured width; each round
+    // then scans `parts` blocks. Results are partition-independent
+    // (min-label algebra); PropertySpec pins CC ≡ union-find on random
+    // graphs at any width.
+    val edgesSized =
+      if (edges.rdd.getNumPartitions > 4 * parts) {
+        val c = edges.coalesce(parts.toInt).localCheckpoint(eager = true)
+        unpersistCheckpoint(edges)
+        c
+      } else edges
     spark.conf.set(key, parts.toString)
-    try minLabelLoop(edges) finally spark.conf.set(key, prevParts)
+    try minLabelLoop(edgesSized) finally spark.conf.set(key, prevParts)
   }
 
   private def minLabelLoop(edges: DataFrame): DataFrame = {
